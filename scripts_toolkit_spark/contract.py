@@ -1,0 +1,59 @@
+"""Driver-contract registry.
+
+Central table of (name → query builder, name → DuckDB oracle SQL). Each
+engine module registers its demonstration queries here; `__spark_entry__.py`
+re-exports. Keeping it in one module makes the SURVEY §2 coverage auditable
+in one place.
+
+Contract rules (see /root/repo/__spark_entry__.py docstring):
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- column names must match the oracle exactly (driver sorts columns by name
+  and hashes values);
+- float outputs are computed via exact DECIMAL where aggregation order could
+  change double bits, or rounded where the computation is per-row
+  deterministic;
+- oracle omitted ⇒ driver records a weaker rows-only check (reserved for
+  genuinely non-SQL-expressible ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
+    if name in _QUERIES:
+        raise ValueError(f"duplicate query registration: {name}")
+    _QUERIES[name] = fn
+    if oracle is not None:
+        _ORACLES[name] = oracle
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return dict(_ORACLES)
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from scripts_toolkit_spark import registry  # noqa: F401
+
+    _LOADED = True

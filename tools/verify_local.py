@@ -1,0 +1,115 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every `queries()[name]` on Spark at sf0.01 and the matching
+`oracle_sql()[name]` on DuckDB over the same parquet, then compares:
+  - row count
+  - column-name set
+  - order-insensitive value comparison (rows sorted after sorting columns
+    by name), exact on non-floats, exact-bits on floats (the driver hashes,
+    so we must be bit-identical — engine queries use DECIMAL internally to
+    guarantee this).
+
+Usage: python tools/verify_local.py [name ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def _canon(v):
+    """Canonicalize a cell for comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(_canon(r[i]) for i in idx) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def main(names: list[str]) -> int:
+    from scripts_toolkit_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("verify-local")
+    qs, oracles = e.queries(), e.oracle_sql()
+    if names:
+        qs = {k: v for k, v in qs.items() if k in names}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failed, passed, weak = [], [], []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:  # noqa: BLE001
+            failed.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            weak.append(name)
+            print(f"weak {name}: rows={len(srows)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            failed.append((name, f"duckdb error: {ex}"))
+            print(f"FAIL {name}: duckdb error: {ex}")
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+            if sset != dset:
+                diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+                problems.append(f"values differ; first diffs: {diffs}")
+        if problems:
+            failed.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            passed.append(name)
+            print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(passed)} ok, {len(weak)} weak (rows-only), {len(failed)} FAILED of {len(qs)}")
+    for n, msg in failed:
+        print(f"  FAILED {n}: {msg}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

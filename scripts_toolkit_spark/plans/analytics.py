@@ -24,15 +24,21 @@ from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.io.catalog import load_table
 
-# Exact decimal images of the double money/rate columns. 18,4 holds every
-# TPC-H-ish price; products widen to scale 8 and sums stay exact.
-def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,4)")
+# Exact decimal images of the double money/rate columns, sized so even the
+# triple product price*(1-disc)*(1+tax) stays within precision 38 in BOTH
+# Spark and DuckDB (overflow degrades each engine differently → last-bit
+# drift). Prices/quantities are 2-decimal, rates 4-decimal in the data.
+def _money(c: str) -> F.Column:
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _rate(c: str) -> F.Column:
+    return F.col(c).cast("decimal(6,4)")
 
 
 def _revenue() -> F.Column:
     """sum(extendedprice * (1 - discount)) — exact, order-independent."""
-    return F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return F.sum(_money("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - _rate("l_discount")))
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,23 +49,30 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet scan, which is the optimum for this query.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(18,4)")
+    one = F.lit(1).cast("decimal(6,4)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")) * (one + _dec("l_tax")))
+            F.sum(_money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_money("l_extendedprice") * (one - _rate("l_discount"))).cast("double").alias("sum_disc_price"),
+            # the triple product has decimal scale 10 → the sum's integer
+            # mantissa exceeds 2^53 and decimal→double casts differ across
+            # engines (double-rounding). The rates are 2-real-decimal, so the
+            # product carries exactly 6 real decimals: casting the sum to
+            # scale 6 is LOSSLESS (no rounding-mode dependence) and brings
+            # the mantissa back under 2^53 for an exact double conversion.
+            F.sum(_money("l_extendedprice") * (one - _rate("l_discount")) * (one + _rate("l_tax")))
+            .cast("decimal(38,6)")
             .cast("double")
             .alias("sum_charge"),
             # cast the exact decimal sum to double BEFORE dividing: decimal
             # division truncates scale; double/int64 division is IEEE-exact
             # and matches any other engine bit-for-bit.
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            (F.sum(_money("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_money("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -69,13 +82,13 @@ PRICING_SUMMARY_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
-  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) * (CAST(1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
   COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -111,7 +124,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 REVENUE_BY_NATION_SQL = """
 SELECT
   n_name AS nation,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -149,7 +162,7 @@ def top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOP_UNSHIPPED_ORDERS_SQL = """
 SELECT
   o_orderkey, o_orderdate, o_orderpriority,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON o_orderkey = l_orderkey

@@ -15,3 +15,13 @@ register("pricing_summary", analytics.pricing_summary, analytics.PRICING_SUMMARY
 register("revenue_by_nation", analytics.revenue_by_nation, analytics.REVENUE_BY_NATION_SQL)
 register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_ORDERS_SQL)
 register("order_priority_counts", analytics.order_priority_counts, analytics.ORDER_PRIORITY_COUNTS_SQL)
+
+# ---- scalar functions F1-F16 + MDRM pipeline (§2.3, §3.1) ------------------
+from scripts_toolkit_spark.plans import function_demos as fd
+
+register("clean_text_chain", fd.clean_text_chain, fd.CLEAN_TEXT_CHAIN_SQL)
+register("derive_fields", fd.derive_fields, fd.DERIVE_FIELDS_SQL)
+register("split_explode_tokens", fd.split_explode_tokens, fd.SPLIT_EXPLODE_TOKENS_SQL)
+register("json_extract_props", fd.json_extract_props, fd.JSON_EXTRACT_PROPS_SQL)
+register("nan_null_normalize", fd.nan_null_normalize, fd.NAN_NULL_NORMALIZE_SQL)
+register("mdrm_pipeline_demo", fd.mdrm_pipeline_demo, fd.MDRM_PIPELINE_DEMO_SQL)

@@ -25,3 +25,10 @@ register("split_explode_tokens", fd.split_explode_tokens, fd.SPLIT_EXPLODE_TOKEN
 register("json_extract_props", fd.json_extract_props, fd.JSON_EXTRACT_PROPS_SQL)
 register("nan_null_normalize", fd.nan_null_normalize, fd.NAN_NULL_NORMALIZE_SQL)
 register("mdrm_pipeline_demo", fd.mdrm_pipeline_demo, fd.MDRM_PIPELINE_DEMO_SQL)
+
+# ---- type profiler + melt/pivot long EAV store (§2.4 A1-A3, §2.5 R1-R4) ----
+from scripts_toolkit_spark.plans import reshape_demos as rd
+
+register("type_profile", rd.type_profile, rd.TYPE_PROFILE_SQL)
+register("melt_wide_to_eav", rd.melt_wide_to_eav, rd.MELT_WIDE_TO_EAV_SQL)
+register("pivot_eav_to_wide", rd.pivot_eav_to_wide, rd.PIVOT_EAV_TO_WIDE_SQL)

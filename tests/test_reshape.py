@@ -1,0 +1,80 @@
+"""Profiler + melt/pivot semantics vs the reference's documented behavior
+(converter.py:23-94 detectors, :130-182 melt null rules)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.operators.profile import profile_types
+from scripts_toolkit_spark.operators.reshape import melt_to_eav, pivot_from_eav
+from scripts_toolkit_spark.plans.xport import wide_to_eav
+
+
+def _wide(spark):
+    rows = [
+        # entity, DATE,      b,    zeros, two_ints, ints, floats, s
+        (1, 20220630.0, 0.0, 0.0, 3.0, 10.0, 1.5, "a"),
+        (2, 20220630.0, 1.0, 0.0, 5.0, None, 2.25, None),
+        (3, 20220630.0, None, 0.0, 3.0, 7.0, None, "c"),
+        (4, 20220630.0, 1.0, 0.0, 5.0, 7.0, float("nan"), "d"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "entity long, DATE double, b double, zeros double, two_ints double, "
+        "ints double, floats double, s string",
+    )
+
+
+def test_profiler_reference_edge_cases(spark):
+    tm = profile_types(_wide(spark), exclude=("entity", "DATE"))
+    assert tm["b"] == "bool"  # {0,1} exactly
+    assert tm["zeros"] == "int"  # all-zeros: NOT bool (len(set)==1), sum 0 → int
+    assert tm["two_ints"] == "int"  # {3,5}: two values but != {0,1} → not bool
+    assert tm["ints"] == "int"  # whole floats, sum distinct 17 → int
+    assert tm["floats"] == "float"  # 1.5+2.25=3.75 → float; NaN ignored
+    assert tm["s"] == "str"
+
+
+def test_melt_null_semantics(spark):
+    eav = wide_to_eav(_wide(spark))
+    rows = {(r["rssd"], r["mdrm"]): r for r in eav.collect()}
+
+    # bool: ALWAYS emitted; null → False
+    assert rows[(1, "b")]["bool_data"] is False
+    assert rows[(2, "b")]["bool_data"] is True
+    assert rows[(3, "b")]["bool_data"] is False  # null bool still emitted
+    assert rows[(2, "b")]["data_type"] == "bool"
+
+    # int: nulls skipped; cast truncates
+    assert (2, "ints") not in rows
+    assert rows[(1, "ints")]["int_data"] == 10
+
+    # float: nulls AND NaN skipped
+    assert (3, "floats") not in rows
+    assert (4, "floats") not in rows  # NaN treated as null (pd.isnull)
+    assert rows[(2, "floats")]["float_data"] == 2.25
+
+    # str: nulls skipped
+    assert (2, "s") not in rows
+    assert rows[(3, "s")]["str_data"] == "c"
+
+    # quarter extracted from constant DATE column
+    assert rows[(1, "b")]["quarter"] == 20220630
+
+    # exactly one typed column non-null per row
+    for r in rows.values():
+        non_null = sum(
+            r[c] is not None for c in ("bool_data", "int_data", "float_data", "str_data")
+        )
+        assert non_null == 1, r
+
+
+def test_pivot_round_trip(spark):
+    eav = wide_to_eav(_wide(spark))
+    wide = pivot_from_eav(
+        eav.where(F.col("data_type") == "float"), ["floats"], "float_data"
+    ).collect()
+    by_id = {r["rssd"]: r["floats"] for r in wide}
+    assert by_id[1] == 1.5 and by_id[2] == 2.25

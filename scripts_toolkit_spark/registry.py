@@ -32,3 +32,12 @@ from scripts_toolkit_spark.plans import reshape_demos as rd
 register("type_profile", rd.type_profile, rd.TYPE_PROFILE_SQL)
 register("melt_wide_to_eav", rd.melt_wide_to_eav, rd.MELT_WIDE_TO_EAV_SQL)
 register("pivot_eav_to_wide", rd.pivot_eav_to_wide, rd.PIVOT_EAV_TO_WIDE_SQL)
+
+# ---- joins: broadcast/anti/range/as-of/prefix-key (§2.7 J1-J7, §2.6 D3) ----
+from scripts_toolkit_spark.plans import join_demos as jd
+
+register("eav_dictionary_enrich", jd.eav_dictionary_enrich, jd.EAV_DICTIONARY_ENRICH_SQL)
+register("customers_without_orders", jd.customers_without_orders, jd.CUSTOMERS_WITHOUT_ORDERS_SQL)
+register("value_band_join", jd.value_band_join, jd.VALUE_BAND_JOIN_SQL)
+register("purchase_asof_click", jd.purchase_asof_click, jd.PURCHASE_ASOF_CLICK_SQL)
+register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOIN_SQL)

@@ -1,0 +1,176 @@
+"""Hierarchy / DAG operators (SURVEY.md §2.8 G1–G5).
+
+The reference loads XBRL presentation arcs into networkx and enumerates all
+simple paths leaf→root per leaf, single-threaded
+(cdr_taxonomy_processor.py:145-165). Here the graph is a plain DataFrame of
+child→parent edges and path enumeration is an **iterative equi-join to
+fixpoint**: every iteration advances every open path by one hop in one
+distributed join. Taxonomy DAGs are shallow (≤ ~6 levels in the shipped
+golden file), so the loop runs a handful of bounded iterations;
+`localCheckpoint()` truncates lineage between iterations so plans don't
+snowball.
+
+Direction convention (matches reference :147): an edge (src, dst) means
+src=child → dst=parent. Roots are parents that are never children; leaves
+are children that are never parents (set algebra :133-139 → anti-joins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def roots(edges: DataFrame) -> DataFrame:
+    """G2: nodes appearing as parent but never as child (froms − tos)."""
+    return (
+        edges.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(edges.select(F.col("src").alias("node")).distinct(), "node", "left_anti")
+    )
+
+
+def leaves(edges: DataFrame) -> DataFrame:
+    """G2: nodes appearing as child but never as parent (tos − froms)."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .join(edges.select(F.col("dst").alias("node")).distinct(), "node", "left_anti")
+    )
+
+
+def adjacency(edges: DataFrame) -> DataFrame:
+    """G4: adjacency-list materialization (export only)."""
+    return edges.groupBy("src").agg(F.collect_list("dst").alias("parents"))
+
+
+def expand_paths(
+    edges: DataFrame,
+    start_nodes: DataFrame,
+    root: str,
+    max_depth: int = 32,
+) -> DataFrame:
+    """G3: all simple paths start→root as an iterative self-join to fixpoint.
+
+    `start_nodes` must expose a `node` column. Returns (concept, path) with
+    path = [start, ..., root]; a node with N distinct routes to the root
+    yields N rows (multi-schedule concepts — the correctness-critical case,
+    SURVEY §7 hard-part 1).
+
+    Scale shape: each iteration is ONE distributed hash join of open paths
+    against the edge table (broadcast when the taxonomy is small, shuffle
+    otherwise) — the reference's per-leaf `nx.all_simple_paths` calls
+    (cdr_taxonomy_processor.py:164-165) become depth-many joins TOTAL,
+    not per-leaf. On an acyclic graph every join-generated path is simple.
+    """
+    paths = start_nodes.select(
+        F.col("node").alias("concept"),
+        F.array("node").alias("path"),
+        F.col("node").alias("frontier"),
+    )
+    done: DataFrame | None = None
+    for _ in range(max_depth):
+        stepped = (
+            paths.join(edges, paths["frontier"] == edges["src"])
+            .select(
+                "concept",
+                F.concat("path", F.array("dst")).alias("path"),
+                F.col("dst").alias("frontier"),
+            )
+            # eager checkpoint: cut lineage so iteration i+1 doesn't replan
+            # iterations 0..i (SURVEY §4.2 custom #2)
+            .localCheckpoint()
+        )
+        finished = stepped.where(F.col("frontier") == root).select("concept", "path")
+        done = finished if done is None else done.unionByName(finished)
+        paths = stepped.where(F.col("frontier") != root)
+        if paths.isEmpty():
+            break
+    else:
+        raise RuntimeError(f"expand_paths did not converge in {max_depth} hops (cycle?)")
+    return done
+
+
+def classify_paths(paths: DataFrame) -> DataFrame:
+    """G5 classification (reference :203, :220): a path is 'column'-kind if
+    any node contains the substring 'column', else 'line'-kind if any node
+    contains 'line', else 'other'. Adds:
+      - schedule: the node just below the root (:195), suffix after last '-'
+      - mid: reversed(path[1:-1]) — [schedule_node, colset?, column?, extras…]
+        (the reference's temp_column/temp_line, :204/:221)
+    """
+    has = lambda word: F.exists("path", lambda x: x.contains(word))  # noqa: E731
+    n = F.size("path")
+    mid = F.reverse(F.slice(F.col("path"), 2, n - 2))
+    return paths.select(
+        "concept",
+        "path",
+        F.element_at(F.split(F.element_at("path", -2), "-"), -1).alias("schedule"),
+        F.when(has("column"), "column").when(has("line"), "line").otherwise("other").alias("kind"),
+        mid.alias("mid"),
+    )
+
+
+def assemble_taxonomy(classified: DataFrame, labels: DataFrame | None = None) -> DataFrame:
+    """G5/A5: nested per-(concept, schedule) taxonomy records, golden-file
+    shaped (cdr_taxonomy_processor.py:186-231 + example output):
+      concept → schedule → {column_ids: {schedule, colset, column, extra…},
+                            line_ids: {schedule, extra…}}
+    with {code, label} leaves. Labels (node, label_text) are folded into a
+    broadcast map column — the J1 label join without shuffling path rows.
+    """
+    if labels is None:
+        label_map = F.create_map().cast("map<string,string>")
+        df = classified.withColumn("m", label_map)
+    else:
+        lm = F.broadcast(
+            labels.groupBy().agg(
+                F.map_from_entries(F.collect_list(F.struct("node", "label_text"))).alias("m")
+            )
+        )
+        df = classified.crossJoin(lm)
+
+    def code(c):
+        return F.struct(c.alias("code"), F.col("m")[c].alias("label"))
+
+    def extras_from(start_idx: int):
+        return F.map_from_entries(
+            F.transform(
+                F.slice("mid", start_idx, F.greatest(F.size("mid") - (start_idx - 1), F.lit(0))),
+                lambda x, i: F.struct(
+                    F.concat(F.lit("extra_col_"), i.cast("string")).alias("k"),
+                    code(x).alias("v"),
+                ),
+            )
+        )
+
+    col_struct = F.struct(
+        code(F.element_at("mid", 1)).alias("schedule"),
+        code(F.element_at("mid", 2)).alias("colset"),
+        code(F.element_at("mid", 3)).alias("column"),
+        extras_from(4).alias("extras"),
+    )
+    line_struct = F.struct(
+        code(F.element_at("mid", 1)).alias("schedule"),
+        extras_from(2).alias("extras"),
+    )
+    # any_value(ignoreNulls): one struct survives per (concept, schedule,
+    # kind) — the reference's dict assignment likewise keeps a single
+    # (last-written) value (:216-231); max() can't order MAP-bearing structs.
+    return df.groupBy("concept", "schedule").agg(
+        F.any_value(F.when(F.col("kind") == "column", col_struct), True).alias("column_ids"),
+        F.any_value(F.when(F.col("kind") == "line", line_struct), True).alias("line_ids"),
+    )
+
+
+def taxonomy_json(assembled: DataFrame) -> DataFrame:
+    """Single-document nested export (reference :258-262): one JSON record
+    per concept with schedule map — written via `to_json(struct(...))`."""
+    per_concept = assembled.groupBy("concept").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("schedule", F.struct("column_ids", "line_ids")))
+        ).alias("schedules")
+    )
+    return per_concept.select(
+        "concept", F.to_json(F.struct("concept", "schedules")).alias("json")
+    )

@@ -1,0 +1,156 @@
+"""Taxonomy/hierarchy pipeline (SURVEY.md §3.3) + driver-contract demos.
+
+The demo hierarchy is synthesized deterministically from the driver star
+schema as a 4–5 level DAG shaped like the CDR presentation linkbase:
+
+    root
+     └─ sch-region_<r>                (schedule level; code after last '-')
+         ├─ line_nation_<n>           (line grouping)
+         │   └─ cc_cust_<c>           (leaf concepts, cc_ prefix as in XBRL)
+         └─ colset_<n>                (column-set level)
+             └─ column_col_<c>        (column level)
+                 └─ cc_cust_<c>       (VIP customers only: second path!)
+
+VIP customers (custkey % 10 == 0) therefore reach the root via TWO simple
+paths — the multi-path correctness case the reference's golden file
+exhibits (a concept on ≥2 placements).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.operators import graph as G
+
+ROOT = "root"
+
+
+def demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child→parent edge list of the demo taxonomy DAG."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    cust_line = c.select(
+        F.concat(F.lit("cc_cust_"), "c_custkey").alias("src"),
+        F.concat(F.lit("line_nation_"), "c_nationkey").alias("dst"),
+    )
+    line_sch = n.select(
+        F.concat(F.lit("line_nation_"), "n_nationkey").alias("src"),
+        F.concat(F.lit("sch-region_"), "n_regionkey").alias("dst"),
+    )
+    sch_root = r.select(
+        F.concat(F.lit("sch-region_"), "r_regionkey").alias("src"),
+        F.lit(ROOT).alias("dst"),
+    )
+    vip = c.where(F.col("c_custkey") % 10 == 0)
+    vip_col = vip.select(
+        F.concat(F.lit("cc_cust_"), "c_custkey").alias("src"),
+        F.concat(F.lit("column_col_"), "c_custkey").alias("dst"),
+    )
+    col_colset = vip.select(
+        F.concat(F.lit("column_col_"), "c_custkey").alias("src"),
+        F.concat(F.lit("colset_"), "c_nationkey").alias("dst"),
+    )
+    colset_sch = n.select(
+        F.concat(F.lit("colset_"), "n_nationkey").alias("src"),
+        F.concat(F.lit("sch-region_"), "n_regionkey").alias("dst"),
+    )
+    out = cust_line
+    for part in (line_sch, sch_root, vip_col, col_colset, colset_sch):
+        out = out.unionByName(part)
+    return out.distinct()
+
+
+# Recursive-CTE oracle over the same edge construction. Paths rendered as
+# '>'-joined strings in leaf→root order.
+_EDGES_SQL = """
+  SELECT 'cc_cust_' || c_custkey AS src, 'line_nation_' || c_nationkey AS dst FROM customer
+  UNION
+  SELECT 'line_nation_' || n_nationkey, 'sch-region_' || n_regionkey FROM nation
+  UNION
+  SELECT 'sch-region_' || r_regionkey, 'root' FROM region
+  UNION
+  SELECT 'cc_cust_' || c_custkey, 'column_col_' || c_custkey FROM customer WHERE c_custkey % 10 = 0
+  UNION
+  SELECT 'column_col_' || c_custkey, 'colset_' || c_nationkey FROM customer WHERE c_custkey % 10 = 0
+  UNION
+  SELECT 'colset_' || n_nationkey, 'sch-region_' || n_regionkey FROM nation
+"""
+
+_PATHS_CTE = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+lvs AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE src NOT IN (SELECT dst FROM edges)
+),
+walk(concept, node, path, depth) AS (
+  SELECT node, node, node, 1 FROM lvs WHERE node LIKE 'cc_%' OR node LIKE 'uc_%'
+  UNION ALL
+  SELECT w.concept, e.dst, w.path || '>' || e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+),
+paths AS (SELECT concept, path, depth FROM walk WHERE node = 'root')
+"""
+
+
+def hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1–G3: leaf discovery (anti-join) + iterative path expansion.
+    One row per (concept, distinct path to root)."""
+    edges = demo_edges(spark, sf_dir)
+    lv = G.leaves(edges).where(
+        F.col("node").startswith("cc_") | F.col("node").startswith("uc_")
+    )
+    paths = G.expand_paths(edges, lv, ROOT)
+    return paths.select(
+        "concept",
+        F.concat_ws(">", "path").alias("path"),
+        F.size("path").alias("depth"),
+    )
+
+
+HIERARCHY_PATHS_SQL = _PATHS_CTE + "SELECT concept, path, CAST(depth AS INT) AS depth FROM paths"
+
+
+def hierarchy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: path classification + positional field extraction (the
+    reference's temp_column/temp_line logic as array expressions)."""
+    edges = demo_edges(spark, sf_dir)
+    lv = G.leaves(edges).where(F.col("node").startswith("cc_"))
+    classified = G.classify_paths(G.expand_paths(edges, lv, ROOT))
+    return classified.select(
+        "concept",
+        "schedule",
+        "kind",
+        F.element_at("mid", 1).alias("schedule_code"),
+        F.when(F.col("kind") == "column", F.element_at("mid", 2)).alias("colset_code"),
+        F.when(F.col("kind") == "column", F.element_at("mid", 3)).alias("column_code"),
+        F.when(F.col("kind") == "column", F.greatest(F.size("mid") - 3, F.lit(0)))
+        .otherwise(F.greatest(F.size("mid") - 1, F.lit(0)))
+        .alias("n_extras"),
+    )
+
+
+HIERARCHY_CLASSIFY_SQL = _PATHS_CTE + """
+, parsed AS (
+  SELECT concept,
+    string_split(path, '>') AS nodes
+  FROM paths
+)
+SELECT concept,
+  string_split(nodes[-2], '-')[-1] AS schedule,
+  CASE WHEN EXISTS (SELECT 1 FROM unnest(nodes) AS t(x) WHERE x LIKE '%column%') THEN 'column'
+       WHEN EXISTS (SELECT 1 FROM unnest(nodes) AS t(x) WHERE x LIKE '%line%') THEN 'line'
+       ELSE 'other' END AS kind,
+  list_reverse(nodes[2:-2])[1] AS schedule_code,
+  CASE WHEN EXISTS (SELECT 1 FROM unnest(nodes) AS t(x) WHERE x LIKE '%column%')
+       THEN list_reverse(nodes[2:-2])[2] END AS colset_code,
+  CASE WHEN EXISTS (SELECT 1 FROM unnest(nodes) AS t(x) WHERE x LIKE '%column%')
+       THEN list_reverse(nodes[2:-2])[3] END AS column_code,
+  CASE WHEN EXISTS (SELECT 1 FROM unnest(nodes) AS t(x) WHERE x LIKE '%column%')
+       THEN CAST(greatest(len(nodes) - 2 - 3, 0) AS INT)
+       ELSE CAST(greatest(len(nodes) - 2 - 1, 0) AS INT) END AS n_extras
+FROM parsed
+"""

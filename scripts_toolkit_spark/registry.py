@@ -41,3 +41,9 @@ register("customers_without_orders", jd.customers_without_orders, jd.CUSTOMERS_W
 register("value_band_join", jd.value_band_join, jd.VALUE_BAND_JOIN_SQL)
 register("purchase_asof_click", jd.purchase_asof_click, jd.PURCHASE_ASOF_CLICK_SQL)
 register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOIN_SQL)
+
+# ---- hierarchy/graph: leaf discovery, path expansion, classification (§2.8) -
+from scripts_toolkit_spark.plans import taxonomy as tx
+
+register("hierarchy_paths", tx.hierarchy_paths, tx.HIERARCHY_PATHS_SQL)
+register("hierarchy_classify", tx.hierarchy_classify, tx.HIERARCHY_CLASSIFY_SQL)

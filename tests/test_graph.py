@@ -1,0 +1,94 @@
+"""Graph operator tests on a fixture DAG shaped like the CDR linkbase
+(multi-parent concept, column vs line branches, labels)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.operators import graph as G
+
+# child → parent (reference arc direction, cdr_taxonomy_processor.py:147)
+EDGES = [
+    # line placement of cc_RCON2170 on schedule RC
+    ("cc_RCON2170", "line_12"),
+    ("line_12", "sch-RC"),
+    ("sch-RC", "root"),
+    # column placement of the SAME concept on schedule RCB (multi-path!)
+    ("cc_RCON2170", "column_A"),
+    ("column_A", "colset_1"),
+    ("colset_1", "sch-RCB"),
+    ("sch-RCB", "root"),
+    # a second concept, line-kind with an extra level
+    ("cc_UBPR9999", "line_77"),
+    ("line_77", "group_x"),
+    ("group_x", "sch-RC"),
+]
+
+LABELS = [
+    ("sch-RC", "Balance Sheet"),
+    ("sch-RCB", "Securities"),
+    ("column_A", "Column A"),
+    ("colset_1", "Column Set 1"),
+    ("line_12", "Line 12"),
+]
+
+
+def _edges(spark):
+    return spark.createDataFrame(EDGES, "src string, dst string")
+
+
+def test_roots_and_leaves(spark):
+    e = _edges(spark)
+    assert [r["node"] for r in G.roots(e).collect()] == ["root"]
+    lv = {r["node"] for r in G.leaves(e).collect()}
+    assert lv == {"cc_RCON2170", "cc_UBPR9999"}
+
+
+def test_expand_paths_multiplicity(spark):
+    e = _edges(spark)
+    lv = G.leaves(e)
+    paths = G.expand_paths(e, lv, "root").collect()
+    by_concept = {}
+    for r in paths:
+        by_concept.setdefault(r["concept"], []).append(r["path"])
+    # multi-parent concept yields one path per placement
+    assert len(by_concept["cc_RCON2170"]) == 2
+    assert len(by_concept["cc_UBPR9999"]) == 1
+    assert ["cc_UBPR9999", "line_77", "group_x", "sch-RC", "root"] in by_concept["cc_UBPR9999"]
+
+
+def test_classify_and_assemble(spark):
+    e = _edges(spark)
+    lv = G.leaves(e)
+    classified = G.classify_paths(G.expand_paths(e, lv, "root"))
+    rows = {(r["concept"], r["schedule"], r["kind"]): r for r in classified.collect()}
+
+    col = rows[("cc_RCON2170", "RCB", "column")]
+    assert col["mid"] == ["sch-RCB", "colset_1", "column_A"]
+    line = rows[("cc_RCON2170", "RC", "line")]
+    assert line["mid"] == ["sch-RC", "line_12"]
+
+    labels = spark.createDataFrame(LABELS, "node string, label_text string")
+    assembled = G.assemble_taxonomy(classified, labels)
+    a = {(r["concept"], r["schedule"]): r for r in assembled.collect()}
+
+    rcb = a[("cc_RCON2170", "RCB")]
+    assert rcb["column_ids"]["schedule"]["code"] == "sch-RCB"
+    assert rcb["column_ids"]["schedule"]["label"] == "Securities"
+    assert rcb["column_ids"]["colset"]["code"] == "colset_1"
+    assert rcb["column_ids"]["column"]["label"] == "Column A"
+    assert rcb["line_ids"] is None
+
+    rc = a[("cc_RCON2170", "RC")]
+    assert rc["line_ids"]["schedule"]["label"] == "Balance Sheet"
+    assert rc["line_ids"]["extras"]["extra_col_0"]["code"] == "line_12"
+    assert rc["column_ids"] is None
+
+    # extra level on the deep line path
+    deep = a[("cc_UBPR9999", "RC")]
+    assert deep["line_ids"]["extras"]["extra_col_0"]["code"] == "group_x"
+    assert deep["line_ids"]["extras"]["extra_col_1"]["code"] == "line_77"
+
+    # JSON export carries the nesting
+    js = {r["concept"]: r["json"] for r in G.taxonomy_json(assembled).collect()}
+    assert "Balance Sheet" in js["cc_RCON2170"] and "Securities" in js["cc_RCON2170"]

@@ -47,3 +47,11 @@ from scripts_toolkit_spark.plans import taxonomy as tx
 
 register("hierarchy_paths", tx.hierarchy_paths, tx.HIERARCHY_PATHS_SQL)
 register("hierarchy_classify", tx.hierarchy_classify, tx.HIERARCHY_CLASSIFY_SQL)
+
+# ---- ordered/stateful + windows (§2.9 T1-T4, §2.10) ------------------------
+from scripts_toolkit_spark.plans import stateful_demos as sd
+
+register("fill_forward_signup_value", sd.fill_forward_signup_value, sd.FILL_FORWARD_SIGNUP_VALUE_SQL)
+register("user_sessions", sd.user_sessions, sd.USER_SESSIONS_SQL)
+register("tumbling_event_counts", sd.tumbling_event_counts, sd.TUMBLING_EVENT_COUNTS_SQL)
+register("session_window_stats", sd.session_window_stats, sd.SESSION_WINDOW_STATS_SQL)

@@ -1,0 +1,185 @@
+"""Deduplication operators for training-data pipelines
+(SURVEY.md §2.12 [extension], north star: BASELINE.json).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup, all built from
+engine-portable md5-derived hashes (cross-engine deterministic — the DuckDB
+oracle recomputes identical signatures) and shuffle-frugal plans:
+
+- exact: hash-groupBy on the full text (or a digest at scale);
+- MinHash+LSH: signatures are per-row array expressions (no shuffle);
+  banding explodes to (band, key) and ONE groupBy-join finds candidates —
+  the classic shingle→minhash→band→bucket-join pipeline. Candidate pairs
+  are then verified with exact Jaccard over distinct shingles;
+- SimHash: 16-bit sign-of-sums fingerprint, Hamming-ball pairing via
+  bit_count(xor);
+- at 100 TB the only all-to-all operation is the bucket join on band keys,
+  whose fan-in is controlled by (bands, rows-per-band) — the standard
+  s-curve tuning knobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- exact ----
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """D1/exact: one survivor per distinct key set (first by a stable
+    tiebreak id is the scalable form of pandas drop_duplicates)."""
+    return df.dropDuplicates(cols)
+
+
+def duplicate_groups(df: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Exact-dup group report: key → group size + member ids (hash-groupBy;
+    at scale `key` is md5(text) so the shuffle moves 16-byte digests, not
+    documents)."""
+    return (
+        df.groupBy(key.alias("dup_key"))
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.array_sort(F.collect_list(id_col)).alias("members"),
+        )
+        .where(F.col("group_size") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingles ----
+def word_shingles(c: Column | str, k: int = 3) -> Column:
+    """k-word shingles as an array column. Empty-safe: Spark's
+    sequence(1, 0) counts DOWN ([1, 0]), so docs shorter than k words must
+    short-circuit to an empty array explicitly."""
+    w = F.split(c if isinstance(c, Column) else F.col(c), " ")
+    n = F.size(w)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.get(w, i + j - 1) for j in range(k)]),
+    )
+    return F.when(n >= k, shingles).otherwise(F.array().cast("array<string>"))
+
+
+# -------------------------------------------------------------- minhash ----
+def minhash_signature(shingles: Column, perms: int = 16) -> Column:
+    """MinHash signature: per permutation p, min over shingles of
+    md5(p || '|' || shingle). Lexicographic min over fixed-width hex ==
+    numeric min; md5 makes the signature engine-portable."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{p}|"), s)))
+            )
+            for p in range(perms)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
+    """Band keys: md5 over each contiguous `rows`-slice of the signature."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("#", F.slice(signature, b * rows + 1, rows))).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    perms: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band → bucket self-join →
+    exact-Jaccard verification. Returns (id_a, id_b, jaccard) with
+    id_a < id_b and jaccard >= threshold."""
+    rows = perms // bands
+    sig = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        word_shingles(text_col, k).alias("shingles"),
+    ).withColumn("bands", lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows))
+
+    banded = sig.select(id_col, F.explode("bands").alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+    sets = sig.select(
+        F.col(id_col), F.array_distinct("shingles").alias("sset")
+    )
+    verified = (
+        cand.join(sets.withColumnsRenamed({id_col: "id_a", "sset": "set_a"}), "id_a")
+        .join(sets.withColumnsRenamed({id_col: "id_b", "sset": "set_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("set_a", "set_b")).cast("double")
+            / F.size(F.array_union("set_a", "set_b")).cast("double"),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# -------------------------------------------------------------- simhash ----
+def simhash16(shingles: Column) -> Column:
+    """16-bit SimHash: per shingle take the first 16 bits of md5, sum ±1 per
+    bit position, fingerprint bit = (sum > 0). Engine-portable via hex conv."""
+    v = lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")  # noqa: E731
+
+    def _bit_sum(j: int):
+        # closure factory: F.aggregate's merge lambda must be exactly 2-ary
+        return F.aggregate(
+            shingles,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc + (F.shiftright(v(s), j) % 2) * 2 - 1,
+        )
+
+    bit_sums = [_bit_sum(j) for j in range(16)]
+    out = F.lit(0).cast("long")
+    for j, bs in enumerate(bit_sums):
+        out = out + F.when(bs > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidates: Hamming distance over 16-bit SimHash ≤ r.
+    Pairing here is a key-range self-join on the fingerprint space; at real
+    scale split the fingerprint into (r+1) sub-keys (pigeonhole) so at least
+    one sub-key matches exactly and the join stays equi-keyed."""
+    fp = docs.select(
+        F.col(id_col), simhash16(word_shingles(text_col)).alias("fingerprint")
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )

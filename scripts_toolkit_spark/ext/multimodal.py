@@ -1,0 +1,75 @@
+"""Multimodal (binary) column plumbing
+(SURVEY.md §2.12 [extension], north star: BASELINE.json).
+
+Media payloads are opaque `binary` columns with typed metadata structs; all
+per-byte work happens in Arrow-batched `mapInPandas` (the pattern the
+reference's format decoders establish, converter.py:96-127 ↔ SURVEY S4/S6).
+
+The image/audio libraries are NOT in this container, so the actual decode
+is stubbed two ways:
+- `decode_media_stub`: raises NotImplementedError (the honest production
+  surface to be backed by PIL/ffmpeg on a real cluster);
+- `fake_decode_features`: a deterministic featureizer (length, md5 digest,
+  first-bytes fingerprint) with the REAL plumbing — schema, Arrow batches,
+  partition-wise iteration — exercised end-to-end and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, media_type string, content binary, "
+    "meta map<string,string>"
+)
+
+FEATURE_SCHEMA = "media_id bigint, n_bytes bigint, digest string, head_byte int"
+
+
+def binary_table_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stand-in media table: utf-8 payload bytes + metadata struct. The
+    production path replaces this with `spark.read.format('binaryFile')`."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.create_map(F.lit("origin"), F.lit("documents")).alias("meta"),
+    )
+
+
+def decode_media_stub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Production decode surface (image resize / audio resample / frame
+    sample). Not available in this container."""
+    raise NotImplementedError(
+        "media decoding requires PIL/ffmpeg; wire them in here on a real cluster"
+    )
+
+
+def fake_decode_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic feature extraction over Arrow batches — the real
+    mapInPandas shape (vectorized per-batch, no per-row Python calls beyond
+    the hash loop)."""
+    import hashlib
+
+    for pdf in pdf_iter:
+        content = pdf["content"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "n_bytes": content.map(len).astype("int64"),
+                "digest": content.map(lambda b: hashlib.md5(b).hexdigest()),
+                "head_byte": content.map(lambda b: b[0] if len(b) else -1).astype("int32"),
+            }
+        )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column."""
+    return media.select("media_id", "content").mapInPandas(
+        fake_decode_features, FEATURE_SCHEMA
+    )

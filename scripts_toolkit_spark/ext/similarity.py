@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns
+(SURVEY.md §2.12 [extension], north star: BASELINE.json).
+
+Two paths:
+- `brute_force_topk`: exact cosine top-k — the correctness baseline,
+  O(N·M·d); fine up to ~10^7 pair-dims.
+- `lsh_topk`: random-hyperplane LSH. Hyperplane matrix derives from md5
+  (deterministic, no stored model); vectors bucket by sign pattern; search
+  only within bucket. The scale path: candidate count drops ~2^bits and the
+  bucket join is an equi-join (shuffle on bucket key, AQE-skew-safe)
+  instead of a cross join.
+
+Determinism contract: the dot product is a SEQUENTIAL LEFT FOLD in float64
+over the element index. `F.aggregate` evaluates sequentially per row, so the
+result is independent of partitioning/shuffle order, and any engine that
+folds left in index order (DuckDB `list_reduce`) reproduces it bit-for-bit.
+(Decimal accumulation was rejected: Spark's double→decimal cast goes
+through the shortest-string representation while DuckDB converts the exact
+binary expansion, so their decimal images of the same double differ.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential float64 fold of sum(a[i]*b[i]); float32→float64 element
+    casts and products are exact, fold order is fixed → deterministic."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Deterministic cosine: sequential dot folds, IEEE sqrt/divide."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (self-pairs excluded), deterministic
+    tiebreak on neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
+def hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random ±1 hyperplane from md5 parity — no RNG,
+    no stored model, identical in any engine."""
+    return F.array(
+        *[
+            F.when(
+                F.conv(F.substring(F.md5(F.lit(f"h{plane_idx}|{i}")), 1, 2), 16, 10)
+                .cast("int") % 2 == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            for i in range(dim)
+        ]
+    )
+
+
+def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
+    """Sign-pattern bucket id over `bits` md5-derived hyperplanes (distinct
+    per `table` for OR-amplification). The ±1 dot is the same deterministic
+    sequential fold, so bucketing is stable across engines/partitionings."""
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        d = _dot(vec, hyperplane(dim, table * 1000 + j))
+        out = out + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    dim: int,
+    k: int = 3,
+    bits: int = 8,
+    tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within sign buckets, with
+    OR-amplification across `tables` independent hash tables (standard LSH
+    recall boost: P[candidate] = 1 − (1 − p^bits)^tables).
+
+    Plan shape: each vector emits `tables` (table, bucket) keys — a single
+    explode + equi-join on (table, bucket), then per-query dedup + window
+    top-k. No cross join anywhere; candidate volume is controlled by
+    (bits, tables)."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket(F.col(vec_col), dim, bits, table=t).alias("bucket"),
+            )
+            for t in range(tables)
+        ]
+    )
+    v = vectors.select(F.col(id_col), F.col(vec_col), F.explode(keys).alias("k")).select(
+        id_col, vec_col, F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket")
+    )
+    a = v.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "tbl", "bucket")
+    b = v.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "tbl", "bucket")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )

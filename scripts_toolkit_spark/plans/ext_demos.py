@@ -1,0 +1,263 @@
+"""Driver-contract demonstrations of the training-data-pipeline extensions
+(dedup / similarity / text analysis / multimodal).
+
+Near-dup demos run over `documents ∪ perturbed copies` (copy doc_id + 10^6,
+one word appended) so true near-duplicates exist deterministically at every
+scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.ext import dedup as DD
+from scripts_toolkit_spark.ext import similarity as SIM
+from scripts_toolkit_spark.ext import text as TX
+from scripts_toolkit_spark.ext.multimodal import binary_table_from_text, extract_features
+from scripts_toolkit_spark.io.catalog import load_table
+
+_DOCS_WITH_DUPS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra' FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dup = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+# ------------------------------------------------------------ exact dedup --
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5-digest groupBy (shuffle carries 16-byte digests,
+    not documents). Duplicate texts constructed by repeating lang+source
+    combos are reported with group size."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(F.md5(F.concat_ws("|", "lang", "source")).alias("k"), "doc_id")
+    return (
+        keyed.groupBy(F.col("k").alias("dup_key"))
+        .agg(F.count(F.lit(1)).alias("group_size"), F.min("doc_id").alias("keep_id"))
+        .where(F.col("group_size") > 1)
+    )
+
+
+EXACT_DUP_GROUPS_SQL = """
+SELECT md5(lang || '|' || source) AS dup_key,
+       COUNT(*) AS group_size,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------- minhash + LSH --
+_PERMS, _BANDS, _ROWS, _K = 8, 4, 2, 3
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """shingle → minhash → band → bucket-join → exact-Jaccard verify."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=_K, perms=_PERMS, bands=_BANDS, jaccard_threshold=0.5
+    )
+
+
+# The oracle recomputes the identical pipeline in SQL: md5-based minhash
+# signatures, banding, bucket join, exact jaccard on distinct shingle sets.
+MINHASH_NEAR_DUPS_SQL = f"""
+WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+),
+shing AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(w) - {_K - 1}, 0) + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+  FROM base
+),
+minhash AS (
+  SELECT doc_id,
+    [list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+     FOR p IN range({_PERMS})] AS sig,
+    shingles
+  FROM shing
+),
+banded AS (
+  SELECT doc_id,
+    b AS band,
+    md5(array_to_string(sig[b * {_ROWS} + 1 : b * {_ROWS} + {_ROWS}], '#')) AS key
+  FROM minhash, UNNEST(range({_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y USING (band, key)
+  WHERE x.doc_id < y.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM minhash)
+SELECT id_a, id_b,
+  CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+    / len(list_distinct(list_concat(sa.sset, sb.sset))) AS jaccard
+FROM cand
+JOIN sets sa ON sa.doc_id = id_a
+JOIN sets sb ON sb.doc_id = id_b
+WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+    / len(list_distinct(list_concat(sa.sset, sb.sset))) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------- simhash --
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (md5-bit sign sums)."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return docs.select(
+        "doc_id", DD.simhash16(DD.word_shingles("text")).alias("fingerprint")
+    )
+
+
+SIMHASH_FINGERPRINTS_SQL = """
+WITH docs AS ({docs}),
+shing AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+),
+vals AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 4)) AS BIGINT) AS v
+  FROM shing, UNNEST(shingles) AS t(s)
+),
+bits AS (
+  SELECT doc_id, j,
+    SUM(((v >> j) & 1) * 2 - 1) AS bit_sum
+  FROM vals, UNNEST(range(16)) AS r(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN bit_sum > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS fingerprint
+FROM bits
+GROUP BY doc_id
+""".format(docs=_DOCS_WITH_DUPS_SQL)
+
+
+# ------------------------------------------------------------- similarity --
+def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 per vector (decimal-exact dot)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(emb, emb, k=3)
+
+
+# Dot products as SEQUENTIAL left folds (list_reduce) — matches Spark's
+# F.aggregate fold order bit-for-bit; no cross-row SUM reordering.
+ANN_TOPK_COSINE_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+    sqrt(list_reduce(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS na,
+    sqrt(list_reduce(list_transform(range(1, 65),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    dot / (na * nb) AS cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-3 (scale path; no SQL oracle — recall
+    vs brute force is asserted in tests instead)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(emb, dim=64, k=3, bits=6)
+
+
+# ----------------------------------------------------------- text analysis -
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, quality score, language-ID, order-sensitive fingerprint
+    — the full text-analysis pass in one projection."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.word_count("text").alias("n_words"),
+        TX.token_count("text").alias("n_tokens"),
+        TX.avg_word_len("text").alias("avg_word_len"),
+        TX.stopword_ratio("text").alias("en_stopword_ratio"),
+        TX.quality_score("text").alias("quality"),
+        TX.predict_lang("text").alias("lang_pred"),
+        TX.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+TEXT_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+stats AS (
+  SELECT doc_id, text, w,
+    len(w) AS n_words,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]')) AS n_tokens,
+    CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(len(w), 1) AS avg_word_len,
+    CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], lower(x)))) AS DOUBLE)
+      / greatest(len(w), 1) AS en_stopword_ratio,
+    CAST(len(list_filter(w, x -> list_contains(['el','la','de','los','y','que'], lower(x)))) AS DOUBLE)
+      / greatest(len(w), 1) AS es_ratio,
+    CAST(len(list_filter(w, x -> list_contains(['le','les','et','des','une'], lower(x)))) AS DOUBLE)
+      / greatest(len(w), 1) AS fr_ratio,
+    CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','nicht'], lower(x)))) AS DOUBLE)
+      / greatest(len(w), 1) AS de_ratio,
+    CAST(len(list_filter(w, x -> list_contains(['的','是','了'], lower(x)))) AS DOUBLE)
+      / greatest(len(w), 1) AS zh_ratio,
+    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS alnum_ratio
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_words AS INT) AS n_words,
+  CAST(n_tokens AS INT) AS n_tokens,
+  avg_word_len,
+  en_stopword_ratio,
+  0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+    + 0.25 * (CASE WHEN avg_word_len >= 3.0 AND avg_word_len <= 10.0 THEN 1.0 ELSE 0.3 END)
+    + 0.2 * least(en_stopword_ratio * 5.0, 1.0)
+    + 0.25 * alnum_ratio AS quality,
+  (SELECT min(l) FROM (VALUES ('de', de_ratio), ('en', en_stopword_ratio), ('es', es_ratio),
+                              ('fr', fr_ratio), ('zh', zh_ratio)) AS langs(l, s)
+   WHERE s = greatest(de_ratio, en_stopword_ratio, es_ratio, fr_ratio, zh_ratio)) AS lang_pred,
+  CAST(list_aggregate(
+    list_transform(range(1, len(w) + 1),
+      i -> CAST(('0x' || substr(md5(w[i] || '@' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)),
+    'sum') % 2147483647 AS BIGINT) AS fingerprint
+FROM stats
+"""
+
+
+# -------------------------------------------------------------- multimodal -
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→bytes media table, Arrow-batched
+    mapInPandas feature extraction (Python data plane, oracle-checked)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = binary_table_from_text(d, "doc_id", "text")
+    return extract_features(media)
+
+
+MEDIA_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+  CAST(length(text) AS BIGINT) AS n_bytes,
+  md5(text) AS digest,
+  ascii(substr(text, 1, 1)) AS head_byte
+FROM documents
+"""

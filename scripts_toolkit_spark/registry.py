@@ -55,3 +55,15 @@ register("fill_forward_signup_value", sd.fill_forward_signup_value, sd.FILL_FORW
 register("user_sessions", sd.user_sessions, sd.USER_SESSIONS_SQL)
 register("tumbling_event_counts", sd.tumbling_event_counts, sd.TUMBLING_EVENT_COUNTS_SQL)
 register("session_window_stats", sd.session_window_stats, sd.SESSION_WINDOW_STATS_SQL)
+
+# ---- training-data-pipeline extensions (§2.12): dedup, similarity, text,
+# multimodal ------------------------------------------------------------------
+from scripts_toolkit_spark.plans import ext_demos as xd
+
+register("exact_dup_groups", xd.exact_dup_groups, xd.EXACT_DUP_GROUPS_SQL)
+register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
+register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
+register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
+register("ann_topk_lsh", xd.ann_topk_lsh)  # approximate: rows-only check; recall tested
+register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
+register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)

@@ -1,0 +1,85 @@
+"""Extension-operator tests: near-dup recall, LSH recall vs brute force,
+multimodal plumbing, text metrics sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.ext import dedup as DD
+from scripts_toolkit_spark.ext import text as TX
+from scripts_toolkit_spark.ext.multimodal import binary_table_from_text, extract_features
+from scripts_toolkit_spark.ext.similarity import brute_force_topk, lsh_topk
+from scripts_toolkit_spark.io.catalog import load_table
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.limit(20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    pairs = DD.minhash_lsh_pairs(
+        docs.unionByName(planted), jaccard_threshold=0.5, perms=8, bands=4
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted_ids = {r["doc_id"] for r in planted.collect()}
+    # most planted pairs must be found (LSH with 4 bands of 2 rows has high
+    # recall at jaccard ≈ 0.9)
+    hits = sum(1 for (a, b) in found if b - 1000000 == a and b in planted_ids)
+    assert hits >= 15, f"only {hits} of 20 planted near-dups found"
+
+
+def test_simhash_close_for_near_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # 1 word changed
+        (3, "one two three four five six seven eight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in DD.simhash_pairs(df, max_hamming=16).collect()}
+    assert pairs[(1, 2)] <= 6  # near-dups land close in hamming space
+    assert pairs.get((1, 3), 17) >= pairs[(1, 2)]
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=3)
+    approx = lsh_topk(emb, dim=64, k=3, bits=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"LSH recall {recall:.2f} too low even for 4 bits"
+
+
+def test_multimodal_features_roundtrip(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(10)
+    feats = {r["media_id"]: r for r in extract_features(binary_table_from_text(d, "doc_id", "text")).collect()}
+    import hashlib
+
+    for row in d.collect():
+        f = feats[row["doc_id"]]
+        assert f["n_bytes"] == len(row["text"].encode())
+        assert f["digest"] == hashlib.md5(row["text"].encode()).hexdigest()
+        assert f["head_byte"] == row["text"].encode()[0]
+
+
+def test_text_metrics_sanity(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    r = df.select(
+        TX.word_count("text").alias("w"),
+        TX.stopword_ratio("text").alias("sw"),
+        TX.predict_lang("text").alias("lang"),
+        TX.doc_fingerprint("text").alias("fp1"),
+    ).collect()[0]
+    assert r["w"] == 9
+    assert abs(r["sw"] - 2 / 9) < 1e-12
+    assert r["lang"] == "en"
+
+    # fingerprint is order-sensitive
+    df2 = spark.createDataFrame(
+        [(1, "quick the brown fox jumps over the lazy dog")], "doc_id long, text string"
+    )
+    fp2 = df2.select(TX.doc_fingerprint("text").alias("fp")).collect()[0]["fp"]
+    assert fp2 != r["fp1"]

@@ -19,13 +19,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the queries whose shapes dominate real workloads — scan-agg,
-# fact⋈fact + broadcast dims, top-k, semi-join.
+# Headline set: one representative per operator family — scan-agg, star
+# joins, top-k, semi-join, reshape (melt), ordered/stateful (as-of,
+# sessions), hierarchy traversal, near-dup (minhash), text analysis,
+# multimodal mapInPandas.
 HEADLINE = (
     "pricing_summary",
     "revenue_by_nation",
     "top_unshipped_orders",
     "order_priority_counts",
+    "melt_wide_to_eav",
+    "purchase_asof_click",
+    "user_sessions",
+    "hierarchy_paths",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+    "text_stats",
+    "media_features",
 )
 
 
@@ -46,7 +56,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.time()
-        qs[name](spark, SF_DIR).collect()
+        # noop sink: executes the full plan distributed without billing
+        # driver-side row transfer to the query
+        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

@@ -98,11 +98,23 @@ def minhash_lsh_pairs(
     exact-Jaccard verification. Returns (id_a, id_b, jaccard) with
     id_a < id_b and jaccard >= threshold."""
     rows = perms // bands
-    sig = docs.select(
-        F.col(id_col),
-        F.col(text_col),
-        word_shingles(text_col, k).alias("shingles"),
-    ).withColumn("bands", lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows))
+    # Materialization boundary: the signature expression tree is referenced
+    # once per band slice AND once per self-join leg — left lazy, Catalyst
+    # inlines it ~(bands × 2)× and the md5 work multiplies (measured 10×
+    # wall-clock at sf0.1). Repartition spreads the signature computation
+    # across cores (single-file inputs arrive as one partition);
+    # localCheckpoint materializes it exactly once and cuts lineage.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    sig = (
+        docs.repartition(parallelism)
+        .select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
+        .select(
+            F.col(id_col),
+            F.array_distinct("shingles").alias("sset"),
+            lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
+        )
+        .localCheckpoint()
+    )
 
     banded = sig.select(id_col, F.explode("bands").alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
@@ -118,9 +130,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sets = sig.select(
-        F.col(id_col), F.array_distinct("shingles").alias("sset")
-    )
+    sets = sig.select(F.col(id_col), "sset")
     verified = (
         cand.join(sets.withColumnsRenamed({id_col: "id_a", "sset": "set_a"}), "id_a")
         .join(sets.withColumnsRenamed({id_col: "id_b", "sset": "set_b"}), "id_b")
@@ -138,22 +148,33 @@ def minhash_lsh_pairs(
 # -------------------------------------------------------------- simhash ----
 def simhash16(shingles: Column) -> Column:
     """16-bit SimHash: per shingle take the first 16 bits of md5, sum ±1 per
-    bit position, fingerprint bit = (sum > 0). Engine-portable via hex conv."""
-    v = lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long")  # noqa: E731
+    bit position, fingerprint bit = (sum > 0). Engine-portable via hex conv.
 
-    def _bit_sum(j: int):
-        # closure factory: F.aggregate's merge lambda must be exactly 2-ary
-        return F.aggregate(
-            shingles,
-            F.lit(0).cast("long"),
-            lambda acc, s: acc + (F.shiftright(v(s), j) % 2) * 2 - 1,
-        )
-
-    bit_sums = [_bit_sum(j) for j in range(16)]
-    out = F.lit(0).cast("long")
-    for j, bs in enumerate(bit_sums):
-        out = out + F.when(bs > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    Single-pass shape: one md5 per shingle (values array), ONE fold carrying
+    a 16-long accumulator array. Sixteen separate per-bit folds would
+    re-inline the shingle/md5 expression tree 16× (Catalyst copies
+    subexpression trees per reference — measured 50s → 2s at sf0.1)."""
+    vals = F.transform(shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long"))
+    zeros = F.array_repeat(F.lit(0).cast("long"), 16)
+    bit_sums = F.aggregate(
+        vals,
+        zeros,
+        # shiftright needs a literal count, but j is the lambda index —
+        # floor(x / 2^j) % 2 is exact for x < 2^16 in double math
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda a, j: a
+            + (F.floor(x / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2) * 2
+            - 1,
+        ),
+    )
+    # fingerprint = Σ (bit_sum[j] > 0) << j — built as a base-2 string so the
+    # shift amount can be the lambda index (shiftleft needs a literal)
+    bits_msb_first = F.transform(
+        F.reverse(bit_sums), lambda a: F.when(a > 0, F.lit("1")).otherwise(F.lit("0"))
+    )
+    return F.conv(F.array_join(bits_msb_first, ""), 2, 10).cast("long")
 
 
 def simhash_pairs(

@@ -58,7 +58,10 @@ HAVING COUNT(*) > 1
 
 
 # ---------------------------------------------------------- minhash + LSH --
-_PERMS, _BANDS, _ROWS, _K = 8, 4, 2, 3
+# s-curve tuning: 4 rows/band ⇒ random pairs (j≈0.05) collide with
+# p ≈ 4·j⁴ ≈ 2e-5 (vs ~1% at 2 rows/band, which exploded the verify stage
+# ~1000×); planted near-dups (j≈0.95) still collide with p ≈ 0.999.
+_PERMS, _BANDS, _ROWS, _K = 16, 4, 4, 3
 
 
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,8 +117,12 @@ WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
 
 # ---------------------------------------------------------------- simhash --
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint per document (md5-bit sign sums)."""
-    docs = _docs_with_dups(spark, sf_dir)
+    """16-bit SimHash fingerprint per document (md5-bit sign sums).
+    Repartitioned first: single-file parquet arrives as one partition and
+    this projection is CPU-bound — spread it across cores."""
+    docs = _docs_with_dups(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id", DD.simhash16(DD.word_shingles("text")).alias("fingerprint")
     )
@@ -188,8 +195,11 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- text analysis -
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, language-ID, order-sensitive fingerprint
-    — the full text-analysis pass in one projection."""
-    d = load_table(spark, sf_dir, "documents")
+    — the full text-analysis pass in one projection (repartitioned:
+    CPU-bound projection over a single-file input)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select(
         "doc_id",
         TX.word_count("text").alias("n_words"),

@@ -67,3 +67,15 @@ register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
 register("ann_topk_lsh", xd.ann_topk_lsh)  # approximate: rows-only check; recall tested
 register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
 register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
+
+# ---- rollup/cube, window functions, set ops, validity windows, SMJ
+# (§2.4 A7, §2.10, §2.6 D4-D5, §2.7 J7) --------------------------------------
+from scripts_toolkit_spark.plans import window_demos as wd
+
+register("rollup_revenue", wd.rollup_revenue, wd.ROLLUP_REVENUE_SQL)
+register("cube_lineitem_stats", wd.cube_lineitem_stats, wd.CUBE_LINEITEM_STATS_SQL)
+register("customer_order_ranks", wd.customer_order_ranks, wd.CUSTOMER_ORDER_RANKS_SQL)
+register("running_revenue_frame", wd.running_revenue_frame, wd.RUNNING_REVENUE_FRAME_SQL)
+register("segment_set_ops", wd.segment_set_ops, wd.SEGMENT_SET_OPS_SQL)
+register("validity_window_lookup", wd.validity_window_lookup, wd.VALIDITY_WINDOW_LOOKUP_SQL)
+register("supplier_part_volumes", wd.supplier_part_volumes, wd.SUPPLIER_PART_VOLUMES_SQL)

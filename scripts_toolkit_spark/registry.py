@@ -79,3 +79,14 @@ register("running_revenue_frame", wd.running_revenue_frame, wd.RUNNING_REVENUE_F
 register("segment_set_ops", wd.segment_set_ops, wd.SEGMENT_SET_OPS_SQL)
 register("validity_window_lookup", wd.validity_window_lookup, wd.VALIDITY_WINDOW_LOOKUP_SQL)
 register("supplier_part_volumes", wd.supplier_part_volumes, wd.SUPPLIER_PART_VOLUMES_SQL)
+
+# ---- correlated/distinct shapes, sampling, grouped-map applyInPandas -------
+from scripts_toolkit_spark.plans import analytics2 as a2
+
+register("order_count_distribution", a2.order_count_distribution, a2.ORDER_COUNT_DISTRIBUTION_SQL)
+register("brand_supplier_counts", a2.brand_supplier_counts, a2.BRAND_SUPPLIER_COUNTS_SQL)
+register("rich_inactive_customers", a2.rich_inactive_customers, a2.RICH_INACTIVE_CUSTOMERS_SQL)
+register("top_value_nations", a2.top_value_nations, a2.TOP_VALUE_NATIONS_SQL)
+register("hash_sample_documents", a2.hash_sample_documents, a2.HASH_SAMPLE_DOCUMENTS_SQL)
+register("stratified_sample_by_lang", a2.stratified_sample_by_lang, a2.STRATIFIED_SAMPLE_BY_LANG_SQL)
+register("zscore_by_event_type", a2.zscore_by_event_type, a2.ZSCORE_BY_EVENT_TYPE_SQL)

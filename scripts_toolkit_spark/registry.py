@@ -90,3 +90,11 @@ register("top_value_nations", a2.top_value_nations, a2.TOP_VALUE_NATIONS_SQL)
 register("hash_sample_documents", a2.hash_sample_documents, a2.HASH_SAMPLE_DOCUMENTS_SQL)
 register("stratified_sample_by_lang", a2.stratified_sample_by_lang, a2.STRATIFIED_SAMPLE_BY_LANG_SQL)
 register("zscore_by_event_type", a2.zscore_by_event_type, a2.ZSCORE_BY_EVENT_TYPE_SQL)
+
+# ---- embedding near-dup, char-ngram jaccard, percentiles, grouping sets ----
+from scripts_toolkit_spark.plans import ext_demos2 as x2
+
+register("embedding_near_dup_pairs", x2.embedding_near_dup_pairs, x2.EMBEDDING_NEAR_DUP_PAIRS_SQL)
+register("char_ngram_jaccard", x2.char_ngram_jaccard, x2.CHAR_NGRAM_JACCARD_SQL)
+register("value_percentiles", x2.value_percentiles, x2.VALUE_PERCENTILES_SQL)
+register("grouping_sets_revenue", x2.grouping_sets_revenue, x2.GROUPING_SETS_REVENUE_SQL)

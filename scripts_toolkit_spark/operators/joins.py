@@ -85,6 +85,29 @@ def validity_window_join(
     return facts.alias("f").join(F.broadcast(dim).alias("d"), cond, "left")
 
 
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side's key into
+    `salt_buckets` sub-keys and replicate the (small-ish but
+    non-broadcastable) dim side across all salts. A hot key's rows spread
+    over `salt_buckets` reducers instead of one. AQE's skew-join splitting
+    handles sort-merge skew automatically; explicit salting remains the tool
+    when the skewed side feeds a subsequent aggregation on the same key.
+    """
+    f = facts.withColumn(
+        "__salt", (F.hash(F.col(key), F.monotonically_increasing_id()) % salt_buckets + salt_buckets) % salt_buckets
+    )
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    d = dim.select("*", salts)
+    out = f.join(d, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

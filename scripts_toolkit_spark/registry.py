@@ -98,3 +98,9 @@ register("embedding_near_dup_pairs", x2.embedding_near_dup_pairs, x2.EMBEDDING_N
 register("char_ngram_jaccard", x2.char_ngram_jaccard, x2.CHAR_NGRAM_JACCARD_SQL)
 register("value_percentiles", x2.value_percentiles, x2.VALUE_PERCENTILES_SQL)
 register("grouping_sets_revenue", x2.grouping_sets_revenue, x2.GROUPING_SETS_REVENUE_SQL)
+
+# ---- F9 date parsing + sentinel semantics ----------------------------------
+from scripts_toolkit_spark.plans import date_demos as dd2
+
+register("mdrm_date_roundtrip", dd2.mdrm_date_roundtrip, dd2.MDRM_DATE_ROUNDTRIP_SQL)
+register("quarter_extract_checks", dd2.quarter_extract_checks, dd2.QUARTER_EXTRACT_CHECKS_SQL)

@@ -1,0 +1,77 @@
+"""Storage-layout tests: quarter-partitioned EAV store prunes partitions;
+bucketed tables join without a shuffle; salted join preserves results."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.operators.joins import salted_join
+from scripts_toolkit_spark.operators.reshape import melt_to_eav, write_eav
+
+
+def test_eav_store_partition_pruning(spark, sf_dir, tmp_path):
+    o = load_table(spark, sf_dir, "orders").limit(200)
+    wide = o.select(
+        F.col("o_orderkey").alias("rssd"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    parts = []
+    for q in (20240331, 20240630, 20240930):
+        parts.append(melt_to_eav(wide, {"totalprice": "float"}, q))
+    eav = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    path = str(tmp_path / "eav_store")
+    write_eav(eav, path)
+
+    back = spark.read.parquet(path).where(F.col("quarter") == 20240630)
+    assert back.count() == 200
+    # partition pruning: only the selected quarter's directory is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "quarter=20240630" in plan or "PartitionFilters: [isnotnull(quarter" in plan
+    files = back.select(F.input_file_name()).distinct().collect()
+    assert all("quarter=20240630" in r[0] for r in files)
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Pre-bucketed tables on the join key: Spark reads bucket metadata and
+    plans a sort-merge join WITHOUT an Exchange on either side — the
+    co-located-join pattern for repeated fact⋈fact joins at scale."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    spark.sql(f"USE buckdemo")
+    warehouse_cleanup = ("orders_b", "lineitem_b")
+    for t in warehouse_cleanup:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_b")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        "lineitem_b"
+    )
+    joined = spark.table("lineitem_b").join(
+        spark.table("orders_b"), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # no shuffle exchange anywhere in the bucketed join plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert joined.count() == li.count()
+    for t in warehouse_cleanup:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql("USE default")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    plain = (
+        li.join(p, "l_partkey")
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(li, p, "l_partkey", salt_buckets=8)
+        .groupBy("p_brand")
+        .agg(F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n"))
+    )
+    a = {r["p_brand"]: (r["q"], r["n"]) for r in plain.collect()}
+    b = {r["p_brand"]: (r["q"], r["n"]) for r in salted.collect()}
+    assert a == b

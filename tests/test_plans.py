@@ -1,0 +1,41 @@
+"""Plan-quality regression tests: the physical plans the engine promises
+(pushdown, pruning, broadcast) must not silently degrade."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read join keys it doesn't need
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_revenue_by_nation_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    # no cartesian/nested-loop fallback
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "purchase_asof_click")
+    # the sort-based as-of shuffles once on the key; no join-explosion
+    # operators in the plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # union legs coalesce
+
+
+def test_melt_branches_prune_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "melt_wide_to_eav")
+    # each unpivot branch reads only its own columns: the str branch must
+    # not read o_totalprice
+    read_schemas = [seg[:200] for seg in plan.split("ReadSchema: ")[1:]]
+    assert any("o_orderstatus" in rs and "o_totalprice" not in rs for rs in read_schemas)

@@ -88,6 +88,88 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     return out
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its `n_probe` nearest
+    centroids (by the deterministic sequential-fold dot). Centroids are a
+    DataFrame (cell_id, centroid) — tiny, broadcast. Searching with
+    n_probe > 1 is the standard IVF recall knob: a query near a cell
+    boundary still meets its neighbors."""
+    c = F.broadcast(centroids.select("cell_id", F.col("centroid")))
+    scored = vectors.crossJoin(c).select(
+        id_col,
+        vec_col,
+        "cell_id",
+        _dot(F.col(vec_col), F.col("centroid")).alias("aff"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("aff"), F.asc("cell_id"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_probe)
+        .select(id_col, vec_col, "cell_id", (F.col("r") == 1).alias("is_home"))
+    )
+
+
+def deterministic_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Model-free centroid pick: the n_cells vectors with the smallest
+    md5(id) (a deterministic pseudo-random sample). A k-means refinement
+    can replace this without changing the search path."""
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.orderBy(h, F.col(id_col))
+    return (
+        vectors.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= n_cells)
+        .select((F.col("r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus side indexed by home cell, query side
+    probes its n_probe nearest cells; exact cosine within probed cells.
+    The join is equi-keyed on cell_id — no cross join; candidate volume
+    ≈ N²·n_probe/n_cells."""
+    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col)
+    # lineage-cut: centroids come from a window over the corpus; without a
+    # checkpoint the assign step would re-plan that window per join leg
+    cents = cents.localCheckpoint()
+    assigned = ivf_assign(vectors, cents, n_probe, id_col, vec_col).localCheckpoint()
+    corpus = assigned.where(F.col("is_home")).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
+    )
+    queries = assigned.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
+    )
+    scored = (
+        queries.join(corpus, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
 def lsh_topk(
     vectors: DataFrame,
     dim: int,

@@ -192,6 +192,14 @@ def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, dim=64, k=3, bits=6)
 
 
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: deterministic coarse centroids, n_probe=3
+    cells per query, exact cosine within probed cells (no SQL oracle —
+    recall vs brute force asserted in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(emb, n_cells=16, n_probe=3, k=3)
+
+
 # ----------------------------------------------------------- text analysis -
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, language-ID, order-sensitive fingerprint

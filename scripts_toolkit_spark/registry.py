@@ -65,6 +65,7 @@ register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
 register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
 register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
 register("ann_topk_lsh", xd.ann_topk_lsh)  # approximate: rows-only check; recall tested
+register("ann_topk_ivf", xd.ann_topk_ivf)  # approximate: rows-only check; recall tested
 register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
 register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
 

@@ -83,3 +83,16 @@ def test_text_metrics_sanity(spark):
     )
     fp2 = df2.select(TX.doc_fingerprint("text").alias("fp")).collect()[0]["fp"]
     assert fp2 != r["fp1"]
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from scripts_toolkit_spark.ext.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=3)
+    approx = ivf_topk(emb, n_cells=8, n_probe=3, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # near-uniform synthetic vectors: expect well above the ~3/8 chance level
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"

@@ -49,6 +49,7 @@ def expand_paths(
     start_nodes: DataFrame,
     root: str,
     max_depth: int = 32,
+    broadcast_edges: bool = True,
 ) -> DataFrame:
     """G3: all simple paths start→root as an iterative self-join to fixpoint.
 
@@ -68,10 +69,14 @@ def expand_paths(
         F.array("node").alias("path"),
         F.col("node").alias("frontier"),
     )
+    # taxonomy edge tables are KB–MB: broadcasting them means the (growing)
+    # open-path side is NEVER shuffled — each iteration is a map-side join.
+    # Disable for graphs whose edge list rivals the path set.
+    joined_edges = F.broadcast(edges) if broadcast_edges else edges
     done: DataFrame | None = None
     for _ in range(max_depth):
         stepped = (
-            paths.join(edges, paths["frontier"] == edges["src"])
+            paths.join(joined_edges, paths["frontier"] == edges["src"])
             .select(
                 "concept",
                 F.concat("path", F.array("dst")).alias("path"),

@@ -266,7 +266,12 @@ FROM stats
 # -------------------------------------------------------------- multimodal -
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text→bytes media table, Arrow-batched
-    mapInPandas feature extraction (Python data plane, oracle-checked)."""
+    mapInPandas feature extraction (Python data plane, oracle-checked).
+
+    Deliberately NOT repartitioned at this size: the md5/len per-row work is
+    trivial, so a shuffle + 32 Python workers costs more than it saves
+    (measured). Real image/audio decode IS CPU-heavy — there, repartition
+    first (see simhash_fingerprints for the pattern)."""
     d = load_table(spark, sf_dir, "documents")
     media = binary_table_from_text(d, "doc_id", "text")
     return extract_features(media)

@@ -79,3 +79,24 @@ def profile_types(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, str
 
 def _is_floating(df: DataFrame, col: str) -> bool:
     return dict(df.dtypes)[col] in ("float", "double")
+
+
+def column_stats(df: DataFrame, cols: list[str], sum_decimal: str = "decimal(18,2)") -> DataFrame:
+    """One-pass per-column summary statistics (the data-profiling companion
+    to `profile_types`): rows of (column_name, n, n_null, n_distinct, vmin,
+    vmax, vsum). Implemented as unpivot → single grouped aggregate, so the
+    input is scanned ONCE regardless of column count — the shape that holds
+    for a 5,000-column bank matrix.
+
+    `vsum` accumulates in decimal (exact) and is returned as double."""
+    melted = df.unpivot(
+        [], [F.col(c).cast("double").alias(c) for c in cols], "column_name", "value"
+    )
+    return melted.groupBy("column_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null"),
+        F.count_distinct("value").alias("n_distinct"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum(F.col("value").cast(sum_decimal)).cast("double").alias("vsum"),
+    )

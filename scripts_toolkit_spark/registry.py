@@ -105,3 +105,16 @@ from scripts_toolkit_spark.plans import date_demos as dd2
 
 register("mdrm_date_roundtrip", dd2.mdrm_date_roundtrip, dd2.MDRM_DATE_ROUNDTRIP_SQL)
 register("quarter_extract_checks", dd2.quarter_extract_checks, dd2.QUARTER_EXTRACT_CHECKS_SQL)
+
+# ---- correlated TPC-H shapes + one-pass column statistics ------------------
+from scripts_toolkit_spark.plans import analytics3 as a3
+
+register("small_quantity_revenue", a3.small_quantity_revenue, a3.SMALL_QUANTITY_REVENUE_SQL)
+register("top_revenue_suppliers", a3.top_revenue_suppliers, a3.TOP_REVENUE_SUPPLIERS_SQL)
+register(
+    "min_balance_supplier_per_nation",
+    a3.min_balance_supplier_per_nation,
+    a3.MIN_BALANCE_SUPPLIER_PER_NATION_SQL,
+)
+register("bulk_shippers", a3.bulk_shippers, a3.BULK_SHIPPERS_SQL)
+register("lineitem_column_stats", a3.lineitem_column_stats, a3.LINEITEM_COLUMN_STATS_SQL)

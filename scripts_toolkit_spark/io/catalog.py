@@ -40,10 +40,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
     read nanos as long (runtime-settable legacy conf) and surface `ts` as a
-    proper microsecond TIMESTAMP (truncation matches DuckDB's ns→µs)."""
+    proper microsecond TIMESTAMP (truncation matches DuckDB's ns→µs).
+
+    Also pins the session timezone to UTC: `ts` becomes a TIMESTAMP (LTZ)
+    and every downstream date_format / window / session_window boundary is
+    session-tz-dependent — the oracle computes tz-naive, so a non-UTC host
+    session would silently shift every derived date."""
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":
         # integer `div`, not `/`: double division loses precision above 2^53

@@ -1,0 +1,57 @@
+"""Wide-matrix stress demo: the reference's real workload is one row per
+bank × thousands of MDRM columns (sas_xport_converter/README.md:5-9). This
+demo builds a 60-column wide matrix from lineitem and melts it in one pass —
+the oracle SQL is generated programmatically (60 UNION ALL branches), so
+correctness is still hash-gated at width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.operators.reshape import melt_to_eav
+
+QUARTER = 20240630
+_BASE = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_VARIANTS = 15  # 4 × 15 = 60 value columns
+
+
+def _wide60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rssd")]
+    for v in range(_VARIANTS):
+        for b in _BASE:
+            # deterministic variant: value + v, nulled on a sliding modulus
+            cols.append(
+                F.when((F.col("l_orderkey") + v) % 13 != 0, F.col(b) + F.lit(float(v)))
+                .alias(f"{b}_v{v}")
+            )
+    return li.select(*cols)
+
+
+def melt_wide60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-column wide→EAV melt, single unpivot pass, nulls skipped
+    (float-typed plan for every column)."""
+    wide = _wide60(spark, sf_dir)
+    type_map = {f"{b}_v{v}": "float" for v in range(_VARIANTS) for b in _BASE}
+    eav = melt_to_eav(wide, type_map, QUARTER)
+    # surface only stable scalar columns (schema identical to F3 minus unused)
+    return eav.select("rssd", "mdrm", "quarter", "data_type", "float_data")
+
+
+def _oracle() -> str:
+    branches = []
+    for v in range(_VARIANTS):
+        for b in _BASE:
+            branches.append(
+                f"SELECT l_orderkey * 10 + l_linenumber AS rssd, '{b}_v{v}' AS mdrm, "
+                f"{QUARTER} AS quarter, 'float' AS data_type, "
+                f"{b} + {float(v)} AS float_data "
+                f"FROM lineitem WHERE (l_orderkey + {v}) % 13 <> 0"
+            )
+    return "\nUNION ALL\n".join(branches)
+
+
+MELT_WIDE60_SQL = _oracle()

@@ -118,3 +118,8 @@ register(
 )
 register("bulk_shippers", a3.bulk_shippers, a3.BULK_SHIPPERS_SQL)
 register("lineitem_column_stats", a3.lineitem_column_stats, a3.LINEITEM_COLUMN_STATS_SQL)
+
+# ---- wide-matrix stress (60-column melt, programmatic oracle) --------------
+from scripts_toolkit_spark.plans import wide_demos as wdm
+
+register("melt_wide60", wdm.melt_wide60, wdm.MELT_WIDE60_SQL)

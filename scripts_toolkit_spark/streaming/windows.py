@@ -75,6 +75,17 @@ def session_stats(events: DataFrame, ts: str = "ts", gap: str = "1 hour",
     )
 
 
+def streaming_dedup(events: DataFrame, keys: list[str], ts: str = "ts",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: one row per key within the watermark horizon —
+    `dropDuplicates` keeps state per key; the watermark bounds that state
+    (keys older than the horizon are evicted), which is what makes exact
+    dedup feasible on an unbounded stream. Batch twin: plain
+    dropDuplicates."""
+    df = events.withWatermark(ts, watermark) if events.isStreaming else events
+    return df.dropDuplicates([*keys])
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drive a streaming aggregate into an in-memory table with
     availableNow (process-everything-then-stop) — the offline test harness

@@ -48,3 +48,28 @@ def test_session_stream_equals_batch(spark, sf_dir, events_dir):
     cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
     assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
     q.stop()
+
+
+def test_streaming_dedup_equals_batch(spark, sf_dir, events_dir):
+    from scripts_toolkit_spark.streaming.windows import streaming_dedup
+
+    stream = read_events_stream(spark, events_dir, SCHEMA, max_files_per_trigger=2)
+    q = (
+        streaming_dedup(stream, ["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["event_type"]) for r in spark.table("dedup_t").collect()}
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct().collect()
+    }
+    assert got == want
+    # streaming dedup emits exactly one row per key
+    assert spark.table("dedup_t").count() == len(want)
+    q.stop()

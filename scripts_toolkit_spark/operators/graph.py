@@ -50,6 +50,7 @@ def expand_paths(
     root: str,
     max_depth: int = 32,
     broadcast_edges: bool = True,
+    start_partitions: int | None = None,
 ) -> DataFrame:
     """G3: all simple paths start→root as an iterative self-join to fixpoint.
 
@@ -64,6 +65,12 @@ def expand_paths(
     (cdr_taxonomy_processor.py:164-165) become depth-many joins TOTAL,
     not per-leaf. On an acyclic graph every join-generated path is simple.
     """
+    # `start_partitions`: the loop runs depth × (checkpoint + emptiness)
+    # mini-jobs over the open-path set; when that set is thousands of rows,
+    # 32 near-empty tasks per job are pure scheduling overhead (measured
+    # 4×). Coalesce small start sets; leave None for corpus-scale graphs.
+    if start_partitions:
+        start_nodes = start_nodes.coalesce(start_partitions)
     paths = start_nodes.select(
         F.col("node").alias("concept"),
         F.array("node").alias("path"),

@@ -103,7 +103,7 @@ def hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     lv = G.leaves(edges).where(
         F.col("node").startswith("cc_") | F.col("node").startswith("uc_")
     )
-    paths = G.expand_paths(edges, lv, ROOT)
+    paths = G.expand_paths(edges, lv, ROOT, start_partitions=8)
     return paths.select(
         "concept",
         F.concat_ws(">", "path").alias("path"),
@@ -119,7 +119,7 @@ def hierarchy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's temp_column/temp_line logic as array expressions)."""
     edges = demo_edges(spark, sf_dir)
     lv = G.leaves(edges).where(F.col("node").startswith("cc_"))
-    classified = G.classify_paths(G.expand_paths(edges, lv, ROOT))
+    classified = G.classify_paths(G.expand_paths(edges, lv, ROOT, start_partitions=8))
     return classified.select(
         "concept",
         "schedule",

@@ -123,3 +123,10 @@ register("lineitem_column_stats", a3.lineitem_column_stats, a3.LINEITEM_COLUMN_S
 from scripts_toolkit_spark.plans import wide_demos as wdm
 
 register("melt_wide60", wdm.melt_wide60, wdm.MELT_WIDE60_SQL)
+
+# ---- corpus hygiene: canonical dedup, redaction, vocabulary stats ----------
+from scripts_toolkit_spark.plans import corpus_demos as cd
+
+register("canonical_text_dedup", cd.canonical_text_dedup, cd.CANONICAL_TEXT_DEDUP_SQL)
+register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
+register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from scripts_toolkit_spark.io.catalog import load_table
 from scripts_toolkit_spark.operators.spans import fill_forward, sessionize

@@ -130,3 +130,13 @@ from scripts_toolkit_spark.plans import corpus_demos as cd
 register("canonical_text_dedup", cd.canonical_text_dedup, cd.CANONICAL_TEXT_DEDUP_SQL)
 register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
 register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
+
+# ---- remaining classic TPC-H shapes (Q7/Q8/Q9/Q10/Q12/Q19 analogs) ---------
+from scripts_toolkit_spark.plans import analytics4 as a4
+
+register("cross_nation_volume", a4.cross_nation_volume, a4.CROSS_NATION_VOLUME_SQL)
+register("nation_market_share", a4.nation_market_share, a4.NATION_MARKET_SHARE_SQL)
+register("yearly_brand_profit", a4.yearly_brand_profit, a4.YEARLY_BRAND_PROFIT_SQL)
+register("returned_item_report", a4.returned_item_report, a4.RETURNED_ITEM_REPORT_SQL)
+register("linestatus_priority_counts", a4.linestatus_priority_counts, a4.LINESTATUS_PRIORITY_COUNTS_SQL)
+register("disjunctive_promo_revenue", a4.disjunctive_promo_revenue, a4.DISJUNCTIVE_PROMO_REVENUE_SQL)

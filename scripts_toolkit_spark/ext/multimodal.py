@@ -73,3 +73,33 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(
         fake_decode_features, FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = "media_id bigint, frame_no int, frame_bytes binary, frame_digest string"
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> DataFrame:
+    """Frame sampling over opaque media payloads: split each binary payload
+    into fixed-size frames and keep every `stride`-th one — the video
+    frame-sample plumbing (one input row → many frame rows) with a
+    deterministic stand-in for the codec. Real decoders replace the
+    splitter, not the dataflow: the Arrow-batch iteration, explode shape and
+    per-frame schema stay identical."""
+
+    def _frames(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in pdf_iter:
+            rows = {"media_id": [], "frame_no": [], "frame_bytes": [], "frame_digest": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                n_frames = (len(blob) + frame_size - 1) // frame_size
+                for f in range(0, n_frames, stride):
+                    chunk = blob[f * frame_size : (f + 1) * frame_size]
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(f)
+                    rows["frame_bytes"].append(chunk)
+                    rows["frame_digest"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)

@@ -96,3 +96,25 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     recall = len(e & a) / len(e)
     # near-uniform synthetic vectors: expect well above the ~3/8 chance level
     assert recall >= 0.4, f"IVF recall {recall:.2f}"
+
+
+def test_frame_sampling_plumbing(spark, sf_dir):
+    from scripts_toolkit_spark.ext.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    media = binary_table_from_text(d, "doc_id", "text")
+    frames = sample_frames(media, frame_size=50, stride=2).collect()
+    import hashlib
+
+    texts = {r["doc_id"]: r["text"].encode() for r in d.collect()}
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    for mid, blob in texts.items():
+        got = sorted(by_media[mid], key=lambda r: r["frame_no"])
+        n_frames = (len(blob) + 49) // 50
+        assert [g["frame_no"] for g in got] == list(range(0, n_frames, 2))
+        for g in got:
+            chunk = blob[g["frame_no"] * 50 : (g["frame_no"] + 1) * 50]
+            assert bytes(g["frame_bytes"]) == chunk
+            assert g["frame_digest"] == hashlib.md5(chunk).hexdigest()

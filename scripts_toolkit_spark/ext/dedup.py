@@ -183,24 +183,67 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Near-dup candidates: Hamming distance over 16-bit SimHash ≤ r.
-    Pairing here is a key-range self-join on the fingerprint space; at real
-    scale split the fingerprint into (r+1) sub-keys (pigeonhole) so at least
-    one sub-key matches exactly and the join stays equi-keyed."""
-    fp = docs.select(
-        F.col(id_col), simhash16(word_shingles(text_col)).alias("fingerprint")
+    """Near-dup pairs: Hamming distance over 16-bit SimHash ≤ r, paired by
+    PIGEONHOLE equi-join — exact results, no all-pairs plan.
+
+    Split the fingerprint into (r+1) contiguous bit pieces: two fingerprints
+    within Hamming distance r differ in at most r bit positions, so at least
+    one piece matches EXACTLY. Explode each doc to its (piece_idx, piece)
+    sub-keys, self-equi-join on them, dedup pairs that collide on several
+    pieces, then apply the exact Hamming filter. Recall is 1.0 by
+    construction (identical output to the all-pairs theta join), and the
+    plan is a shuffled hash equi-join on (piece_idx, piece) — candidate
+    volume per reducer is bounded by the sub-key bucket sizes, which is what
+    survives 100 TB where a BroadcastNestedLoopJoin over N² pairs cannot.
+    """
+    pieces = max_hamming + 1
+    if pieces > 16:
+        # Hamming ball covers the whole 16-bit space: every pair qualifies
+        # only through the exact filter; a single constant sub-key keeps the
+        # same (degenerate) semantics without a special-cased cross join.
+        pieces = 1
+    base, rem = divmod(16, pieces)
+    widths = [base + (1 if p < rem else 0) for p in range(pieces)]
+    offsets = [sum(widths[:p]) for p in range(pieces)]
+
+    # Materialization boundary: the fingerprint expression tree (shingle +
+    # md5 fold) feeds `pieces` sub-key slices AND both join legs — left
+    # lazy, Catalyst would inline it per reference.
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    fp = (
+        docs.repartition(parallelism)
+        .select(F.col(id_col), simhash16(word_shingles(text_col)).alias("fingerprint"))
+        .localCheckpoint()
     )
-    a, b = fp.alias("a"), fp.alias("b")
+
+    piece_keys = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("piece_idx"),
+                F.shiftright("fingerprint", offsets[p])
+                .bitwiseAND(F.lit((1 << widths[p]) - 1))
+                .alias("piece"),
+            )
+            for p in range(pieces)
+        ]
+    )
+    ex = fp.select(id_col, "fingerprint", F.explode(piece_keys).alias("pc")).select(
+        id_col,
+        "fingerprint",
+        F.col("pc.piece_idx").alias("piece_idx"),
+        F.col("pc.piece").alias("piece"),
+    )
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("fingerprint").alias("fa"), "piece_idx", "piece"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("fingerprint").alias("fb"), "piece_idx", "piece"
+    )
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("a.fingerprint").bitwiseXOR(F.col("b.fingerprint"))),
-        )
+        a.join(b, ["piece_idx", "piece"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
         .where(F.col("hamming") <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("hamming").cast("int").alias("hamming"),
-        )
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )

@@ -123,13 +123,50 @@ def deterministic_centroids(
 ) -> DataFrame:
     """Model-free centroid pick: the n_cells vectors with the smallest
     md5(id) (a deterministic pseudo-random sample). A k-means refinement
-    can replace this without changing the search path."""
+    can replace this without changing the search path.
+
+    Scale shape: a bare `Window.orderBy(h)` would move the whole corpus to
+    ONE partition for a global sort. Instead, pre-filter with a hash-prefix
+    threshold (expected ~8·n_cells survivors — a distributed scan+filter),
+    collect only the survivors' (hash, id) pairs (KB-scale) to rank
+    driver-side, and broadcast-join the picked ids back for their vectors.
+    Because the filter keeps exactly the rows with the globally smallest
+    hash prefixes, the picked set is identical to a global sort's whenever
+    ≥ n_cells rows pass; the deterministic fallback loop widens the
+    threshold (then drops it entirely for tiny inputs) if not. No global
+    sort, no single-partition window, no vector ever leaves an executor
+    except the n_cells winners.
+    """
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.orderBy(h, F.col(id_col))
-    return (
-        vectors.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= n_cells)
-        .select((F.col("r") - 1).alias("cell_id"), F.col(vec_col).alias("centroid"))
+    n = vectors.count()
+    oversample = 8
+    while True:
+        frac = min(1.0, (oversample * n_cells) / max(n, 1))
+        if frac >= 1.0:
+            survivors = vectors
+        else:
+            # hex strings of equal length compare lexicographically ==
+            # numerically; 8 hex chars of the md5 prefix give 32-bit grain
+            bound = format(max(1, int(frac * (1 << 32))), "08x")
+            survivors = vectors.where(F.substring(h, 1, 8) < F.lit(bound))
+        ranked = survivors.select(h.alias("__h"), F.col(id_col).alias("__id")).collect()
+        if frac >= 1.0 or len(ranked) >= n_cells:
+            break
+        oversample *= 4
+    picked = sorted(((r["__h"], r["__id"]) for r in ranked))[: n_cells]
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    mapping = vectors.sparkSession.createDataFrame(
+        [(i, pid) for i, (_hh, pid) in enumerate(picked)],
+        StructType(
+            [
+                StructField("cell_id", IntegerType(), False),
+                StructField(id_col, vectors.schema[id_col].dataType, False),
+            ]
+        ),
+    )
+    return vectors.join(F.broadcast(mapping), id_col).select(
+        "cell_id", F.col(vec_col).alias("centroid")
     )
 
 

@@ -128,8 +128,8 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_FINGERPRINTS_SQL = """
-WITH docs AS ({docs}),
+# Shared fingerprint CTE chain (docs → shingles → per-bit sums → 16-bit fp)
+_SIMHASH_FP_CTES = """docs AS ({docs}),
 shing AS (
   SELECT doc_id,
     list_transform(range(1, greatest(len(w) - 2, 0) + 1),
@@ -145,12 +145,40 @@ bits AS (
     SUM(((v >> j) & 1) * 2 - 1) AS bit_sum
   FROM vals, UNNEST(range(16)) AS r(j)
   GROUP BY doc_id, j
-)
-SELECT doc_id,
-  CAST(SUM(CASE WHEN bit_sum > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS fingerprint
-FROM bits
-GROUP BY doc_id
-""".format(docs=_DOCS_WITH_DUPS_SQL)
+),
+fp AS (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN bit_sum > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS fingerprint
+  FROM bits
+  GROUP BY doc_id
+)""".format(docs=_DOCS_WITH_DUPS_SQL)
+
+SIMHASH_FINGERPRINTS_SQL = f"""
+WITH {_SIMHASH_FP_CTES}
+SELECT doc_id, fingerprint FROM fp
+"""
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 2 over 16-bit fingerprints) via
+    PIGEONHOLE equi-join pairing (ext/dedup.simhash_pairs): fingerprints
+    split into 3 bit-pieces, at least one piece matches exactly within the
+    Hamming ball, so candidates come from an equi-join on (piece_idx,
+    piece) — recall 1.0 by construction, verified against the oracle's
+    all-pairs O(N²) join below."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return DD.simhash_pairs(docs, "text", "doc_id", max_hamming=2)
+
+
+# Oracle is the straight all-pairs definition — the pigeonhole plan must
+# reproduce it exactly (no approximation in this operator).
+SIMHASH_NEAR_DUPS_SQL = f"""
+WITH {_SIMHASH_FP_CTES}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+"""
 
 
 # ------------------------------------------------------------- similarity --

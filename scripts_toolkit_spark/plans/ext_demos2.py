@@ -8,47 +8,143 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scripts_toolkit_spark.ext import dedup as DD
+from scripts_toolkit_spark.ext import similarity as SIM
 from scripts_toolkit_spark.ext.similarity import cosine
 from scripts_toolkit_spark.io.catalog import load_table
 
+# LSH-bucket tuning for the embedding near-dup demo: planted near-dups sit
+# at cos ≈ 0.95 (θ ≈ 17°, per-plane collision p ≈ 0.9) → per-table p^8 ≈
+# 0.45, OR across 4 tables ≈ 0.91 recall; random pairs (cos ≈ 0) collide
+# with p ≈ 0.5^8 per table ≈ 1.5% over 4 tables, bounding candidates.
+_EMB_BITS, _EMB_TABLES, _EMB_TAU = 8, 4, 0.9
 
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: vector pairs with cosine ≥ τ. τ is set to
-    a low 0.18 because the synthetic embeddings are near-uniform (max pair
-    cosine ≈ 0.28) — the operator shape is the point; real corpora use
-    0.9+. Scale path: LSH-bucket first (ext/similarity.lsh_topk), exact
-    cosine only within buckets."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.18)
-    )
-
-
-EMBEDDING_NEAR_DUP_PAIRS_SQL = """
-WITH scored AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-  list_reduce(list_transform(range(1, 65),
-    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
-  / (sqrt(list_reduce(list_transform(range(1, 65),
-      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-   * sqrt(list_reduce(list_transform(range(1, 65),
-      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cos_sim
-  FROM embeddings a, embeddings b
-  WHERE a.vec_id < b.vec_id
-)
-SELECT * FROM scored WHERE cos_sim >= 0.18
+_EMB_CORPUS_SQL = """
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+    list_transform(range(1, 65), i -> CASE WHEN i = 1
+      THEN CAST(embedding[i] AS DOUBLE) + 0.3
+      ELSE CAST(embedding[i] AS DOUBLE) END)
+  FROM embeddings WHERE vec_id % 5 = 0
 """
 
 
+def _embeddings_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (vec_id + 10^6, +0.3 on element 0) so
+    true near-duplicates (cos ≈ 0.95) exist deterministically at every SF —
+    same pattern as the text near-dup demos' `_docs_with_dups`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    pert = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + 0.3).otherwise(x.cast("double")),
+        ).alias("v"),
+    )
+    return base.unionByName(pert)
+
+
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via sign-bucket LSH: explode each vector to
+    (table, bucket) keys over md5-derived hyperplanes
+    (ext/similarity.lsh_bucket), equi-join on the keys, exact cosine ≥ τ
+    within buckets only. No cross join anywhere — candidate volume is
+    controlled by (bits, tables), the plan that survives 100 TB. The oracle
+    recomputes the identical deterministic buckets in SQL (hyperplane signs
+    from the same md5 parity, same sequential fold), so results hash-match
+    exactly; recall vs the exact all-pairs baseline is asserted in pytest."""
+    corpus = _embeddings_with_dups(spark, sf_dir)
+    # Materialization boundary: `v` feeds bits×tables hyperplane dots plus
+    # both join legs — left lazy, Catalyst inlines the projection per
+    # reference (CLAUDE.md rule; measured on the minhash pipeline).
+    parallelism = spark.sparkContext.defaultParallelism
+    corpus = corpus.repartition(parallelism).localCheckpoint()
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                SIM.lsh_bucket(F.col("v"), 64, bits=_EMB_BITS, table=t).alias("bucket"),
+            )
+            for t in range(_EMB_TABLES)
+        ]
+    )
+    banded = corpus.select("vec_id", F.explode(keys).alias("k")).select(
+        "vec_id", F.col("k.tbl").alias("tbl"), F.col("k.bucket").alias("bucket")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["tbl", "bucket"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    vecs = corpus.select("vec_id", "v")
+    return (
+        cand.join(vecs.withColumnsRenamed({"vec_id": "id_a", "v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"vec_id": "id_b", "v": "vb"}), "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= _EMB_TAU)
+    )
+
+
+# The oracle replays the full LSH pipeline: same corpus union, same
+# md5-parity hyperplane signs, same sequential-fold dots → identical
+# buckets → identical candidate set → identical verified pairs.
+EMBEDDING_NEAR_DUP_PAIRS_SQL = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+keys AS (
+  SELECT vec_id, tbl,
+    CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM (
+    SELECT vec_id, tbl, j,
+      list_reduce(list_transform(range(1, 65),
+        i -> v[i] * (CASE WHEN CAST(('0x' || substr(md5(
+            'h' || CAST(tbl * 1000 + j AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)
+          ), 1, 2)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+        (x, y) -> x + y) AS d
+    FROM corpus, UNNEST(range({_EMB_TABLES})) AS t(tbl), UNNEST(range({_EMB_BITS})) AS r(j)
+  )
+  GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+  FROM keys x JOIN keys y USING (tbl, bucket)
+  WHERE x.vec_id < y.vec_id
+),
+scored AS (
+  SELECT id_a, id_b,
+    list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, 65), i -> a.v[i] * a.v[i]), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(range(1, 65), i -> b.v[i] * b.v[i]), (x, y) -> x + y))) AS cos_sim
+  FROM cand
+  JOIN corpus a ON a.vec_id = id_a
+  JOIN corpus b ON b.vec_id = id_b
+)
+SELECT * FROM scored WHERE cos_sim >= {_EMB_TAU}
+"""
+
+
+# s-curve tuning for char-5-gram LSH: 4 bands × 2 rows over an 8-perm
+# signature → pairs at j=0.2 collide with p = 1-(1-0.04)^4 ≈ 15%, j=0.3
+# with ≈ 31%, while random pairs (j ≈ 0.03) collide with ≈ 0.4% — the
+# band join bounds candidates corpus-wide, with NO reliance on a
+# low-cardinality metadata column.
+_CNG_PERMS, _CNG_BANDS, _CNG_ROWS = 8, 4, 2
+
+
 def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-5-gram Jaccard similarity for document pairs within the
-    same source bucket (equi-join bounds the pair count; at corpus scale the
-    bucketing key comes from MinHash bands instead)."""
+    """Character-5-gram Jaccard near-dup pairs, bucketed CORPUS-WIDE by
+    MinHash band keys over the gram sets (shingle→minhash→band→bucket-join,
+    the same scale path as minhash_near_dups) — candidate volume is set by
+    the (bands, rows) s-curve, not by any metadata column's cardinality.
+    The oracle replays the identical md5 minhash banding in SQL, so the
+    emitted pair set hash-matches exactly."""
     d = load_table(spark, sf_dir, "documents")
 
     def grams(c):
@@ -62,12 +158,35 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array(t))
         )
 
-    g = d.select("doc_id", F.col("source"), grams("text").alias("gset"))
-    a = g.select(F.col("doc_id").alias("id_a"), F.col("source"), F.col("gset").alias("ga"))
-    b = g.select(F.col("doc_id").alias("id_b"), F.col("source"), F.col("gset").alias("gb"))
+    # Materialization boundary: gset feeds the 8-perm minhash (8 md5's per
+    # gram) AND both join legs — checkpoint once (CLAUDE.md rule).
+    parallelism = spark.sparkContext.defaultParallelism
+    g = (
+        d.repartition(parallelism)
+        .select("doc_id", grams("text").alias("gset"))
+        .select(
+            "doc_id",
+            "gset",
+            DD.lsh_bands(
+                DD.minhash_signature(F.col("gset"), _CNG_PERMS), _CNG_BANDS, _CNG_ROWS
+            ).alias("bands"),
+        )
+        .localCheckpoint()
+    )
+    banded = g.select("doc_id", F.explode("bands").alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sets = g.select("doc_id", "gset")
     return (
-        a.join(b, "source")
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(sets.withColumnsRenamed({"doc_id": "id_a", "gset": "ga"}), "id_a")
+        .join(sets.withColumnsRenamed({"doc_id": "id_b", "gset": "gb"}), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -80,20 +199,37 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CHAR_NGRAM_JACCARD_SQL = """
+CHAR_NGRAM_JACCARD_SQL = f"""
 WITH g AS (
-  SELECT doc_id, source,
+  SELECT doc_id,
     list_distinct(CASE WHEN length(text) >= 5
       THEN list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
       ELSE [text] END) AS gset
   FROM documents
-)
-, scored AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+),
+sig AS (
+  SELECT doc_id, gset,
+    [list_min(list_transform(gset, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+     FOR p IN range({_CNG_PERMS})] AS sig
+  FROM g
+),
+banded AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(sig[b * {_CNG_ROWS} + 1 : b * {_CNG_ROWS} + {_CNG_ROWS}], '#')) AS key
+  FROM sig, UNNEST(range({_CNG_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y USING (band, key)
+  WHERE x.doc_id < y.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
     CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
       / len(list_distinct(list_concat(a.gset, b.gset))) AS jaccard
-  FROM g a JOIN g b USING (source)
-  WHERE a.doc_id < b.doc_id
+  FROM cand
+  JOIN g a ON a.doc_id = id_a
+  JOIN g b ON b.doc_id = id_b
 )
 SELECT * FROM scored WHERE jaccard >= 0.2
 """

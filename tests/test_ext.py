@@ -51,6 +51,33 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall {recall:.2f} too low even for 4 bits"
 
 
+def test_embedding_lsh_near_dup_recall(spark, sf_dir):
+    """The LSH-bucketed embedding near-dup demo must retrieve most of the
+    planted perturbed-copy pairs that the exact all-pairs baseline finds
+    (tuning note in plans/ext_demos2.py: expected recall ≈ 0.91)."""
+    from scripts_toolkit_spark.plans.ext_demos2 import (
+        _EMB_TAU,
+        _embeddings_with_dups,
+        embedding_near_dup_pairs,
+    )
+    from scripts_toolkit_spark.ext.similarity import cosine as _cos
+
+    corpus = _embeddings_with_dups(spark, sf_dir).localCheckpoint()
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    exact = (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cos(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= _EMB_TAU)
+    )
+    e = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    got = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(spark, sf_dir).collect()}
+    assert got <= e, "bucketed path emitted a pair the exact baseline rejects"
+    recall = len(got & e) / len(e)
+    assert recall >= 0.8, f"embedding LSH recall {recall:.2f}"
+
+
 def test_multimodal_features_roundtrip(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(10)
     feats = {r["media_id"]: r for r in extract_features(binary_table_from_text(d, "doc_id", "text")).collect()}

@@ -33,6 +33,16 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2  # union legs coalesce
 
 
+def test_near_dup_plans_have_no_all_pairs_join(spark, sf_dir):
+    """The near-dup/ANN demo layer must stay equi-keyed: no cartesian or
+    nested-loop pairing anywhere (the r1 scale gap — pigeonhole SimHash,
+    sign-bucket embedding LSH, band-keyed char-ngram buckets)."""
+    for name in ("simhash_near_dups", "embedding_near_dup_pairs", "char_ngram_jaccard"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_melt_branches_prune_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "melt_wide_to_eav")
     # each unpivot branch reads only its own columns: the str branch must

@@ -84,43 +84,45 @@ class ZipMembersDataSource(DataSource):
         return ZipMembersReader(self.options)
 
 
-class XportReader(DataSourceReader):  # pragma: no cover - lib-gated
+class XportReader(DataSourceReader):
+    """One partition per .xpt file; rows decoded via the shared
+    `decode_xport_blob` helper (pyreadstat when present, pure-Python TS-140
+    parser otherwise — whole-file decode per encoding, so a retry can never
+    duplicate rows, and total decode failure raises instead of yielding
+    empty output)."""
+
     def __init__(self, options: dict):
         self.path = options.get("path")
+        if not self.path:
+            raise ValueError("xport: 'path' option (or load(path)) is required")
         self.chunksize = int(options.get("chunksize", 4000))
 
     def partitions(self) -> Sequence[InputPartition]:
         import glob
 
-        return [_ArchivePartition(p) for p in sorted(glob.glob(self.path))]
+        paths = sorted(glob.glob(self.path))
+        if not paths:
+            raise FileNotFoundError(self.path)
+        return [_ArchivePartition(p) for p in paths]
 
     def read(self, partition: _ArchivePartition) -> Iterator[tuple]:
-        import pyreadstat
+        from scripts_toolkit_spark.io.sources import decode_xport_blob
 
-        for enc in ("WINDOWS-1252", "LATIN1"):
-            try:
-                gen = pyreadstat.read_file_in_chunks(
-                    pyreadstat.read_xport, partition.path, encoding=enc, chunksize=self.chunksize
-                )
-                for chunk, _meta in gen:
-                    yield from chunk.itertuples(index=False)
-                return
-            except UnicodeDecodeError:
-                continue
+        with open(partition.path, "rb") as f:
+            frame = decode_xport_blob(f.read(), self.chunksize)
+        yield from frame.itertuples(index=False)
 
 
-class XportDataSource(DataSource):  # pragma: no cover - lib-gated
+class XportDataSource(DataSource):
+    """`spark.read.format("xport").schema(...).load("/data/*.xpt")` —
+    schema is required (the source can't probe files at plan time from
+    SQL; use io/sources.read_xport for probe-and-read)."""
+
     @classmethod
     def name(cls) -> str:
         return "xport"
 
     def reader(self, schema: StructType) -> DataSourceReader:
-        try:
-            import pyreadstat  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "pyreadstat not installed; the xport datasource needs it on executors"
-            ) from e
         return XportReader(self.options)
 
 

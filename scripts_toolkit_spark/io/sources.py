@@ -102,63 +102,80 @@ def zip_members(spark: SparkSession, path_glob: str, name_filter: str | None = N
 
 
 # ------------------------------------------------------- S4: SAS XPORT -----
-XPORT_UNAVAILABLE = (
-    "pyreadstat is not installed in this container; on a real cluster "
-    "`pip install pyreadstat` on executors enables the XPORT decoder. "
-    "Downstream semantics (profile→melt→EAV) are covered on pre-decoded rows."
-)
+_XPORT_ENCODINGS = ("WINDOWS-1252", "LATIN1")
+
+
+def decode_xport_blob(blob: bytes, chunksize: int = 4000) -> pd.DataFrame:
+    """One XPT byte blob → pandas DataFrame, mirroring the reference's
+    chunked pyreadstat read + WINDOWS-1252 → LATIN1 fallback
+    (converter.py:96-127) with two hardening fixes over the reference:
+
+    - each encoding attempt decodes the WHOLE file before any rows are
+      surfaced — a mid-file failure restarts with the next encoding and can
+      never re-emit earlier chunks (partial-yield duplication);
+    - pyreadstat signals encoding trouble as ReadstatError, not only
+      UnicodeDecodeError — both are caught; when every encoding fails the
+      error PROPAGATES instead of yielding silently-empty output.
+
+    Without pyreadstat (this container) the pure-Python TS-140 parser
+    (io/xport.py) decodes the same bytes with the same encoding fallback.
+    """
+    try:
+        import pyreadstat as prs
+    except ImportError:
+        from scripts_toolkit_spark.io.xport import decode_xport
+
+        return decode_xport(blob, _XPORT_ENCODINGS)
+
+    import tempfile  # pragma: no cover - pyreadstat absent in container
+
+    readstat_error = getattr(prs, "ReadstatError", ())
+    errors: list[Exception] = []
+    with tempfile.NamedTemporaryFile(suffix=".xpt") as f:  # pragma: no cover
+        f.write(blob)
+        f.flush()
+        for enc in _XPORT_ENCODINGS:
+            try:
+                chunks = [
+                    chunk
+                    for chunk, _meta in prs.read_file_in_chunks(
+                        prs.read_xport, f.name, encoding=enc, chunksize=chunksize
+                    )
+                ]
+                return pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+            except (UnicodeDecodeError, readstat_error) as ex:
+                errors.append(ex)
+                continue
+    raise ValueError(  # pragma: no cover
+        f"XPORT blob undecodable as any of {_XPORT_ENCODINGS}: {errors!r}"
+    )
 
 
 def read_xport(spark: SparkSession, path_glob: str, chunksize: int = 4000) -> DataFrame:
-    """Distributed SAS-XPORT decode: binaryFile rows → pyreadstat chunks →
-    Arrow batches. Mirrors the reference's chunked read + WINDOWS-1252 →
-    LATIN1 encoding fallback (converter.py:96-127) but keeps the chunk
-    generator streaming (the reference concat-materializes, :113).
+    """Distributed SAS-XPORT decode: binaryFile rows → decoded pandas
+    frames → Arrow batches (reference converter.py:96-127 semantics; see
+    `decode_xport_blob` for the encoding-fallback contract).
 
-    Schema note: XPORT column sets vary per file, so this returns a
-    VARIANT-ish long shape (rssd-less; one row per chunk-cell) is NOT used —
-    instead we require homogeneous files per call and infer the schema from
-    the first file driver-side.
-    """
-    try:
-        import pyreadstat  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(XPORT_UNAVAILABLE) from e
-
-    import tempfile
-
-    import pyreadstat
-
+    Schema note: XPORT column sets vary per file, so files must be
+    homogeneous per call; the schema is probed from the first file
+    driver-side (control-plane: one quarterly file, MBs)."""
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     first = files.limit(1).collect()
     if not first:
         raise FileNotFoundError(path_glob)
-    with tempfile.NamedTemporaryFile(suffix=".xpt") as tf:  # pragma: no cover
-        tf.write(first[0]["content"])
-        tf.flush()
-        probe, _ = pyreadstat.read_xport(tf.name, row_limit=1, encoding="WINDOWS-1252")
+    probe = decode_xport_blob(bytes(first[0]["content"]), chunksize)
+    numeric = {c for c in probe.columns if probe[c].dtype.kind in "fi"}
     schema = ", ".join(
-        f"`{c}` double" if probe[c].dtype.kind in "fi" else f"`{c}` string" for c in probe.columns
+        f"`{c}` double" if c in numeric else f"`{c}` string" for c in probe.columns
     )
 
-    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import pyreadstat as prs
-
+    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in pdfs:
             for blob in pdf["content"]:
-                with tempfile.NamedTemporaryFile(suffix=".xpt") as f:
-                    f.write(blob)
-                    f.flush()
-                    for enc in ("WINDOWS-1252", "LATIN1"):
-                        try:
-                            gen = prs.read_file_in_chunks(
-                                prs.read_xport, f.name, encoding=enc, chunksize=chunksize
-                            )
-                            for chunk, _meta in gen:
-                                yield chunk
-                            break
-                        except Exception:
-                            continue
+                frame = decode_xport_blob(bytes(blob), chunksize)
+                for c in numeric:
+                    frame[c] = frame[c].astype("float64")
+                yield frame
 
     return files.mapInPandas(_decode, schema)
 

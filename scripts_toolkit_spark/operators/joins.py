@@ -98,7 +98,16 @@ def salted_join(
     over `salt_buckets` reducers instead of one. AQE's skew-join splitting
     handles sort-merge skew automatically; explicit salting remains the tool
     when the skewed side feeds a subsequent aggregation on the same key.
+
+    Only 'inner' and 'left' are valid: with 'right'/'full', each UNMATCHED
+    dim row would surface once per salt replica, silently corrupting the
+    result.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: replicated "
+            "dim rows would duplicate unmatched right-side output"
+        )
     f = facts.withColumn(
         "__salt", (F.hash(F.col(key), F.monotonically_increasing_id()) % salt_buckets + salt_buckets) % salt_buckets
     )
@@ -129,7 +138,14 @@ def asof_join(
 
     Ties (right.ts == left.ts) match, mirroring standard ASOF >= semantics:
     the right row sorts before the left row at equal ts via the tag.
+
+    `tolerance` (bounded staleness — the common production variant) is a
+    SQL interval literal, e.g. "30 minutes": a match older than
+    left.ts − tolerance is discarded (NULLed, like an unmatched left row).
+    Same plan — the filled payload carries the matched timestamp, and one
+    more comparison gates it; no extra shuffle or join.
     """
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
     lcols = left.columns
     rvals = list(right_cols) or [c for c in right.columns if c not in (key, right_ts)]
 
@@ -156,16 +172,20 @@ def asof_join(
     )
     # fill ONE struct payload (non-null exactly on right rows): a right row
     # whose value column is legitimately NULL still matches as a row,
-    # instead of being skipped by ignorenulls on the bare column.
+    # instead of being skipped by ignorenulls on the bare column. The
+    # payload carries the matched timestamp (__rt) for the tolerance gate.
     payload = F.when(
         F.col("__side") == 0,
-        F.struct(*[F.col(f"__r_{c}").alias(c) for c in rvals]),
+        F.struct(
+            F.col("__t").alias("__rt"),
+            *[F.col(f"__r_{c}").alias(c) for c in rvals],
+        ),
     )
-    filled = unioned.select("*", F.last(payload, ignorenulls=True).over(w).alias("__m"))
-    out = filled.where(F.col("__side") == 1).select(
+    matched = F.last(payload, ignorenulls=True).over(w)
+    if tol is not None:
+        matched = F.when(matched.getField("__rt") >= F.col("__t") - tol, matched)
+    filled = unioned.select("*", matched.alias("__m"))
+    return filled.where(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
         *[F.col("__m").getField(c).alias(f"{c}_asof") for c in rvals],
     )
-    if tolerance is not None:
-        raise NotImplementedError("tolerance windows not yet implemented")
-    return out

@@ -144,6 +144,42 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+def purchase_asof_click_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of with bounded staleness (the common production variant): the
+    most recent click at or before each purchase, but a click older than
+    1 day is discarded (match columns NULL, row kept). The tolerance gate
+    rides the same sort-based union-scan plan — one comparison against the
+    filled match timestamp, no extra shuffle or join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id")
+    out = J.asof_join(
+        purchases,
+        clicks.withColumnsRenamed({"value": "click_value", "event_id": "click_event_id"}),
+        key="user_id",
+        right_cols=("click_value", "click_event_id"),
+        tolerance="1 DAY",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_value_asof").alias("last_click_value"),
+        F.col("click_event_id_asof").alias("last_click_event_id"),
+    )
+
+
+PURCHASE_ASOF_CLICK_TOLERANCE_SQL = """
+SELECT p.event_id, p.user_id,
+       CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.value END AS last_click_value,
+       CASE WHEN c.ts >= p.ts - INTERVAL 1 DAY THEN c.event_id END AS last_click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def part_first_word_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 prefix-key derive + equi-join (reference CDR:249-256): parts keyed
     by the first token of p_name against a literal word dimension."""

@@ -40,6 +40,11 @@ register("eav_dictionary_enrich", jd.eav_dictionary_enrich, jd.EAV_DICTIONARY_EN
 register("customers_without_orders", jd.customers_without_orders, jd.CUSTOMERS_WITHOUT_ORDERS_SQL)
 register("value_band_join", jd.value_band_join, jd.VALUE_BAND_JOIN_SQL)
 register("purchase_asof_click", jd.purchase_asof_click, jd.PURCHASE_ASOF_CLICK_SQL)
+register(
+    "purchase_asof_click_tolerance",
+    jd.purchase_asof_click_tolerance,
+    jd.PURCHASE_ASOF_CLICK_TOLERANCE_SQL,
+)
 register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOIN_SQL)
 
 # ---- hierarchy/graph: leaf discovery, path expansion, classification (§2.8) -

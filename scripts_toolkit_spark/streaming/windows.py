@@ -77,13 +77,20 @@ def session_stats(events: DataFrame, ts: str = "ts", gap: str = "1 hour",
 
 def streaming_dedup(events: DataFrame, keys: list[str], ts: str = "ts",
                     watermark: str = "2 hours") -> DataFrame:
-    """Streaming exact dedup: one row per key within the watermark horizon —
-    `dropDuplicates` keeps state per key; the watermark bounds that state
-    (keys older than the horizon are evicted), which is what makes exact
-    dedup feasible on an unbounded stream. Batch twin: plain
-    dropDuplicates."""
-    df = events.withWatermark(ts, watermark) if events.isStreaming else events
-    return df.dropDuplicates([*keys])
+    """Streaming exact dedup: one row per key within the watermark horizon.
+
+    Uses `dropDuplicatesWithinWatermark` on the streaming path: plain
+    `dropDuplicates` only evicts state when the event-time column is part
+    of the dedup key — with a bare business key its state grows UNBOUNDED
+    on a real stream. WithinWatermark evicts each key's state once the
+    watermark passes its first-seen event time, which is what makes exact
+    dedup feasible on an unbounded stream (duplicates arriving farther
+    apart than the watermark delay are treated as new — the standard
+    bounded-state trade). Batch twin: plain dropDuplicates over the full
+    history."""
+    if events.isStreaming:
+        return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark([*keys])
+    return events.dropDuplicates([*keys])
 
 
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):

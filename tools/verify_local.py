@@ -59,6 +59,11 @@ def main(names: list[str]) -> int:
     spark = get_spark("verify-local")
     qs, oracles = e.queries(), e.oracle_sql()
     if names:
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"ERROR: unknown query name(s): {', '.join(unknown)}")
+            print(f"valid names: {', '.join(sorted(qs))}")
+            return 2
         qs = {k: v for k, v in qs.items() if k in names}
 
     con = duckdb.connect()

@@ -38,6 +38,15 @@ HEADLINE = (
     "media_features",
 )
 
+# Round-2+ additions (HEADLINE above stays byte-stable for round-over-round
+# comparability; these append so BENCH_rN keys are a superset of r1's):
+# a TPC-H Q9 analog (multi-fact star join) and the 10×-depth hierarchy
+# traversal that exposes fixpoint-loop overhead regressions.
+EXTRA_DEFAULT = (
+    "yearly_brand_profit",
+    "hierarchy_paths_deep",
+)
+
 
 def main() -> None:
     from scripts_toolkit_spark.session import get_spark
@@ -47,7 +56,9 @@ def main() -> None:
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
     # include any registered query marked for bench via BENCH_EXTRA env
-    extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n in qs]
+    extra = [n for n in EXTRA_DEFAULT if n in qs] + [
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n in qs
+    ]
     names += [n for n in extra if n not in names]
 
     # warmup: run the first query once to pay JVM + codegen startup

@@ -175,12 +175,27 @@ def assemble_taxonomy(classified: DataFrame, labels: DataFrame | None = None) ->
     )
 
 
+def attach_references(assembled: DataFrame, refs: DataFrame) -> DataFrame:
+    """G5 final merge (reference :246-256): reference-linkbase rows
+    (concept, schedule, line, column) attach as a {line, column} struct per
+    (concept, schedule) — a broadcast left join (the reference mutates
+    ret_dict in a Python loop); entries without a reference row keep NULL."""
+    r = refs.select(
+        "concept",
+        "schedule",
+        F.struct(F.col("line"), F.col("column")).alias("reference"),
+    )
+    return assembled.join(F.broadcast(r), ["concept", "schedule"], "left")
+
+
 def taxonomy_json(assembled: DataFrame) -> DataFrame:
     """Single-document nested export (reference :258-262): one JSON record
-    per concept with schedule map — written via `to_json(struct(...))`."""
+    per concept with schedule map — written via `to_json(struct(...))`.
+    Includes the `reference` struct when `attach_references` ran first."""
+    value_cols = [c for c in ("column_ids", "line_ids", "reference") if c in assembled.columns]
     per_concept = assembled.groupBy("concept").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("schedule", F.struct("column_ids", "line_ids")))
+            F.collect_list(F.struct("schedule", F.struct(*value_cols)))
         ).alias("schedules")
     )
     return per_concept.select(

@@ -7,9 +7,12 @@ mdrm_data_collect_process.py:17-18) expressed on the driver's TPC-H-ish
 tables.
 
 Scale notes (100 TB discipline):
-- Every dimension join (region/nation/customer/supplier/part) is explicitly
-  `F.broadcast` — dimensions are KB–MB even at full scale, so no shuffle of
-  the fact table for enrichment.
+- FIXED-SIZE dimensions (region: 5 rows, nation: 25 rows — constant at any
+  SF) are explicitly `F.broadcast`: no shuffle of the fact table for them,
+  ever. SF-LINEAR "dimensions" (customer/supplier/part grow with the data;
+  TPC-H customer at 100 TB is tens of GB) get NO manual hint — AQE picks
+  broadcast while they fit under the threshold and falls back to shuffle
+  join when they don't, which is the correct strategy at every scale.
 - Aggregates go partial→final automatically (hash aggregate with map-side
   combine); the only shuffles are the groupBy keys, which are low-cardinality.
 - Money math is done in DECIMAL so results are bit-identical regardless of
@@ -99,9 +102,11 @@ GROUP BY l_returnflag, l_linestatus
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped: revenue per nation, customer and supplier co-national.
 
-    Plan shape: lineitem (fact) ⋈ orders (fact) is the one shuffle join
-    (both large at scale — sort-merge + AQE); customer / supplier / nation /
-    region are all broadcast, so the fact rows are never shuffled for them.
+    Plan shape: lineitem (fact) ⋈ orders (fact) is the one guaranteed
+    shuffle join (both large at scale — sort-merge + AQE). customer and
+    supplier are SF-linear, so they carry no manual broadcast hint: AQE
+    broadcasts them while small and degrades gracefully to shuffle joins at
+    full scale. nation / region are constant-size → explicit broadcast.
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
@@ -111,8 +116,8 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .where(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -114,6 +114,88 @@ def hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 HIERARCHY_PATHS_SQL = _PATHS_CTE + "SELECT concept, path, CAST(depth AS INT) AS depth FROM paths"
 
 
+# ---- deep-chain variant: 10 intermediate levels stress the fixpoint loop
+# (bench comparability item: depth ~13 vs ~5 in hierarchy_paths) ------------
+_DEEP = 10
+
+
+def deep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Child→parent edges of a deep synthetic taxonomy: customer →
+    lvl0..lvl9 (per nation) → schedule (per region) → root."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    parts = [
+        c.select(
+            F.concat(F.lit("cc_cust_"), "c_custkey").alias("src"),
+            F.concat(F.lit("lvl0_nation_"), "c_nationkey").alias("dst"),
+        )
+    ]
+    for k in range(_DEEP - 1):
+        parts.append(
+            n.select(
+                F.concat(F.lit(f"lvl{k}_nation_"), "n_nationkey").alias("src"),
+                F.concat(F.lit(f"lvl{k + 1}_nation_"), "n_nationkey").alias("dst"),
+            )
+        )
+    parts.append(
+        n.select(
+            F.concat(F.lit(f"lvl{_DEEP - 1}_nation_"), "n_nationkey").alias("src"),
+            F.concat(F.lit("sch-region_"), "n_regionkey").alias("dst"),
+        )
+    )
+    parts.append(
+        r.select(
+            F.concat(F.lit("sch-region_"), "r_regionkey").alias("src"),
+            F.lit(ROOT).alias("dst"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def hierarchy_paths_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 at 10× depth: same fixpoint join, ~13 iterations — the bench
+    entry that makes per-iteration overhead regressions visible."""
+    edges = deep_edges(spark, sf_dir)
+    lv = G.leaves(edges).where(F.col("node").startswith("cc_"))
+    paths = G.expand_paths(edges, lv, ROOT, max_depth=_DEEP + 5, start_partitions=8)
+    return paths.select(
+        "concept",
+        F.concat_ws(">", "path").alias("path"),
+        F.size("path").alias("depth"),
+    )
+
+
+_DEEP_EDGES_SQL = f"""
+  SELECT 'cc_cust_' || c_custkey AS src, 'lvl0_nation_' || c_nationkey AS dst FROM customer
+  UNION
+  SELECT 'lvl' || k || '_nation_' || n_nationkey, 'lvl' || (k + 1) || '_nation_' || n_nationkey
+  FROM nation, UNNEST(range({_DEEP - 1})) AS t(k)
+  UNION
+  SELECT 'lvl{_DEEP - 1}_nation_' || n_nationkey, 'sch-region_' || n_regionkey FROM nation
+  UNION
+  SELECT 'sch-region_' || r_regionkey, 'root' FROM region
+"""
+
+HIERARCHY_PATHS_DEEP_SQL = f"""
+WITH RECURSIVE edges AS ({_DEEP_EDGES_SQL}),
+lvs AS (
+  SELECT DISTINCT src AS node FROM edges
+  WHERE src NOT IN (SELECT dst FROM edges)
+),
+walk(concept, node, path, depth) AS (
+  SELECT node, node, node, 1 FROM lvs WHERE node LIKE 'cc_%'
+  UNION ALL
+  SELECT w.concept, e.dst, w.path || '>' || e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT concept, path, CAST(depth AS INT) AS depth FROM walk WHERE node = 'root'
+"""
+
+
 def hierarchy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: path classification + positional field extraction (the
     reference's temp_column/temp_line logic as array expressions)."""

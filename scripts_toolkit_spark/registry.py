@@ -51,6 +51,7 @@ register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOI
 from scripts_toolkit_spark.plans import taxonomy as tx
 
 register("hierarchy_paths", tx.hierarchy_paths, tx.HIERARCHY_PATHS_SQL)
+register("hierarchy_paths_deep", tx.hierarchy_paths_deep, tx.HIERARCHY_PATHS_DEEP_SQL)
 register("hierarchy_classify", tx.hierarchy_classify, tx.HIERARCHY_CLASSIFY_SQL)
 
 # ---- ordered/stateful + windows (§2.9 T1-T4, §2.10) ------------------------

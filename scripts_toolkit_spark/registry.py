@@ -142,6 +142,14 @@ register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
 from scripts_toolkit_spark.plans import analytics4 as a4
 
 register("cross_nation_volume", a4.cross_nation_volume, a4.CROSS_NATION_VOLUME_SQL)
+
+# ---- final classic TPC-H shapes (Q6/Q14/Q18/Q21 analogs) -------------------
+from scripts_toolkit_spark.plans import analytics5 as a5
+
+register("forecast_revenue", a5.forecast_revenue, a5.FORECAST_REVENUE_SQL)
+register("promo_revenue_percent", a5.promo_revenue_percent, a5.PROMO_REVENUE_PERCENT_SQL)
+register("large_volume_customers", a5.large_volume_customers, a5.LARGE_VOLUME_CUSTOMERS_SQL)
+register("waiting_suppliers", a5.waiting_suppliers, a5.WAITING_SUPPLIERS_SQL)
 register("nation_market_share", a4.nation_market_share, a4.NATION_MARKET_SHARE_SQL)
 register("yearly_brand_profit", a4.yearly_brand_profit, a4.YEARLY_BRAND_PROFIT_SQL)
 register("returned_item_report", a4.returned_item_report, a4.RETURNED_ITEM_REPORT_SQL)

@@ -86,6 +86,36 @@ def test_read_xport_spark_e2e(spark, tmp_path):
     assert rows[2]["VALUE"] is None or math.isnan(rows[2]["VALUE"])
 
 
+def test_xport_to_eav_pipeline_e2e(spark, tmp_path):
+    """The reference's full converter flow (converter.py:215-280) on REAL
+    transport bytes: XPT → distributed decode → quarter extract → type
+    profile → typed-EAV melt. Closes the S4 end-to-end gap without
+    pyreadstat."""
+    from scripts_toolkit_spark.io.sources import read_xport
+    from scripts_toolkit_spark.plans.xport import wide_to_eav
+
+    wide = pd.DataFrame(
+        {
+            "ENTITY": [1001.0, 1002.0],
+            "DATE": [20220630.0, 20220630.0],
+            "RATEX": [1.5, 2.25],  # fractional → float
+            "CNTX": [3.0, 4.0],  # integral → int
+            "FLAGX": [1.0, 0.0],  # {0,1} → bool
+            "NOTEX": ["yes", "no"],  # char → str
+        }
+    )
+    (tmp_path / "q.xpt").write_bytes(write_xport(wide, member_name="CALL"))
+    df = read_xport(spark, str(tmp_path / "*.xpt"))
+    eav = wide_to_eav(df, date_col="DATE", entity_col="entity")
+    rows = {(r["rssd"], r["mdrm"]): r for r in eav.collect()}
+    assert all(r["quarter"] == 20220630 for r in rows.values())
+    assert rows[(1001, "ratex")]["data_type"] == "float"
+    assert rows[(1001, "ratex")]["float_data"] == 1.5
+    assert rows[(1002, "cntx")]["data_type"] == "int" and rows[(1002, "cntx")]["int_data"] == 4
+    assert rows[(1001, "flagx")]["data_type"] == "bool" and rows[(1001, "flagx")]["bool_data"] is True
+    assert rows[(1002, "notex")]["str_data"] == "no"
+
+
 def test_xport_datasource_format(spark, tmp_path):
     from scripts_toolkit_spark.io.datasources import register_datasources
 

@@ -214,18 +214,113 @@ FROM ranked WHERE rank <= 3
 
 
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-3 (scale path; no SQL oracle — recall
-    vs brute force is asserted in tests instead)."""
+    """LSH-bucketed approximate top-3 (scale path). The whole pipeline is
+    DETERMINISTIC (md5-parity hyperplanes, sequential-fold dots, rank
+    tiebreak on neighbor id), so the oracle replays it bit-for-bit in SQL —
+    approximate ≠ unverifiable. Recall vs brute force is ALSO asserted in
+    tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.lsh_topk(emb, dim=64, k=3, bits=6)
 
 
+_LSH_BITS, _LSH_TABLES = 6, 4
+
+_COS_SQL = """
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+ANN_TOPK_LSH_SQL = f"""
+WITH keys AS (
+  SELECT vec_id, tbl,
+    CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM (
+    SELECT vec_id, tbl, j,
+      list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * (CASE WHEN CAST(('0x' || substr(md5(
+            'h' || CAST(tbl * 1000 + j AS VARCHAR) || '|' || CAST(i - 1 AS VARCHAR)
+          ), 1, 2)) AS INT) % 2 = 0 THEN 1.0 ELSE -1.0 END)),
+        (x, y) -> x + y) AS d
+    FROM embeddings, UNNEST(range({_LSH_TABLES})) AS t(tbl), UNNEST(range({_LSH_BITS})) AS r(j)
+  )
+  GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM keys a JOIN keys b USING (tbl, bucket)
+  WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = query_id
+  JOIN embeddings eb ON eb.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3: deterministic coarse centroids, n_probe=3
-    cells per query, exact cosine within probed cells (no SQL oracle —
-    recall vs brute force asserted in tests)."""
+    """IVF approximate top-3: deterministic coarse centroids (smallest
+    md5(id)), n_probe=3 cells per query, exact cosine within probed cells.
+    Deterministic end-to-end → oracle replays centroid pick, assignment,
+    and ranking in SQL; recall vs brute force also asserted in tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     return SIM.ivf_topk(emb, n_cells=16, n_probe=3, k=3)
+
+
+ANN_TOPK_IVF_SQL = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+),
+centv AS (
+  SELECT cell_id, embedding AS centroid FROM cents JOIN embeddings USING (vec_id)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM embeddings e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
+  FROM aff
+  QUALIFY r <= 3
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE r = 1) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS_SQL} AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = query_id
+  JOIN embeddings eb ON eb.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
 
 
 # ----------------------------------------------------------- text analysis -

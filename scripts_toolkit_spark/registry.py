@@ -71,8 +71,10 @@ register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
 register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
 register("simhash_near_dups", xd.simhash_near_dups, xd.SIMHASH_NEAR_DUPS_SQL)
 register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
-register("ann_topk_lsh", xd.ann_topk_lsh)  # approximate: rows-only check; recall tested
-register("ann_topk_ivf", xd.ann_topk_ivf)  # approximate: rows-only check; recall tested
+# approximate BUT deterministic: oracle replays the identical bucketing /
+# quantization in SQL; recall vs brute force additionally tested in pytest
+register("ann_topk_lsh", xd.ann_topk_lsh, xd.ANN_TOPK_LSH_SQL)
+register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
 register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
 register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
 

@@ -37,6 +37,77 @@ GROUP BY 1
 """
 
 
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep CAPSTONE — the three hygiene passes composed in
+    ONE declarative plan, the operation sequence an LLM-corpus pipeline
+    runs at 100 TB:
+
+        quality score (native exprs, no Python)
+          → canonical-dedup survivor pick (min doc_id per canon digest —
+            the shuffle key is a 16-byte md5, never the document)
+          → quality gate (≥ 0.65)
+          → deterministic 1-in-2 hash sample (stable under reruns and
+            repartitioning, unlike Bernoulli sample())
+
+    Catalyst fuses the projections; the only shuffle is the dedup window on
+    the canon digest. Oracle replays every stage in SQL."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    from scripts_toolkit_spark.ext import text as TX
+
+    canon = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " ")), " +", " "
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TX.quality_score("text").alias("quality"),
+        TX.token_count("text").alias("n_tokens"),
+        F.md5(canon).alias("canon_key"),
+    )
+    w = Window.partitionBy("canon_key")
+    sampled = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+        % 2
+        == 0
+    )
+    return (
+        scored.withColumn("keep", F.min("doc_id").over(w))
+        .where((F.col("doc_id") == F.col("keep")) & (F.col("quality") >= 0.65) & sampled)
+        .select("doc_id", "lang", "quality", "n_tokens")
+    )
+
+
+# quality/token fragments identical to TEXT_STATS_SQL (oracle-green there)
+CORPUS_PREP_PIPELINE_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+    0.3 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+      + 0.25 * (CASE WHEN CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(len(w), 1) >= 3.0
+                      AND CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / greatest(len(w), 1) <= 10.0
+                 THEN 1.0 ELSE 0.3 END)
+      + 0.2 * least(CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], lower(x)))) AS DOUBLE)
+                    / greatest(len(w), 1) * 5.0, 1.0)
+      + 0.25 * CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) AS quality,
+    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]')) AS INT) AS n_tokens,
+    md5(regexp_replace(trim(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')), ' +', ' ', 'g')) AS canon_key
+  FROM base
+),
+surv AS (
+  SELECT *, MIN(doc_id) OVER (PARTITION BY canon_key) AS keep FROM scored
+)
+SELECT doc_id, lang, quality, n_tokens
+FROM surv
+WHERE doc_id = keep AND quality >= 0.65
+  AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+"""
+
+
 def redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern redaction (PII-shaped): inject synthetic emails/numbers
     deterministically, then scrub them — redaction is genuinely exercised,

@@ -137,6 +137,7 @@ register("melt_wide60", wdm.melt_wide60, wdm.MELT_WIDE60_SQL)
 from scripts_toolkit_spark.plans import corpus_demos as cd
 
 register("canonical_text_dedup", cd.canonical_text_dedup, cd.CANONICAL_TEXT_DEDUP_SQL)
+register("corpus_prep_pipeline", cd.corpus_prep_pipeline, cd.CORPUS_PREP_PIPELINE_SQL)
 register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
 register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
 

@@ -249,43 +249,51 @@ def linkbase_label_tables(spark: SparkSession, cap_xml: bytes) -> tuple[DataFram
 
 
 # ------------------------------------------------------- S6: PDF spans -----
-PDF_UNAVAILABLE = (
-    "PyMuPDF (fitz) is not installed in this container; on a real cluster "
-    "it decodes PDF pages to {text,size,font} span rows. The span-scan "
-    "operator (operators/spans.py) is fully tested on pre-decoded rows."
-)
-
 PDF_SPAN_SCHEMA = "page_no int, span_seq long, text string, size double, font string"
 
 
 def read_pdf_spans(spark: SparkSession, path_glob: str) -> DataFrame:
     """Distributed PDF span extraction (reference app.py:16-38): binaryFile
-    → fitz page dicts → ordered span rows."""
-    try:
-        import fitz  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(PDF_UNAVAILABLE) from e
+    → {text, size, font} span rows in reading order.
 
+    Decoder selection per executor: PyMuPDF (fitz) when installed — full
+    real-world coverage — else the pure-Python subset decoder
+    (io/pdftext.py: page tree, FlateDecode, BT/ET text operators), which
+    handles plain text PDFs and RAISES on constructs outside its scope
+    rather than decoding wrongly. Same fallback pattern as XPORT."""
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
 
-    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:  # pragma: no cover
-        import fitz as _fitz
+    def _decode(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import fitz as _fitz  # noqa: F401
+        except ImportError:
+            _fitz = None
+
+        from scripts_toolkit_spark.io.pdftext import parse_pdf_spans
 
         for pdf in pdfs:
             for blob in pdf["content"]:
-                doc = _fitz.open(stream=io.BytesIO(blob), filetype="pdf")
                 rows = {"page_no": [], "span_seq": [], "text": [], "size": [], "font": []}
-                seq = 0
-                for pno, page in enumerate(doc, start=1):
-                    for block in page.get_text("dict")["blocks"]:
-                        for line in block.get("lines", []):
-                            for span in line.get("spans", []):
-                                seq += 1
-                                rows["page_no"].append(pno)
-                                rows["span_seq"].append(seq)
-                                rows["text"].append(span["text"])
-                                rows["size"].append(span["size"])
-                                rows["font"].append(span["font"])
+                if _fitz is not None:  # pragma: no cover - lib absent here
+                    doc = _fitz.open(stream=io.BytesIO(blob), filetype="pdf")
+                    seq = 0
+                    for pno, page in enumerate(doc, start=1):
+                        for block in page.get_text("dict")["blocks"]:
+                            for line in block.get("lines", []):
+                                for span in line.get("spans", []):
+                                    seq += 1
+                                    rows["page_no"].append(pno)
+                                    rows["span_seq"].append(seq)
+                                    rows["text"].append(span["text"])
+                                    rows["size"].append(span["size"])
+                                    rows["font"].append(span["font"])
+                else:
+                    for pno, seq, text, size, font in parse_pdf_spans(bytes(blob)):
+                        rows["page_no"].append(pno)
+                        rows["span_seq"].append(seq)
+                        rows["text"].append(text)
+                        rows["size"].append(size)
+                        rows["font"].append(font)
                 yield pd.DataFrame(rows)
 
     return files.mapInPandas(_decode, PDF_SPAN_SCHEMA)

@@ -79,7 +79,15 @@ def expand_paths(
     # taxonomy edge tables are KB–MB: broadcasting them means the (growing)
     # open-path side is NEVER shuffled — each iteration is a map-side join.
     # Disable for graphs whose edge list rivals the path set.
-    joined_edges = F.broadcast(edges) if broadcast_edges else edges
+    if broadcast_edges:
+        # materialize ONCE: broadcast exchanges are not reused across the
+        # loop's separate jobs, so without this every iteration re-derives
+        # the edge table from its source plan (a union+distinct in the
+        # taxonomy pipelines — measured ~2× on the 13-hop bench entry)
+        edges = edges.localCheckpoint()
+        joined_edges = F.broadcast(edges)
+    else:
+        joined_edges = edges
     done: DataFrame | None = None
     for _ in range(max_depth):
         stepped = (

@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.io import sinks
 from scripts_toolkit_spark.io.sources import (
-    PDF_UNAVAILABLE,
     fetch_to_staging,
     linkbase_edges,
     linkbase_label_tables,
@@ -101,7 +100,8 @@ def test_taxonomy_pipeline_end_to_end(spark, linkbase_zip, tmp_path):
     assert schedules["RCB"]["column_ids"]["column"]["code"] == "column_A"
 
 
-def test_pdf_decoder_gated(spark):
-    with pytest.raises(NotImplementedError) as ei:
-        read_pdf_spans(spark, "/tmp/nonexistent*.pdf")
-    assert "PyMuPDF" in str(ei.value)
+def test_pdf_decoder_missing_path_raises(spark):
+    # the decoder is no longer import-gated (pure-Python subset fallback);
+    # a glob matching nothing fails loudly at scan time
+    with pytest.raises(Exception):
+        read_pdf_spans(spark, "/tmp/nonexistent*.pdf").collect()

@@ -64,14 +64,23 @@ def brute_force_topk(
 
 def hyperplane(dim: int, plane_idx: int) -> Column:
     """Deterministic pseudo-random ±1 hyperplane from md5 parity — no RNG,
-    no stored model, identical in any engine."""
+    no stored model, identical in any engine.
+
+    The signs are row-INDEPENDENT, so they are computed ONCE here in Python
+    (hashlib md5 — bit-identical to any engine's md5) and emitted as a
+    literal array. The previous form built 64 md5 *expressions* per plane,
+    which Catalyst evaluated per ROW — thousands of md5 calls per vector
+    (measured 21.6s → 1.6s for the sf0.1 embedding near-dup demo). A SQL
+    oracle recomputing the signs with its own md5 gets the same values."""
+    import hashlib
+
     return F.array(
         *[
-            F.when(
-                F.conv(F.substring(F.md5(F.lit(f"h{plane_idx}|{i}")), 1, 2), 16, 10)
-                .cast("int") % 2 == 0,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
+            F.lit(
+                1.0
+                if int(hashlib.md5(f"h{plane_idx}|{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+                else -1.0
+            )
             for i in range(dim)
         ]
     )

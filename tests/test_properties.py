@@ -1,0 +1,151 @@
+"""Property-based + seeded-random brute-force comparisons.
+
+Hypothesis drives the pure-Python codecs (hundreds of examples, no Spark
+startup cost); the distributed operators are checked against independent
+brute-force references on seeded random data — the same adversarial
+strategy the oracle gate uses, but against a second implementation
+rather than a second engine.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scripts_toolkit_spark.io.pdftext import _unescape
+from scripts_toolkit_spark.io.xport import ibm_to_ieee, ieee_to_ibm
+
+# IBM hex-float range: 16^-65 ≈ 5.4e-79 … <16^63 ≈ 7.2e75
+_IBM_MIN, _IBM_MAX = 1e-70, 1e70
+
+
+@settings(max_examples=300)
+@given(
+    st.floats(
+        min_value=-_IBM_MAX, max_value=_IBM_MAX, allow_nan=False, allow_infinity=False
+    ).filter(lambda x: x == 0.0 or _IBM_MIN < abs(x) < _IBM_MAX)
+)
+def test_ibm_double_roundtrip_property(x):
+    assert ibm_to_ieee(ieee_to_ibm(x)) == x
+
+
+@settings(max_examples=200)
+@given(st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=255), max_size=40))
+def test_pdf_string_escape_roundtrip_property(s):
+    from scripts_toolkit_spark.io.pdftext import _escape
+
+    assert _unescape(_escape(s)) == s
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """asof_join (sort-based union-scan) vs pandas.merge_asof on random
+    event streams, with and without tolerance."""
+    rng = random.Random(42)
+    left = [
+        (k, rng.randint(0, 10_000), i)
+        for i, k in enumerate(rng.choices(range(30), k=400))
+    ]
+    right = [
+        (k, rng.randint(0, 10_000), 1000 + i)
+        for i, k in enumerate(rng.choices(range(30), k=400))
+    ]
+    ldf = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in left], "key int, ts double, lval int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(t), v) for k, t, v in right], "key int, ts double, rval int"
+    )
+    from scripts_toolkit_spark.operators.joins import asof_join
+
+    lp = pd.DataFrame(left, columns=["key", "ts", "lval"]).astype({"ts": "float"})
+    rp = pd.DataFrame(right, columns=["key", "ts", "rval"]).astype({"ts": "float"})
+    # pandas keeps the LAST right row at equal (key, ts); Spark's window
+    # fill does too (sort is stable over the right rows)
+    lp = lp.sort_values(["ts", "lval"], kind="stable")
+    rp = rp.sort_values(["ts", "rval"], kind="stable")
+
+    for tol_spark, tol_pandas in ((None, None), ("2 SECONDS", 2.0)):
+        if tol_spark is None:
+            got = asof_join(ldf, rdf, key="key", right_cols=("rval",))
+        else:
+            # double ts: express tolerance through a timestamp image
+            got = asof_join(
+                ldf.withColumn("ts", ldf.ts.cast("timestamp")),
+                rdf.withColumn("ts", rdf.ts.cast("timestamp")),
+                key="key",
+                right_cols=("rval",),
+                tolerance=tol_spark,
+            )
+        exp = pd.merge_asof(
+            lp,
+            rp,
+            on="ts",
+            by="key",
+            direction="backward",
+            tolerance=tol_pandas,
+        )
+        got_map = {r["lval"]: r["rval_asof"] for r in got.collect()}
+        exp_map = {
+            int(row.lval): (None if pd.isna(row.rval) else int(row.rval))
+            for row in exp.itertuples()
+        }
+        assert got_map == exp_map, f"tolerance={tol_spark}"
+
+
+def test_simhash_pigeonhole_equals_all_pairs(spark):
+    """Pigeonhole equi-join pairing must EXACTLY reproduce the all-pairs
+    theta join for every max_hamming (recall 1.0 by construction)."""
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choices(vocab, k=12))) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from scripts_toolkit_spark.ext.dedup import simhash16, simhash_pairs, word_shingles
+
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", simhash16(word_shingles("text")).alias("fp")).collect()
+    }
+    for max_hamming in (0, 1, 2, 3, 5):
+        expected = {
+            (a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in fps
+            for b in fps
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_hamming
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_pairs(df, max_hamming=max_hamming).collect()
+        }
+        assert got == expected, f"max_hamming={max_hamming}"
+
+
+def test_melt_pivot_roundtrip_random(spark):
+    """wide → EAV → wide must round-trip the float columns exactly on
+    random matrices (nulls are SKIPPED in the store and come back null)."""
+    rng = random.Random(3)
+    cols = ["m1", "m2", "m3"]
+    rows = []
+    for rssd in range(40):
+        vals = [
+            None if rng.random() < 0.25 else round(rng.uniform(-1e6, 1e6), 2)
+            for _ in cols
+        ]
+        rows.append((rssd, *vals))
+    wide = spark.createDataFrame(rows, "rssd long, m1 double, m2 double, m3 double")
+
+    from scripts_toolkit_spark.operators.reshape import melt_to_eav, pivot_from_eav
+
+    eav = melt_to_eav(wide, {c: "float" for c in cols}, quarter=20240331)
+    back = pivot_from_eav(eav, cols)
+    got = {r["rssd"]: (r["m1"], r["m2"], r["m3"]) for r in back.collect()}
+    for rssd, *vals in rows:
+        if all(v is None for v in vals):
+            assert rssd not in got  # fully-null rows never reach the store
+        else:
+            assert got[rssd] == tuple(vals)

@@ -179,11 +179,55 @@ def deterministic_centroids(
     )
 
 
+def refine_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the coarse centroids: assign each
+    vector to its nearest centroid (same deterministic dot), recompute
+    each cell's centroid as the element-wise mean via posexplode →
+    per-(cell, position) partial-aggregated avg → array re-assembly. Empty
+    cells keep their previous centroid.
+
+    Scale shape: the mean is a map-side-combined hash aggregate over
+    (cell_id, pos) — N×dim skinny rows, never a per-cell collect.
+    Determinism note: a distributed float mean is summation-order-dependent
+    in the last bits, so the REFINED path is a model-building library
+    routine (recall-tested); the oracle-gated demo query keeps the seeded
+    centroids whose pipeline is bit-reproducible."""
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.select("cell_id", F.posexplode(vec_col))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.join(means, "cell_id", "left")
+            .select(
+                "cell_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint()
+        )
+    return centroids
+
+
 def ivf_topk(
     vectors: DataFrame,
     n_cells: int = 16,
     n_probe: int = 2,
     k: int = 3,
+    refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -192,9 +236,11 @@ def ivf_topk(
     The join is equi-keyed on cell_id — no cross join; candidate volume
     ≈ N²·n_probe/n_cells."""
     cents = deterministic_centroids(vectors, n_cells, id_col, vec_col)
-    # lineage-cut: centroids come from a window over the corpus; without a
-    # checkpoint the assign step would re-plan that window per join leg
+    # lineage-cut: centroids derive from a corpus scan; without a
+    # checkpoint the assign step would re-plan that scan per join leg
     cents = cents.localCheckpoint()
+    if refine_iters:
+        cents = refine_centroids(vectors, cents, refine_iters, id_col, vec_col)
     assigned = ivf_assign(vectors, cents, n_probe, id_col, vec_col).localCheckpoint()
     corpus = assigned.where(F.col("is_home")).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
@@ -214,6 +260,33 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4× embedding-storage
+    cut a 100 TB vector corpus wants: scale = max|v|/127,
+    q[i] = round(v[i]/scale) ∈ [-127, 127]. Deterministic (double divide +
+    round-half-away-from-zero, identical in Spark and DuckDB), so
+    quantization is oracle-replayable; search re-ranks on the dequantized
+    image q[i]·scale."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    cols = [c for c in vectors.columns if c != id_col] if keep_vec else []
+    return vectors.select(
+        F.col(id_col),
+        *cols,
+        scale.alias("q_scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("int")).alias("q"),
+    )
+
+
+def dequantize(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda x: x.cast("double") * scale)
 
 
 def lsh_topk(

@@ -235,6 +235,46 @@ SELECT * FROM scored WHERE jaccard >= 0.2
 """
 
 
+def embedding_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization fidelity report per vector: the scale, the cosine
+    between the original and its dequantized image, and the max absolute
+    element error — the acceptance check a pipeline runs before switching
+    its 100 TB vector store to int8 (4× smaller, ~0.9999 cosine here).
+    One projection, no join; oracle replays quantization exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = SIM.quantize_embeddings(emb, keep_vec=True)  # one scan, no self-join
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    deq = SIM.dequantize(F.col("q"), F.col("q_scale"))
+    return qt.select(
+        "vec_id",
+        "q_scale",
+        cosine(v, deq).alias("cos_fidelity"),
+        F.array_max(F.zip_with(v, deq, lambda a, b: F.abs(a - b))).alias("max_abs_err"),
+    )
+
+
+EMBEDDING_QUANTIZATION_STATS_SQL = """
+WITH qt AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale,
+    embedding
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id, q_scale,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE) / q_scale) * q_scale) AS d
+  FROM qt
+)
+SELECT vec_id, q_scale,
+  list_reduce(list_transform(range(1, 65), i -> v[i] * d[i]), (x, y) -> x + y)
+  / (sqrt(list_reduce(list_transform(range(1, 65), i -> v[i] * v[i]), (x, y) -> x + y))
+   * sqrt(list_reduce(list_transform(range(1, 65), i -> d[i] * d[i]), (x, y) -> x + y))) AS cos_fidelity,
+  list_max(list_transform(range(1, 65), i -> abs(v[i] - d[i]))) AS max_abs_err
+FROM deq
+"""
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event_type (Spark `percentile` ↔
     DuckDB `quantile_cont` — same linear-interpolation definition over the

@@ -107,6 +107,11 @@ from scripts_toolkit_spark.plans import ext_demos2 as x2
 register("embedding_near_dup_pairs", x2.embedding_near_dup_pairs, x2.EMBEDDING_NEAR_DUP_PAIRS_SQL)
 register("char_ngram_jaccard", x2.char_ngram_jaccard, x2.CHAR_NGRAM_JACCARD_SQL)
 register("value_percentiles", x2.value_percentiles, x2.VALUE_PERCENTILES_SQL)
+register(
+    "embedding_quantization_stats",
+    x2.embedding_quantization_stats,
+    x2.EMBEDDING_QUANTIZATION_STATS_SQL,
+)
 register("grouping_sets_revenue", x2.grouping_sets_revenue, x2.GROUPING_SETS_REVENUE_SQL)
 
 # ---- F9 date parsing + sentinel semantics ----------------------------------

@@ -125,6 +125,44 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_kmeans_refinement_recall(spark, sf_dir):
+    """Lloyd-refined centroids must keep IVF recall at least competitive
+    with the seeded pick (refinement tightens cells around real density)."""
+    from scripts_toolkit_spark.ext.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(df):
+        a = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(e & a) / len(e)
+
+    seeded = recall(ivf_topk(emb, n_cells=8, n_probe=3, k=3))
+    refined = recall(ivf_topk(emb, n_cells=8, n_probe=3, k=3, refine_iters=2))
+    assert refined >= 0.4
+    assert refined >= seeded - 0.05, f"refined {refined:.2f} vs seeded {seeded:.2f}"
+
+
+def test_quantized_search_fidelity(spark, sf_dir):
+    """int8-dequantized brute-force top-3 must nearly reproduce the exact
+    float ranking (storage 4x down, recall ~1.0 on unit vectors)."""
+    from pyspark.sql import functions as F2
+    from scripts_toolkit_spark.ext.similarity import (
+        brute_force_topk as bf,
+        dequantize,
+        quantize_embeddings,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    deq = quantize_embeddings(emb).select(
+        "vec_id", dequantize(F2.col("q"), F2.col("q_scale")).alias("embedding")
+    ).localCheckpoint()
+    e = {(r["query_id"], r["neighbor_id"]) for r in bf(emb, emb, k=3).collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in bf(deq, deq, k=3).collect()}
+    assert len(e & a) / len(e) >= 0.95
+
+
 def test_frame_sampling_plumbing(spark, sf_dir):
     from scripts_toolkit_spark.ext.multimodal import sample_frames
 

@@ -140,6 +140,67 @@ FROM documents
 """
 
 
+# context-window chunking: 64-token windows, 16-token overlap (stride 48)
+_CHUNK, _OVERLAP = 64, 16
+_STRIDE = _CHUNK - _OVERLAP
+
+
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the standard pre-tokenization segmentation
+    for LLM training: tokenize (BPE-ish regex, same TOKEN_PATTERN as
+    text_stats), slice into 64-token windows advancing 48 tokens (16-token
+    overlap), re-join each window. One projection + explode, all native
+    Catalyst (regexp_extract_all / sequence / slice / array_join) — scales
+    as a narrow map over the corpus, no shuffle at all."""
+    from scripts_toolkit_spark.ext.text import TOKEN_PATTERN
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_PATTERN), 0)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(_OVERLAP)).cast("double") / F.lit(_STRIDE)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.array_join(F.slice(toks, i * _STRIDE + 1, _CHUNK), " ").alias("chunk_text"),
+            F.least(n - i * _STRIDE, F.lit(_CHUNK)).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    return (
+        d.select("doc_id", n.alias("n_tokens"), F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+            F.col("c.chunk_text").alias("chunk_text"),
+        )
+    )
+
+
+DOCUMENT_CHUNKS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 \\t\\n]') AS toks
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    greatest(CAST(ceil(CAST(len(toks) - {_OVERLAP} AS DOUBLE) / {_STRIDE}) AS INT), 1) AS n_chunks
+  FROM base
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+  CAST(i AS INT) AS chunk_no,
+  CAST(least(n_tokens - i * {_STRIDE}, {_CHUNK}) AS INT) AS n_chunk_tokens,
+  array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text
+FROM sized, UNNEST(range(n_chunks)) AS t(i)
+"""
+
+
 def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary stats: top-50 tokens by document frequency and
     total count (deterministic tiebreak on the token) — the explode →

@@ -145,6 +145,7 @@ register("canonical_text_dedup", cd.canonical_text_dedup, cd.CANONICAL_TEXT_DEDU
 register("corpus_prep_pipeline", cd.corpus_prep_pipeline, cd.CORPUS_PREP_PIPELINE_SQL)
 register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
 register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
+register("document_chunks", cd.document_chunks, cd.DOCUMENT_CHUNKS_SQL)
 
 # ---- remaining classic TPC-H shapes (Q7/Q8/Q9/Q10/Q12/Q19 analogs) ---------
 from scripts_toolkit_spark.plans import analytics4 as a4

@@ -183,7 +183,61 @@ def assemble_taxonomy(classified: DataFrame, labels: DataFrame | None = None) ->
     )
 
 
-def attach_references(assembled: DataFrame, refs: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list (the dedup-cluster
+    step a production pipeline runs after near-dup pair mining): returns
+    (node, component) where component = the smallest node id reachable.
+
+    Min-label propagation to fixpoint: every node starts labeled with
+    itself; each iteration joins labels across edges and keeps the minimum
+    of (own, neighbors'). One shuffled equi-join + one groupBy per
+    iteration, `localCheckpoint` between (same discipline as
+    expand_paths); converges in O(component diameter) iterations — for
+    near-dup clusters (tiny diameters) a handful. For adversarially long
+    chains the star-contraction variant halves diameters per round; this
+    direct form keeps the plan simple and the semantics obvious.
+    """
+    und = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["v"] == labels["node"])
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("n_comp"), F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = not updated.where(F.col("_changed")).isEmpty()
+        labels = updated.drop("_changed")
+        if not changed:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
     """G5 final merge (reference :246-256): reference-linkbase rows
     (concept, schedule, line, column) attach as a {line, column} struct per
     (concept, schedule) — a broadcast left join (the reference mutates

@@ -115,6 +115,46 @@ WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
 """
 
 
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step AFTER pair mining that a production dedup pipeline needs:
+    minhash near-dup pairs → CONNECTED COMPONENTS → one row per duplicate
+    cluster with its survivor (min doc_id), size, and sorted members.
+    Components via distributed min-label propagation
+    (operators/graph.connected_components); the oracle recomputes the same
+    clusters with a recursive transitive-closure CTE."""
+    from scripts_toolkit_spark.operators.graph import connected_components
+
+    pairs = minhash_near_dups(spark, sf_dir).localCheckpoint()
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min("node").alias("survivor_id"),
+        F.array_sort(F.collect_list("node")).alias("members"),
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_NEAR_DUPS_SQL}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT component AS cluster_id,
+       COUNT(*) AS size,
+       MIN(node) AS survivor_id,
+       list_sort(list(node)) AS members
+FROM comp
+GROUP BY component
+"""
+
+
 # ---------------------------------------------------------------- simhash --
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document (md5-bit sign sums).

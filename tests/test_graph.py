@@ -92,3 +92,22 @@ def test_classify_and_assemble(spark):
     # JSON export carries the nesting
     js = {r["concept"]: r["json"] for r in G.taxonomy_json(assembled).collect()}
     assert "Balance Sheet" in js["cc_RCON2170"] and "Securities" in js["cc_RCON2170"]
+
+
+def test_connected_components_shapes(spark):
+    """Chains, triangles, and disjoint pairs must all resolve to the
+    min-id component label; convergence takes diameter-many iterations."""
+    from scripts_toolkit_spark.operators.graph import connected_components
+
+    pairs = [
+        (5, 3), (3, 9), (9, 7),        # chain: component 3
+        (20, 21), (21, 22), (22, 20),  # triangle: component 20
+        (40, 41),                      # pair: component 40
+    ]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {
+        5: 3, 3: 3, 9: 3, 7: 3,
+        20: 20, 21: 20, 22: 20,
+        40: 40, 41: 40,
+    }

@@ -299,6 +299,79 @@ GROUP BY event_type
 """
 
 
+# HLL sketch geometry: 64 registers from the first md5 byte, rank from the
+# next 48 bits. All register updates are MAX aggregates (map-side
+# combinable — the property that makes sketched cardinality feasible at
+# 100 TB where exact distinct shuffles every key).
+_HLL_M = 64
+_HLL_ALPHA = 0.709  # alpha_64 constant
+
+
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog cardinality estimate per event_type,
+    reported next to the exact distinct count.
+
+    Unlike `approx_count_distinct` (whose sketch is engine-private), the
+    registers here derive from md5 — register = first byte mod 64, rank =
+    leading-zero count of the next 48 bits via `length(bin(w))` — so any
+    engine reproduces the estimate BIT-FOR-BIT and the oracle gate applies
+    to an approximate algorithm. The register sum is a sum of exact powers
+    of two spanning < 53 bits of mantissa, hence order-independent. (The
+    standard small/large-range ln corrections are intentionally omitted —
+    transcendental libm results are not cross-engine bit-stable; the raw
+    estimate is the deterministic contract.)"""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.md5(F.col("user_id").cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    regs = (
+        ev.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    sketch = regs.groupBy("event_type").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s_hit"),
+        F.count(F.lit(1)).alias("n_hit"),
+    )
+    exact = ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    return exact.join(sketch, "event_type").select(
+        "event_type",
+        "n_exact",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+            / (F.col("s_hit") + (F.lit(_HLL_M) - F.col("n_hit")))
+        ).alias("hll_estimate"),
+        F.col("n_hit").cast("int").alias("n_registers_hit"),
+    )
+
+
+HLL_DISTINCT_USERS_SQL = f"""
+WITH r AS (
+  SELECT event_type,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % {_HLL_M} AS reg,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12)) AS BIGINT) AS w
+  FROM events
+),
+m AS (
+  SELECT event_type, reg,
+    MAX(CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END) AS mx
+  FROM r GROUP BY event_type, reg
+),
+sk AS (
+  SELECT event_type, SUM(power(2.0, -mx)) AS s_hit, COUNT(*) AS n_hit
+  FROM m GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT event_type, n_exact,
+  {_HLL_ALPHA * _HLL_M * _HLL_M} / (s_hit + ({_HLL_M} - n_hit)) AS hll_estimate,
+  CAST(n_hit AS INT) AS n_registers_hit
+FROM ex JOIN sk USING (event_type)
+"""
+
+
 def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS with grouping_id disambiguation (A7): totals
     by (status, priority) and by (status) only — not the full rollup."""

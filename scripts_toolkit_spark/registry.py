@@ -113,6 +113,7 @@ register(
     x2.embedding_quantization_stats,
     x2.EMBEDDING_QUANTIZATION_STATS_SQL,
 )
+register("hll_distinct_users", x2.hll_distinct_users, x2.HLL_DISTINCT_USERS_SQL)
 register("grouping_sets_revenue", x2.grouping_sets_revenue, x2.GROUPING_SETS_REVENUE_SQL)
 
 # ---- F9 date parsing + sentinel semantics ----------------------------------

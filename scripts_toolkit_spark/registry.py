@@ -116,6 +116,12 @@ register(
 register("hll_distinct_users", x2.hll_distinct_users, x2.HLL_DISTINCT_USERS_SQL)
 register("grouping_sets_revenue", x2.grouping_sets_revenue, x2.GROUPING_SETS_REVENUE_SQL)
 
+# ---- event analytics: cohorts + funnel -------------------------------------
+from scripts_toolkit_spark.plans import events_demos as ed
+
+register("user_retention_cohorts", ed.user_retention_cohorts, ed.USER_RETENTION_COHORTS_SQL)
+register("conversion_funnel", ed.conversion_funnel, ed.CONVERSION_FUNNEL_SQL)
+
 # ---- F9 date parsing + sentinel semantics ----------------------------------
 from scripts_toolkit_spark.plans import date_demos as dd2
 

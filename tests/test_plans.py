@@ -43,6 +43,22 @@ def test_near_dup_plans_have_no_all_pairs_join(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_document_chunks_is_narrow(spark, sf_dir):
+    """Chunking must stay a narrow map: no join, no aggregation; the only
+    exchange is the explicit CPU-spreading repartition."""
+    plan = _plan(spark, sf_dir, "document_chunks")
+    assert "Join" not in plan and "Aggregate" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+def test_hll_registers_partial_aggregate(spark, sf_dir):
+    """The sketch's register MAX must run partial→final (map-side combine)
+    — the property that keeps sketched cardinality cheap at scale."""
+    plan = _plan(spark, sf_dir, "hll_distinct_users")
+    assert "partial_max" in plan or "HashAggregate(keys=[event_type" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_melt_branches_prune_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "melt_wide_to_eav")
     # each unpivot branch reads only its own columns: the str branch must

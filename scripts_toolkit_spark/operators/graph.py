@@ -238,6 +238,9 @@ def connected_components(
         if not changed:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def attach_references(assembled: DataFrame, refs: DataFrame) -> DataFrame:
     """G5 final merge (reference :246-256): reference-linkbase rows
     (concept, schedule, line, column) attach as a {line, column} struct per
     (concept, schedule) — a broadcast left join (the reference mutates

@@ -30,11 +30,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType, BooleanType
 
 
-def profile_types(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, str]:
+def profile_types(
+    df: DataFrame, exclude: tuple[str, ...] = (), batch_size: int = 64
+) -> dict[str, str]:
     """Return {column → 'bool'|'int'|'float'|'str'} per reference semantics.
 
-    One aggregation job for all columns. `exclude` columns (ids, dates) are
-    skipped.
+    One aggregation job per `batch_size` numeric columns. Multi-distinct
+    aggregation plans an Expand (one row replica per distinct group, 4 per
+    column) — unbatched, a 5,000-column bank matrix would multiply every
+    row 20,000×; batches cap the blowup at 4×batch_size per scan while
+    keeping the job count O(columns/batch), still orders of magnitude
+    fewer passes than the reference's per-column loops. `exclude` columns
+    (ids, dates) are skipped.
     """
     numeric_cols: list[str] = []
     result: dict[str, str] = {}
@@ -54,26 +61,32 @@ def profile_types(df: DataFrame, exclude: tuple[str, ...] = ()) -> dict[str, str
     if not numeric_cols:
         return result
 
-    aggs = []
-    for c in numeric_cols:
-        # NaN → null to mirror pd.isnull (converter.py:39, 67)
-        v = F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c)) if _is_floating(df, c) else F.col(c)
-        aggs += [
-            F.count_distinct(v).alias(f"{c}__nd"),
-            F.min(v).alias(f"{c}__mn"),
-            F.max(v).alias(f"{c}__mx"),
-            F.sum_distinct(v).alias(f"{c}__sd"),
-        ]
-    row = df.agg(*aggs).collect()[0]
+    for start in range(0, len(numeric_cols), batch_size):
+        batch = numeric_cols[start : start + batch_size]
+        aggs = []
+        for c in batch:
+            # NaN → null to mirror pd.isnull (converter.py:39, 67)
+            v = (
+                F.when(F.isnan(F.col(c)), F.lit(None)).otherwise(F.col(c))
+                if _is_floating(df, c)
+                else F.col(c)
+            )
+            aggs += [
+                F.count_distinct(v).alias(f"{c}__nd"),
+                F.min(v).alias(f"{c}__mn"),
+                F.max(v).alias(f"{c}__mx"),
+                F.sum_distinct(v).alias(f"{c}__sd"),
+            ]
+        row = df.agg(*aggs).collect()[0]
 
-    for c in numeric_cols:
-        nd, mn, mx, sd = (row[f"{c}__nd"], row[f"{c}__mn"], row[f"{c}__mx"], row[f"{c}__sd"])
-        if nd == 2 and mn == 0 and mx == 1:
-            result[c] = "bool"
-        elif (sd or 0) % 1 == 0:
-            result[c] = "int"
-        else:
-            result[c] = "float"
+        for c in batch:
+            nd, mn, mx, sd = (row[f"{c}__nd"], row[f"{c}__mn"], row[f"{c}__mx"], row[f"{c}__sd"])
+            if nd == 2 and mn == 0 and mx == 1:
+                result[c] = "bool"
+            elif (sd or 0) % 1 == 0:
+                result[c] = "int"
+            else:
+                result[c] = "float"
     return result
 
 

@@ -173,13 +173,24 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    banded = g.select("doc_id", F.explode("bands").alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
-    )
+    banded = g.select(
+        "doc_id", F.size("gset").alias("n"), F.explode("bands").alias("b")
+    ).select("doc_id", "n", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    # LOSSLESS length prefilter (PPJoin-style): jaccard ≥ t forces
+    # min(|A|,|B|)/max(|A|,|B|) ≥ t, so the ratio check drops only pairs
+    # the exact verify would reject anyway — same results, far fewer
+    # full-array comparisons shuffled to the verify stage.
     cand = (
         banded.alias("x")
         .join(banded.alias("y"), ["band", "key"])
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .where(
+            (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.least(F.col("x.n"), F.col("y.n")).cast("double")
+                / F.greatest(F.col("x.n"), F.col("y.n"))
+                >= 0.2
+            )
+        )
         .select(F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b"))
         .distinct()
     )

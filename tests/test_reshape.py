@@ -78,3 +78,24 @@ def test_pivot_round_trip(spark):
     ).collect()
     by_id = {r["rssd"]: r["floats"] for r in wide}
     assert by_id[1] == 1.5 and by_id[2] == 2.25
+
+
+def test_profile_types_batching_equivalence(spark):
+    """Batched profiling (the wide-matrix scale path) must return exactly
+    the single-pass result regardless of batch size."""
+    from pyspark.sql import functions as F
+    from scripts_toolkit_spark.operators.profile import profile_types
+
+    # 101 rows: an odd count of +0.5 offsets keeps sum_distinct fractional,
+    # dodging the documented int-detector false-positive (profile.py:21)
+    df = spark.range(101).select(
+        *[
+            (F.col("id") * (i + 1) + (0.5 if i % 4 == 2 else 0)).alias(f"c{i}")
+            for i in range(20)
+        ],
+        (F.col("id") % 2).cast("double").alias("flag"),
+    )
+    full = profile_types(df)
+    for bs in (1, 3, 7, 64):
+        assert profile_types(df, batch_size=bs) == full
+    assert full["flag"] == "bool" and full["c2"] == "float" and full["c0"] == "int"

@@ -75,6 +75,55 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id bigint, out_w int, out_h int, resized binary, resize_backend string"
+)
+
+
+def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Image-resize plumbing: one resized payload row per media row, Arrow
+    batched. With PIL installed the backend is a real `Image.resize`
+    (bilinear); without it (this container) a deterministic byte-grid
+    subsample stands in — same schema, same batch shape, same dataflow, so
+    swapping in the real codec changes zero Spark-side code. The backend
+    used is reported per row (`resize_backend`) rather than silently
+    diverging."""
+
+    def _resize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # pragma: no cover - PIL absent in this container
+            from PIL import Image  # noqa: F401
+
+            backend = "pillow"
+        except ImportError:
+            Image, backend = None, "byte-grid-stub"
+
+        for pdf in pdf_iter:
+            rows = {"media_id": [], "out_w": [], "out_h": [], "resized": [], "resize_backend": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if Image is not None:  # pragma: no cover
+                    import io as _io
+
+                    img = Image.open(_io.BytesIO(blob)).resize((out_w, out_h))
+                    buf = _io.BytesIO()
+                    img.save(buf, format="PNG")
+                    out = buf.getvalue()
+                else:
+                    # deterministic stand-in: sample out_w*out_h bytes at an
+                    # even stride (an "image" resize over raw bytes)
+                    n = max(len(blob), 1)
+                    step = max(n // (out_w * out_h), 1)
+                    out = blob[::step][: out_w * out_h]
+                rows["media_id"].append(mid)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["resized"].append(out)
+                rows["resize_backend"].append(backend)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame_bytes binary, frame_digest string"
 
 

@@ -183,3 +183,19 @@ def test_frame_sampling_plumbing(spark, sf_dir):
             chunk = blob[g["frame_no"] * 50 : (g["frame_no"] + 1) * 50]
             assert bytes(g["frame_bytes"]) == chunk
             assert g["frame_digest"] == hashlib.md5(chunk).hexdigest()
+
+
+def test_resize_media_plumbing(spark, sf_dir):
+    from scripts_toolkit_spark.ext.multimodal import binary_table_from_text, resize_media
+
+    d = load_table(spark, sf_dir, "documents").limit(8)
+    media = binary_table_from_text(d, "doc_id", "text")
+    rows = {r["media_id"]: r for r in resize_media(media, out_w=8, out_h=4).collect()}
+    texts = {r["doc_id"]: r["text"].encode() for r in d.collect()}
+    for mid, blob in texts.items():
+        r = rows[mid]
+        assert (r["out_w"], r["out_h"]) == (8, 4)
+        assert r["resize_backend"] in ("pillow", "byte-grid-stub")
+        if r["resize_backend"] == "byte-grid-stub":
+            step = max(len(blob) // 32, 1)
+            assert bytes(r["resized"]) == blob[::step][:32]

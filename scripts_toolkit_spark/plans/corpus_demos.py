@@ -140,6 +140,39 @@ FROM documents
 """
 
 
+def corpus_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10 by md5 bucket of
+    doc_id — reproducible under reruns, repartitioning, and engine choice,
+    which `randomSplit` is not), reported as counts per (lang, split).
+    The assignment column itself is what a pipeline materializes; the
+    grouped counts keep the demo result compact."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+CORPUS_SPLIT_COUNTS_SQL = """
+SELECT lang,
+  CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split,
+  COUNT(*) AS n_docs
+FROM (
+  SELECT lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+  FROM documents
+)
+GROUP BY lang, CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END
+"""
+
+
 # context-window chunking: 64-token windows, 16-token overlap (stride 48)
 _CHUNK, _OVERLAP = 64, 16
 _STRIDE = _CHUNK - _OVERLAP

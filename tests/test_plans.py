@@ -51,6 +51,14 @@ def test_document_chunks_is_narrow(spark, sf_dir):
     assert plan.count("Exchange") <= 1
 
 
+def test_waiting_suppliers_semi_anti_equi_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must plan as equi-keyed semi/anti joins —
+    the supplier inequality rides the join condition, never a nested loop."""
+    plan = _plan(spark, sf_dir, "waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_hll_registers_partial_aggregate(spark, sf_dir):
     """The sketch's register MAX must run partial→final (map-side combine)
     — the property that keeps sketched cardinality cheap at scale."""

@@ -1,0 +1,58 @@
+"""Incremental streaming near-dup == one-shot batch near-dup.
+
+Documents arrive across several files; the foreachBatch pipeline joins
+each micro-batch against the persisted signature store. The emitted pair
+set must equal `minhash_lsh_pairs` over the full corpus in one shot —
+including pairs that SPAN micro-batches (the case a naive per-batch dedup
+misses entirely)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.ext.dedup import minhash_lsh_pairs
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.streaming.dedup_stream import start_incremental_dedup
+
+
+def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(120)
+    dup = docs.limit(40).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    corpus = docs.unionByName(dup)
+
+    # land originals and perturbed copies in SEPARATE files so near-dup
+    # pairs span micro-batches
+    src = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.mode("append").parquet(src)
+    dup.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_dedup(
+        stream,
+        store_path=str(tmp_path / "sig_store"),
+        pairs_path=str(tmp_path / "pairs_out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        perms=8,
+        bands=4,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(str(tmp_path / "pairs_out")).collect()
+    }
+    expected = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(corpus, perms=8, bands=4, jaccard_threshold=0.5).collect()
+    }
+    assert got == expected
+    # and the planted cross-batch pairs are actually present
+    cross = {(a, b) for (a, b) in expected if b >= 1000000 and a < 1000000}
+    assert cross and cross <= got

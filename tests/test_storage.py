@@ -75,3 +75,40 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     a = {r["p_brand"]: (r["q"], r["n"]) for r in plain.collect()}
     b = {r["p_brand"]: (r["q"], r["n"]) for r in salted.collect()}
     assert a == b
+
+
+def test_eav_store_schema_evolution(spark, tmp_path):
+    """The EAV layout's core promise: a NEW attribute appearing next
+    quarter needs no schema migration — it lands as new rows, the store
+    schema never changes, and per-quarter reads see exactly their columns
+    after pivoting."""
+    q1_wide = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "rssd long, totalprice double"
+    )
+    q2_wide = spark.createDataFrame(
+        [(1, 11.0, 5.0), (2, 21.0, 6.0)], "rssd long, totalprice double, newmetric double"
+    )
+    path = str(tmp_path / "evolving_store")
+    melt_to_eav(q1_wide, {"totalprice": "float"}, 20240331).write.mode("append").partitionBy(
+        "quarter"
+    ).parquet(path)
+    melt_to_eav(
+        q2_wide, {"totalprice": "float", "newmetric": "float"}, 20240630
+    ).write.mode("append").partitionBy("quarter").parquet(path)
+
+    store = spark.read.parquet(path)
+    # schema identical across quarters despite the new attribute
+    assert {r["mdrm"] for r in store.where(F.col("quarter") == 20240331).collect()} == {
+        "totalprice"
+    }
+    assert {r["mdrm"] for r in store.where(F.col("quarter") == 20240630).collect()} == {
+        "totalprice",
+        "newmetric",
+    }
+    from scripts_toolkit_spark.operators.reshape import pivot_from_eav
+
+    q2_back = pivot_from_eav(
+        store.where(F.col("quarter") == 20240630), ["totalprice", "newmetric"]
+    )
+    got = {r["rssd"]: (r["totalprice"], r["newmetric"]) for r in q2_back.collect()}
+    assert got == {1: (11.0, 5.0), 2: (21.0, 6.0)}

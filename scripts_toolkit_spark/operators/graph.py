@@ -193,14 +193,14 @@ def connected_components(
     step a production pipeline runs after near-dup pair mining): returns
     (node, component) where component = the smallest node id reachable.
 
-    Min-label propagation to fixpoint: every node starts labeled with
-    itself; each iteration joins labels across edges and keeps the minimum
-    of (own, neighbors'). One shuffled equi-join + one groupBy per
-    iteration, `localCheckpoint` between (same discipline as
-    expand_paths); converges in O(component diameter) iterations — for
-    near-dup clusters (tiny diameters) a handful. For adversarially long
-    chains the star-contraction variant halves diameters per round; this
-    direct form keeps the plan simple and the semantics obvious.
+    Min-label propagation + POINTER HALVING to fixpoint: every node starts
+    labeled with itself; each round (1) takes the min of (own, neighbors')
+    labels across edges, then (2) shortcuts through its own label's label
+    (`component ← label(component)`). The shortcut halves label-chain
+    lengths every round, so convergence is O(log diameter) — a 300-node
+    chain closes in ~9 rounds where plain propagation needs 299 (the
+    star-contraction family's trick, in two equi-joins + one groupBy per
+    round, `localCheckpoint` between — same discipline as expand_paths).
     """
     und = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
@@ -220,22 +220,35 @@ def connected_components(
             .groupBy(F.col("u").alias("node"))
             .agg(F.min("component").alias("n_comp"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer halving: labels are node ids, so re-join the stepped
+        # mapping against itself and follow one hop
+        hop = stepped.select(
+            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(hop, stepped["component"] == hop["c_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                    F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
                 ).alias("component"),
-                (F.coalesce(F.col("n_comp"), F.col("component")) < F.col("component")).alias(
-                    "_changed"
-                ),
             )
             .localCheckpoint()
         )
-        changed = not updated.where(F.col("_changed")).isEmpty()
-        labels = updated.drop("_changed")
-        if not changed:
+        changed = (
+            labels.alias("o")
+            .join(updated.alias("nw"), "node")
+            .where(F.col("o.component") != F.col("nw.component"))
+        )
+        done = changed.isEmpty()
+        labels = updated
+        if done:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 

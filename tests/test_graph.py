@@ -111,3 +111,14 @@ def test_connected_components_shapes(spark):
         20: 20, 21: 20, 22: 20,
         40: 40, 41: 40,
     }
+
+
+def test_connected_components_long_chain(spark):
+    """Pointer halving must close a 300-node chain within the iteration cap
+    (plain propagation would need 299 rounds)."""
+    from scripts_toolkit_spark.operators.graph import connected_components
+
+    pairs = [(i, i + 1) for i in range(300)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert set(got.values()) == {0} and len(got) == 301

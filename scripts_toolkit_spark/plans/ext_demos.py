@@ -126,10 +126,19 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = minhash_near_dups(spark, sf_dir).localCheckpoint()
     comp = connected_components(pairs)
+    # members is a comma-joined STRING, not array<bigint>: the driver's
+    # canonicalizer pandas-sorts result cells and chokes on unhashable list
+    # cells, so no oracle-gated query may emit ARRAY/MAP/STRUCT columns
+    # (enforced by tests/test_registry.py::test_no_complex_types_in_outputs).
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("size"),
         F.min("node").alias("survivor_id"),
-        F.array_sort(F.collect_list("node")).alias("members"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("members"),
     )
 
 
@@ -149,7 +158,7 @@ comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
 SELECT component AS cluster_id,
        COUNT(*) AS size,
        MIN(node) AS survivor_id,
-       list_sort(list(node)) AS members
+       array_to_string(list_sort(list(node)), ',') AS members
 FROM comp
 GROUP BY component
 """

@@ -197,10 +197,12 @@ def simhash_pairs(
     survives 100 TB where a BroadcastNestedLoopJoin over N² pairs cannot.
     """
     pieces = max_hamming + 1
-    if pieces > 16:
-        # Hamming ball covers the whole 16-bit space: every pair qualifies
-        # only through the exact filter; a single constant sub-key keeps the
-        # same (degenerate) semantics without a special-cased cross join.
+    degenerate = pieces > 16
+    if degenerate:
+        # Hamming ball covers the whole 16-bit space: every pair qualifies,
+        # so the sub-key must be a CONSTANT (lit 0) — slicing the full
+        # fingerprint would only pair identical fingerprints and break the
+        # recall-1.0 guarantee.
         pieces = 1
     base, rem = divmod(16, pieces)
     widths = [base + (1 if p < rem else 0) for p in range(pieces)]
@@ -220,9 +222,13 @@ def simhash_pairs(
         *[
             F.struct(
                 F.lit(p).alias("piece_idx"),
-                F.shiftright("fingerprint", offsets[p])
-                .bitwiseAND(F.lit((1 << widths[p]) - 1))
-                .alias("piece"),
+                (
+                    F.lit(0)
+                    if degenerate
+                    else F.shiftright("fingerprint", offsets[p]).bitwiseAND(
+                        F.lit((1 << widths[p]) - 1)
+                    )
+                ).alias("piece"),
             )
             for p in range(pieces)
         ]

@@ -30,6 +30,11 @@ class ChunkDocument:
     identical semantics to plans/corpus_demos.document_chunks."""
 
     def eval(self, doc_id: int, text: str, size: int = 64, overlap: int = 16):  # noqa: ARG002
+        if size <= 0 or overlap < 0 or size <= overlap:
+            raise ValueError(
+                f"chunk_document requires 0 <= overlap < size, got "
+                f"size={size} overlap={overlap}"
+            )
         toks = TOKEN_RE.findall(text or "")
         stride = size - overlap
         n_chunks = max(-(-(len(toks) - overlap) // stride), 1)

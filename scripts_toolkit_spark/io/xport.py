@@ -74,6 +74,13 @@ def ieee_to_ibm(x: float) -> bytes:
     if frac >= 1 << 56:  # rounding overflow: renormalize
         frac >>= 4
         exp += 1
+    # IBM hex float exponent is 7 bits biased by 64: exp ∈ [-64, 63].
+    # Beyond ~7.2e75 the biased exponent would overflow into the sign bit
+    # (silent corruption); below 16^-65 the value is a clean underflow to 0.
+    if exp > 63:
+        raise OverflowError(f"|{x}| exceeds IBM hex-float range (~7.2e75)")
+    if exp < -64:
+        return b"\x00" * 8
     return bytes([sign | (exp + 64)]) + frac.to_bytes(7, "big")
 
 
@@ -276,13 +283,16 @@ def write_xport(
 
     recs.append(_pad(_OBS_HEADER + b"000000000000000000000000000000"))
     obs = b""
+    # index rows by the ORIGINAL column names (variables[i] was built from
+    # df.columns[i]); v.name is uppercased/truncated and need not match any
+    # real column (e.g. mixed-case 'Rssd')
     for _, row in df.iterrows():
-        for v in variables:
+        for v, src_col in zip(variables, df.columns):
             if v.is_numeric:
-                val = row[v.name] if v.name in row.index else row[v.name.lower()]
+                val = row[src_col]
                 obs += ieee_to_ibm(float(val) if val is not None else math.nan)
             else:
-                raw = row[v.name] if v.name in row.index else row[v.name.lower()]
+                raw = row[src_col]
                 obs += str(raw or "").encode(encoding).ljust(v.length, b" ")[: v.length]
     if len(obs) % RECORD:
         obs += b" " * (RECORD - len(obs) % RECORD)

@@ -19,16 +19,28 @@ join is band-key equi-keyed exactly like the batch plan). Dedup semantics
 match the batch pipeline run over the same files in one shot: pair
 (a, b) is found when the LATER document's batch arrives — asserted by
 the stream==batch equivalence test.
+
+Exactly-once OUTPUT despite at-least-once foreachBatch execution: both
+sinks are partitioned by batch_id and written with dynamic-partition
+OVERWRITE, so a batch replayed after a crash (e.g. between the pairs
+write and the checkpoint commit) rewrites its own partition instead of
+appending duplicates; and the old-vs-new join reads only store rows with
+batch_id < current, so a replay never sees its own half-written
+signatures as "old" corpus.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.ext.dedup import lsh_bands, minhash_signature, word_shingles
 
-SIG_SCHEMA = "doc_id bigint, sset array<string>, bands array<struct<band:int,key:string>>"
+SIG_SCHEMA = (
+    "doc_id bigint, sset array<string>, "
+    "bands array<struct<band:int,key:string>>, batch_id bigint"
+)
 
 
 def _signatures(docs: DataFrame, text_col: str, id_col: str,
@@ -62,11 +74,9 @@ def _verify(cand: DataFrame, threshold: float) -> DataFrame:
     )
 
 
-def start_incremental_dedup(
-    doc_stream: DataFrame,
+def make_batch_processor(
     store_path: str,
     pairs_path: str,
-    checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
@@ -74,9 +84,9 @@ def start_incremental_dedup(
     bands: int = 4,
     jaccard_threshold: float = 0.5,
 ):
-    """Start the incremental dedup query (availableNow-style callers drive
-    it to completion with awaitTermination). Emits verified pairs with
-    id_a < id_b exactly once per pair."""
+    """Build the foreachBatch callable. Exposed so the replay-idempotency
+    test can invoke the same (batch, batch_id) twice and assert the
+    committed output is unchanged."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -85,9 +95,12 @@ def start_incremental_dedup(
 
         try:
             store = spark.read.schema(SIG_SCHEMA).parquet(store_path)
-            old_banded = _banded(store)
-        except Exception:  # first batch: no store yet
+        except AnalysisException:  # first batch: store path not created yet
             old_banded = None
+        else:
+            # replay safety: a retried batch must not see its own (or any
+            # later, partially-committed) signatures as "old" corpus
+            old_banded = _banded(store.where(F.col("batch_id") < F.lit(batch_id)))
 
         n = new_banded.select(
             F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"), "band", "key"
@@ -129,11 +142,55 @@ def start_incremental_dedup(
             cands = cands.select("id_a", "id_b", "set_a", "set_b")
 
         pairs = _verify(cands.dropDuplicates(["id_a", "id_b"]), jaccard_threshold)
-        pairs.write.mode("append").parquet(pairs_path)
-        sig.write.mode("append").parquet(store_path)
+        # idempotent per batch_id: dynamic-partition overwrite replaces only
+        # this batch's partition on replay (never other batches' output)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(pairs_path)
+        )
+        (
+            sig.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store_path)
+        )
 
+    return _process
+
+
+def start_incremental_dedup(
+    doc_stream: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    perms: int = 16,
+    bands: int = 4,
+    jaccard_threshold: float = 0.5,
+):
+    """Start the incremental dedup query (availableNow-style callers drive
+    it to completion with awaitTermination). The committed pairs output
+    contains each verified pair (id_a < id_b) exactly once: foreachBatch
+    replays are absorbed by the per-batch_id dynamic-partition overwrite
+    (see module docstring)."""
+    process = make_batch_processor(
+        store_path,
+        pairs_path,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        perms=perms,
+        bands=bands,
+        jaccard_threshold=jaccard_threshold,
+    )
     return (
-        doc_stream.writeStream.foreachBatch(_process)
+        doc_stream.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.ext.dedup import minhash_lsh_pairs
 from scripts_toolkit_spark.io.catalog import load_table
-from scripts_toolkit_spark.streaming.dedup_stream import start_incremental_dedup
+from scripts_toolkit_spark.streaming.dedup_stream import (
+    make_batch_processor,
+    start_incremental_dedup,
+)
 
 
 def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
@@ -56,3 +59,38 @@ def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     # and the planted cross-batch pairs are actually present
     cross = {(a, b) for (a, b) in expected if b >= 1000000 and a < 1000000}
     assert cross and cross <= got
+
+
+def test_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch (crash between the
+    pairs write and the checkpoint commit) must not duplicate pairs or
+    store signatures."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    dup = docs.limit(20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat("text", F.lit(" tail")).alias("text"),
+    )
+    process = make_batch_processor(
+        store_path=str(tmp_path / "sig_store"),
+        pairs_path=str(tmp_path / "pairs_out"),
+        perms=8,
+        bands=4,
+    )
+    process(docs, 0)
+    process(dup, 1)
+
+    def snapshot():
+        pairs = sorted(
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(str(tmp_path / "pairs_out")).collect()
+        )
+        sigs = sorted(
+            (r["doc_id"], r["batch_id"])
+            for r in spark.read.parquet(str(tmp_path / "sig_store")).collect()
+        )
+        return pairs, sigs
+
+    first = snapshot()
+    assert first[0], "expected some near-dup pairs before replay"
+    process(dup, 1)  # replay the last batch
+    assert snapshot() == first

@@ -111,7 +111,9 @@ def test_simhash_pigeonhole_equals_all_pairs(spark):
         r["doc_id"]: r["fp"]
         for r in df.select("doc_id", simhash16(word_shingles("text")).alias("fp")).collect()
     }
-    for max_hamming in (0, 1, 2, 3, 5):
+    # 16 exercises the degenerate clamp (ball covers the whole space →
+    # constant sub-key must yield ALL pairs, not just identical fingerprints)
+    for max_hamming in (0, 1, 2, 3, 5, 16):
         expected = {
             (a, b, bin(fps[a] ^ fps[b]).count("1"))
             for a in fps

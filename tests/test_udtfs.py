@@ -28,3 +28,16 @@ def test_chunk_document_udtf_matches_native(spark, sf_dir):
         if r["doc_id"] in ids
     }
     assert got == native and len(got) > 50
+
+
+def test_chunk_document_rejects_bad_window_params():
+    import pytest
+
+    from scripts_toolkit_spark.functions.udtfs import ChunkDocument
+
+    chunker = ChunkDocument.func()  # unwrap the @udtf-decorated class
+    for size, overlap in [(16, 16), (8, 16), (0, 0), (-4, 0), (8, -1)]:
+        with pytest.raises(ValueError, match="overlap"):
+            list(chunker.eval(1, "a b c", size, overlap))
+    # valid params still chunk
+    assert list(chunker.eval(1, "a b c d", 2, 1))

@@ -27,6 +27,28 @@ def test_ibm_double_roundtrip_exact(x):
     assert ibm_to_ieee(ieee_to_ibm(x)) == x
 
 
+def test_ibm_exponent_range_edges():
+    # IBM hex float tops out near 16^63 ≈ 7.2e75: overflow must raise, not
+    # silently corrupt the sign byte; extreme underflow encodes clean zero
+    big_ok = 16.0**62
+    assert ibm_to_ieee(ieee_to_ibm(big_ok)) == big_ok
+    with pytest.raises(OverflowError):
+        ieee_to_ibm(1e76)
+    with pytest.raises(OverflowError):
+        ieee_to_ibm(-1e76)
+    assert ieee_to_ibm(1e-100) == b"\x00" * 8
+    assert ibm_to_ieee(ieee_to_ibm(1e-100)) == 0.0
+
+
+def test_write_xport_mixed_case_columns():
+    df = pd.DataFrame({"Rssd": [10.0, 20.0], "BankName": ["a", "b"]})
+    frames = parse_xport(write_xport(df, member_name="MIX"))
+    got = frames["MIX"]
+    assert list(got.columns) == ["RSSD", "BANKNAME"]
+    assert got["RSSD"].tolist() == [10.0, 20.0]
+    assert got["BANKNAME"].tolist() == ["a", "b"]
+
+
 def test_ibm_missing_sentinels():
     assert math.isnan(ibm_to_ieee(b"\x2e" + b"\x00" * 7))  # '.'
     assert math.isnan(ibm_to_ieee(b"\x41" + b"\x00" * 7))  # '.A'

@@ -89,24 +89,35 @@ def expand_paths(
     else:
         joined_edges = edges
     done: DataFrame | None = None
-    for _ in range(max_depth):
-        stepped = (
-            paths.join(joined_edges, paths["frontier"] == edges["src"])
-            .select(
-                "concept",
-                F.concat("path", F.array("dst")).alias("path"),
-                F.col("dst").alias("frontier"),
-            )
-            # eager checkpoint: cut lineage so iteration i+1 doesn't replan
-            # iterations 0..i (SURVEY §4.2 custom #2)
-            .localCheckpoint()
+    # Checkpoint + emptiness-probe every CHECK_EVERY hops, not every hop:
+    # both are driver-scheduled jobs, and on shallow taxonomies the loop is
+    # scheduling-bound, not compute-bound (r2 bench: 2 jobs/hop × 13 hops
+    # dominated hierarchy_paths_deep). Lineage between probes is bounded by
+    # CHECK_EVERY join layers; convergence is detected at most CHECK_EVERY-1
+    # hops late, where the extra hops join an empty (lazy, unexecuted) set.
+    CHECK_EVERY = 2
+    converged = False
+    for hop in range(max_depth):
+        stepped = paths.join(joined_edges, paths["frontier"] == edges["src"]).select(
+            "concept",
+            F.concat("path", F.array("dst")).alias("path"),
+            F.col("dst").alias("frontier"),
         )
+        probe = hop % CHECK_EVERY == CHECK_EVERY - 1 or hop == max_depth - 1
+        if probe:
+            # eager checkpoint BEFORE the finished/open split: cuts lineage
+            # so later hops don't replan hops 0..i (SURVEY §4.2 custom #2)
+            # AND materializes this hop's finished slice, so the final
+            # `done` union only recomputes the (≤ CHECK_EVERY-1) lazy
+            # mid-segment layers
+            stepped = stepped.localCheckpoint()
         finished = stepped.where(F.col("frontier") == root).select("concept", "path")
         done = finished if done is None else done.unionByName(finished)
         paths = stepped.where(F.col("frontier") != root)
-        if paths.isEmpty():
+        if probe and paths.isEmpty():
+            converged = True
             break
-    else:
+    if not converged:
         raise RuntimeError(f"expand_paths did not converge in {max_depth} hops (cycle?)")
     return done
 
@@ -222,6 +233,7 @@ def connected_components(
         )
         stepped = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("component").alias("old_component"),
             F.least(
                 F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
             ).alias("component"),
@@ -235,20 +247,22 @@ def connected_components(
             stepped.join(hop, stepped["component"] == hop["c_node"], "left")
             .select(
                 "node",
+                "old_component",
                 F.least(
                     F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
                 ).alias("component"),
             )
             .localCheckpoint()
         )
-        changed = (
-            labels.alias("o")
-            .join(updated.alias("nw"), "node")
-            .where(F.col("o.component") != F.col("nw.component"))
-        )
-        done = changed.isEmpty()
-        labels = updated
-        if done:
+        # convergence probe: a trivial scan-and-agg over the partitions the
+        # checkpoint just materialized — no join, no second plan of the
+        # round's work (the old labels⋈updated + isEmpty cost a full extra
+        # join job per round)
+        changed = updated.agg(
+            F.max(F.col("component") != F.col("old_component")).alias("c")
+        ).first()["c"]
+        labels = updated.drop("old_component")
+        if not changed:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 

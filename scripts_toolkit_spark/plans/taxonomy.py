@@ -61,7 +61,10 @@ def demo_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cust_line
     for part in (line_sch, sch_root, vip_col, col_colset, colset_sch):
         out = out.unionByName(part)
-    return out.distinct()
+    # no distinct: every part is internally unique (src embeds a unique key)
+    # and parts are pairwise disjoint (distinct src prefixes), so UNION ALL
+    # equals the oracle's UNION without paying a full-edge-list shuffle
+    return out
 
 
 # Recursive-CTE oracle over the same edge construction. Paths rendered as
@@ -131,13 +134,19 @@ def deep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("lvl0_nation_"), "c_nationkey").alias("dst"),
         )
     ]
-    for k in range(_DEEP - 1):
-        parts.append(
-            n.select(
-                F.concat(F.lit(f"lvl{k}_nation_"), "n_nationkey").alias("src"),
-                F.concat(F.lit(f"lvl{k + 1}_nation_"), "n_nationkey").alias("dst"),
-            )
+    # one nation scan + exploded level array, not _DEEP-1 separate scans:
+    # the per-scan task/analysis overhead dominated the edge build
+    parts.append(
+        n.select(
+            "n_nationkey",
+            F.explode(F.array(*[F.lit(k) for k in range(_DEEP - 1)])).alias("k"),
+        ).select(
+            F.concat(F.lit("lvl"), "k", F.lit("_nation_"), "n_nationkey").alias("src"),
+            F.concat(F.lit("lvl"), F.col("k") + 1, F.lit("_nation_"), "n_nationkey").alias(
+                "dst"
+            ),
         )
+    )
     parts.append(
         n.select(
             F.concat(F.lit(f"lvl{_DEEP - 1}_nation_"), "n_nationkey").alias("src"),
@@ -153,7 +162,9 @@ def deep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.distinct()
+    # parts are pairwise disjoint and internally unique (see demo_edges):
+    # skipping distinct saves a full shuffle of the edge list per query
+    return out
 
 
 def hierarchy_paths_deep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,13 +5,13 @@ Media payloads are opaque `binary` columns with typed metadata structs; all
 per-byte work happens in Arrow-batched `mapInPandas` (the pattern the
 reference's format decoders establish, converter.py:96-127 ↔ SURVEY S4/S6).
 
-The image/audio libraries are NOT in this container, so the actual decode
-is stubbed two ways:
-- `decode_media_stub`: raises NotImplementedError (the honest production
-  surface to be backed by PIL/ffmpeg on a real cluster);
-- `fake_decode_features`: a deterministic featureizer (length, md5 digest,
-  first-bytes fingerprint) with the REAL plumbing — schema, Arrow batches,
-  partition-wise iteration — exercised end-to-end and oracle-checked.
+IMAGE decode is real: `ext/imagecodec.py` is a pure-stdlib PNG/BMP/PPM
+codec (the same fallback discipline as io/xport.py and io/pdftext.py), so
+`image_pixel_stats` and `resize_media` decode actual pixel data end-to-end
+in this container; PIL, when present, simply replaces the backend. AUDIO/
+VIDEO decode remains honestly stubbed (`decode_media_stub` raises — ffmpeg
+is genuinely absent), with `fake_decode_features` exercising the identical
+Arrow-batch plumbing for those payloads.
 """
 
 from __future__ import annotations
@@ -43,10 +43,11 @@ def binary_table_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def decode_media_stub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Production decode surface (image resize / audio resample / frame
-    sample). Not available in this container."""
+    """Production decode surface for AUDIO/VIDEO (resample / codec frame
+    extraction). ffmpeg is not in this container; image payloads do NOT
+    need this — they decode for real via ext/imagecodec."""
     raise NotImplementedError(
-        "media decoding requires PIL/ffmpeg; wire them in here on a real cluster"
+        "audio/video decoding requires ffmpeg; wire it in here on a real cluster"
     )
 
 
@@ -81,39 +82,45 @@ RESIZED_SCHEMA = (
 
 
 def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
-    """Image-resize plumbing: one resized payload row per media row, Arrow
-    batched. With PIL installed the backend is a real `Image.resize`
-    (bilinear); without it (this container) a deterministic byte-grid
-    subsample stands in — same schema, same batch shape, same dataflow, so
-    swapping in the real codec changes zero Spark-side code. The backend
-    used is reported per row (`resize_backend`) rather than silently
-    diverging."""
+    """Image resize: one resized payload row per media row, Arrow batched.
+    Recognized image payloads (PNG/BMP/PPM) decode and resample for REAL —
+    via PIL when installed, else the pure-stdlib codec (ext/imagecodec) —
+    and re-encode as PNG. Unrecognized payloads get a deterministic
+    byte-grid subsample so the dataflow stays total. The backend used is
+    reported per row (`resize_backend`) rather than silently diverging."""
 
     def _resize(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         try:  # pragma: no cover - PIL absent in this container
             from PIL import Image  # noqa: F401
-
-            backend = "pillow"
         except ImportError:
-            Image, backend = None, "byte-grid-stub"
+            Image = None
+
+        from scripts_toolkit_spark.ext import imagecodec as IC
 
         for pdf in pdf_iter:
             rows = {"media_id": [], "out_w": [], "out_h": [], "resized": [], "resize_backend": []}
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(blob)
-                if Image is not None:  # pragma: no cover
+                if Image is not None and IC.sniff_format(blob):  # pragma: no cover
                     import io as _io
 
                     img = Image.open(_io.BytesIO(blob)).resize((out_w, out_h))
                     buf = _io.BytesIO()
                     img.save(buf, format="PNG")
-                    out = buf.getvalue()
+                    out, backend = buf.getvalue(), "pillow"
+                elif IC.sniff_format(blob):
+                    # real decode: pure-stdlib PNG/BMP/PPM → nearest-neighbor
+                    # resample → PNG re-encode
+                    w, h, rgb = IC.decode_image(blob)
+                    out = IC.encode_png(out_w, out_h, IC.resize_rgb(w, h, rgb, out_w, out_h))
+                    backend = "pure-python-codec"
                 else:
-                    # deterministic stand-in: sample out_w*out_h bytes at an
-                    # even stride (an "image" resize over raw bytes)
+                    # non-image payload: deterministic byte-grid stand-in —
+                    # sample out_w*out_h bytes at an even stride
                     n = max(len(blob), 1)
                     step = max(n // (out_w * out_h), 1)
                     out = blob[::step][: out_w * out_h]
+                    backend = "byte-grid-stub"
                 rows["media_id"].append(mid)
                 rows["out_w"].append(out_w)
                 rows["out_h"].append(out_h)
@@ -122,6 +129,46 @@ def resize_media(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFram
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id bigint, fmt string, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint"
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode over the binary column: sniff the container,
+    decode to RGB8 via the pure-stdlib codec (PNG/BMP/PPM), and emit
+    per-image pixel statistics — exact integer channel sums, so the output
+    is bit-stable and oracle-comparable against any independent computation
+    of the same pixels. Non-image payloads are passed through with fmt NULL
+    and -1 dimensions (total function: no poison-pill rows)."""
+
+    def _stats(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from scripts_toolkit_spark.ext import imagecodec as IC
+
+        for pdf in pdf_iter:
+            rows = {k: [] for k in ("media_id", "fmt", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                fmt = IC.sniff_format(blob)
+                if fmt is None:
+                    w = h = -1
+                    sr = sg = sb = -1
+                else:
+                    w, h, rgb = IC.decode_image(blob)
+                    sr, sg, sb = (sum(rgb[c::3]) for c in range(3))
+                rows["media_id"].append(mid)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(sr)
+                rows["sum_g"].append(sg)
+                rows["sum_b"].append(sb)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_stats, PIXEL_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame_bytes binary, frame_digest string"

@@ -456,3 +456,76 @@ SELECT doc_id AS media_id,
   ascii(substr(text, 1, 1)) AS head_byte
 FROM documents
 """
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under the driver gate: each embedding vector is
+    rendered as an 8x8 grayscale image (symmetric int8 quantization + 127
+    → one byte per pixel), encoded as binary PGM, decoded back through the
+    pure-stdlib codec (ext/imagecodec), and reduced to exact integer pixel
+    statistics. `pos_wsum` is position-weighted, so a decoder that returned
+    the right multiset of pixels in the wrong order would still fail. The
+    oracle computes the same integers straight from the embeddings — any
+    codec corruption breaks the hash match.
+
+    Scale shape: quantization is native Catalyst; the codec runs in one
+    Arrow-batched mapInPandas over pre-repartitioned rows (CPU-heavy Python,
+    same discipline as simhash_fingerprints)."""
+    from scripts_toolkit_spark.ext.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = quantize_embeddings(emb).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pix = qt.select(
+        "vec_id", F.transform("q", lambda x: x + F.lit(127)).alias("pix")
+    )
+
+    def _roundtrip(pdf_iter):
+        import pandas as pd
+
+        from scripts_toolkit_spark.ext import imagecodec as IC
+
+        for pdf in pdf_iter:
+            out = {
+                "vec_id": [], "fmt": [], "width": [], "height": [],
+                "gray_sum": [], "pos_wsum": [],
+            }
+            for vid, pixlist in zip(pdf["vec_id"], pdf["pix"]):
+                blob = IC.encode_pgm(8, 8, bytes(int(p) for p in pixlist))
+                w, h, rgb = IC.decode_image(blob)
+                gray = rgb[0::3]
+                out["vec_id"].append(vid)
+                out["fmt"].append(IC.sniff_format(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["gray_sum"].append(sum(gray))
+                out["pos_wsum"].append(sum(i * g for i, g in enumerate(gray)))
+            yield pd.DataFrame(out)
+
+    return pix.mapInPandas(
+        _roundtrip,
+        "vec_id bigint, fmt string, width int, height int, "
+        "gray_sum bigint, pos_wsum bigint",
+    )
+
+
+IMAGE_DECODE_STATS_SQL = """
+WITH s AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+    embedding
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT) + 127) AS pix
+  FROM s
+)
+SELECT vec_id, 'ppm' AS fmt, 8 AS width, 8 AS height,
+  list_reduce(pix, (x, y) -> x + y) AS gray_sum,
+  list_reduce(list_transform(range(1, 65), i -> (i - 1) * pix[i]), (x, y) -> x + y)
+    AS pos_wsum
+FROM p
+"""

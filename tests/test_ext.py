@@ -90,6 +90,52 @@ def test_multimodal_features_roundtrip(spark, sf_dir):
         assert f["head_byte"] == row["text"].encode()[0]
 
 
+def test_resize_media_real_image_decode(spark):
+    """PNG payloads go through the REAL pure-stdlib codec (decode →
+    nearest-neighbor resample → PNG re-encode); non-image payloads fall to
+    the byte-grid stub — backend reported per row."""
+    from scripts_toolkit_spark.ext.imagecodec import decode_image, encode_png, resize_rgb
+    from scripts_toolkit_spark.ext.multimodal import resize_media
+
+    px4 = bytes(range(4 * 4 * 3))  # deterministic 4x4 RGB
+    rows = [
+        (1, "image/png", bytearray(encode_png(4, 4, px4)), None),
+        (2, "text/plain", bytearray(b"not an image at all, just bytes"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in resize_media(media, out_w=2, out_h=2).collect()}
+    assert got[1]["resize_backend"] == "pure-python-codec"
+    assert got[2]["resize_backend"] == "byte-grid-stub"
+    w, h, rgb = decode_image(bytes(got[1]["resized"]))
+    assert (w, h) == (2, 2)
+    assert rgb == resize_rgb(4, 4, px4, 2, 2)
+
+
+def test_image_pixel_stats_decodes_all_formats(spark):
+    from scripts_toolkit_spark.ext.imagecodec import encode_pgm, encode_png, encode_ppm
+    from scripts_toolkit_spark.ext.multimodal import image_pixel_stats
+
+    px = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])  # 2x2
+    rows = [
+        (1, "image/png", bytearray(encode_png(2, 2, px)), None),
+        (2, "image/x-portable-pixmap", bytearray(encode_ppm(2, 2, px)), None),
+        (3, "image/x-portable-graymap", bytearray(encode_pgm(2, 1, bytes([5, 7]))), None),
+        (4, "application/octet-stream", bytearray(b"opaque"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in image_pixel_stats(media).collect()}
+    for mid, fmt in ((1, "png"), (2, "ppm")):
+        r = got[mid]
+        assert (r["fmt"], r["width"], r["height"]) == (fmt, 2, 2)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == (265, 275, 285)
+    assert (got[3]["sum_r"], got[3]["sum_g"], got[3]["sum_b"]) == (12, 12, 12)
+    assert got[4]["fmt"] is None and got[4]["width"] == -1
+
+
 def test_text_metrics_sanity(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"

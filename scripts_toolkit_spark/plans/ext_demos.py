@@ -115,6 +115,44 @@ WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
 """
 
 
+def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING signature-store dedup
+    (streaming/dedup_stream.py), putting the streaming family's core logic
+    under the driver's oracle gate: the signature, banding, and
+    exact-Jaccard-verify expressions are imported from the streaming module
+    itself, and each pair carries `emitted_in` — the micro-batch that would
+    have emitted it in an incremental run, i.e. the LATER document's batch
+    (documents arrive in 3 waves, doc_id % 3). The stream==batch pytest
+    (tests/test_dedup_stream.py) ties this exact semantics to an actual
+    availableNow foreachBatch run over the same 3 waves."""
+    from scripts_toolkit_spark.streaming import dedup_stream as DS
+
+    docs = _docs_with_dups(spark, sf_dir)
+    sig = DS._signatures(docs, "text", "doc_id", _K, _PERMS, _BANDS).localCheckpoint()
+    banded = DS._banded(sig)
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("sset").alias("set_a"), "band", "key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("sset").alias("set_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return DS._verify(cand, 0.5).withColumn(
+        "emitted_in", F.greatest(F.col("id_a") % 3, F.col("id_b") % 3)
+    )
+
+
+INCREMENTAL_DEDUP_PAIRS_SQL = f"""
+WITH base_pairs AS ({MINHASH_NEAR_DUPS_SQL})
+SELECT id_a, id_b, jaccard, greatest(id_a % 3, id_b % 3) AS emitted_in
+FROM base_pairs
+"""
+
+
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The step AFTER pair mining that a production dedup pipeline needs:
     minhash near-dup pairs → CONNECTED COMPONENTS → one row per duplicate

@@ -69,6 +69,7 @@ from scripts_toolkit_spark.plans import ext_demos as xd
 register("exact_dup_groups", xd.exact_dup_groups, xd.EXACT_DUP_GROUPS_SQL)
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
 register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
+register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
 register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
 register("simhash_near_dups", xd.simhash_near_dups, xd.SIMHASH_NEAR_DUPS_SQL)
 register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)

@@ -61,6 +61,51 @@ def test_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert cross and cross <= got
 
 
+def test_batch_twin_matches_streaming_attribution(spark, sf_dir, tmp_path):
+    """The registered `incremental_dedup_pairs` batch query claims each pair
+    is attributed to the micro-batch an incremental run would emit it in
+    (the LATER document's wave, doc_id % 3). Verify against an ACTUAL
+    availableNow streaming run over the same three waves: pair set AND
+    per-pair batch ids must match exactly."""
+    import time
+
+    from scripts_toolkit_spark.plans.ext_demos import (
+        _docs_with_dups,
+        incremental_dedup_pairs,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    src = str(tmp_path / "waves")
+    for wave in (0, 1, 2):
+        docs.where(F.col("doc_id") % 3 == wave).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)  # distinct mtimes: file-source processes oldest first
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_incremental_dedup(
+        stream,
+        store_path=str(tmp_path / "sig_store"),
+        pairs_path=str(tmp_path / "pairs_out"),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r["id_a"], r["id_b"]): r["batch_id"]
+        for r in spark.read.parquet(str(tmp_path / "pairs_out")).collect()
+    }
+    twin = {
+        (r["id_a"], r["id_b"]): r["emitted_in"]
+        for r in incremental_dedup_pairs(spark, sf_dir).collect()
+    }
+    assert streamed == twin and twin
+
+
 def test_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: re-running a batch (crash between the
     pairs write and the checkpoint commit) must not duplicate pairs or

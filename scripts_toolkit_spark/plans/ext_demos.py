@@ -269,10 +269,22 @@ WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
 
 
 # ------------------------------------------------------------- similarity --
+# Exact ANN baseline guard: the registered plan's query side is bounded by
+# an absolute, SF-independent id cap, so the plan is bounded-queries ×
+# corpus — LINEAR in corpus size, never an unbounded N² self-join. The
+# production paths are ann_topk_lsh / ann_topk_ivf; UNbounded exact search
+# stays pytest-only as the recall anchor (test_lsh_recall_vs_brute_force).
+_ANN_EXACT_MAX_QUERIES = 128
+
+
 def ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force cosine top-3 per vector (decimal-exact dot)."""
+    """Exact cosine top-3 for a BOUNDED query batch (vec_id < 128) against
+    the full corpus — the evaluation/recall baseline shape, explicitly
+    capped so no registered plan is an unbounded all-pairs join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.brute_force_topk(emb, emb, k=3)
+    return SIM.brute_force_topk(
+        emb.where(F.col("vec_id") < _ANN_EXACT_MAX_QUERIES), emb, k=3
+    )
 
 
 # Dot products as SEQUENTIAL left folds (list_reduce) — matches Spark's
@@ -287,7 +299,7 @@ WITH pairs AS (
     sqrt(list_reduce(list_transform(range(1, 65),
       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nb
   FROM embeddings a, embeddings b
-  WHERE a.vec_id <> b.vec_id
+  WHERE a.vec_id < 128 AND a.vec_id <> b.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,

@@ -185,12 +185,21 @@ def refine_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    tol: float | None = None,
+    history: list[float] | None = None,
 ) -> DataFrame:
     """Lloyd (k-means) refinement of the coarse centroids: assign each
     vector to its nearest centroid (same deterministic dot), recompute
     each cell's centroid as the element-wise mean via posexplode →
     per-(cell, position) partial-aggregated avg → array re-assembly. Empty
     cells keep their previous centroid.
+
+    Convergence: `iters` is the iteration CAP; with `tol` set, iteration
+    stops early once the maximum centroid L2 movement falls to ≤ tol. The
+    movement metric is a one-row aggregate over the frame the round's
+    checkpoint just materialized (the connected_components discipline — no
+    extra join job). Pass `history` (a list) to receive the per-iteration
+    max movements for monitoring.
 
     Scale shape: the mean is a map-side-combined hash aggregate over
     (cell_id, pos) — N×dim skinny rows, never a per-cell collect.
@@ -211,14 +220,37 @@ def refine_centroids(
                 ).alias("new_centroid")
             )
         )
-        centroids = (
+        updated = (
             centroids.join(means, "cell_id", "left")
             .select(
                 "cell_id",
+                F.col("centroid").alias("__prev"),
                 F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
             )
             .localCheckpoint()
         )
+        centroids = updated.drop("__prev")
+        if tol is not None or history is not None:
+            movement = updated.agg(
+                F.max(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                "__prev",
+                                "centroid",
+                                lambda a, b: (a.cast("double") - b.cast("double"))
+                                * (a.cast("double") - b.cast("double")),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                ).alias("mv")
+            ).first()["mv"]
+            if history is not None:
+                history.append(movement if movement is not None else 0.0)
+            if tol is not None and (movement is None or movement <= tol):
+                break
     return centroids
 
 

@@ -2,10 +2,14 @@
 
 Parses the PDF constructs that cover plain text documents — body objects,
 page tree (/Pages /Kids order), per-page /Contents streams (raw or
-FlateDecode via stdlib zlib), and the text operators inside BT…ET blocks:
+FlateDecode via stdlib zlib), the text operators inside BT…ET blocks:
 `/Fx size Tf` (font/size state), `(…) Tj`, `' `, and `[…] TJ`
-(show-text). Font tags resolve to /BaseFont names through the page's
-/Resources /Font dictionary when present.
+(show-text), plus PDF 1.5 OBJECT STREAMS (/Type /ObjStm): dictionary
+objects packed into a compressed container stream are unpacked and join
+the regular object table, so files written with compressed cross-reference
+("web-optimized" output from modern producers) decode too. Font tags
+resolve to /BaseFont names through the page's /Resources /Font dictionary
+when present.
 
 Out of scope (raises ValueError, never silently wrong): encrypted files,
 non-flate filters, CID/hex strings, inline images. Real-world arbitrary
@@ -68,6 +72,39 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _unpack_object_streams(objs: dict[int, bytes]) -> None:
+    """PDF 1.5 /Type /ObjStm containers: inflate the stream, read the
+    header's N (objnum, offset) integer pairs, and slice each member
+    object's body into the regular object table. Streams themselves are
+    never allowed inside an ObjStm, so /Contents objects are unaffected;
+    top-level objects win on number collision (spec: an uncompressed
+    revision supersedes the compressed copy)."""
+    for body in list(objs.values()):
+        if not re.search(rb"/Type\s*/ObjStm", body):
+            continue
+        sm = _STREAM_RE.search(body)
+        n_m, first_m = _OBJSTM_N_RE.search(body), _OBJSTM_FIRST_RE.search(body)
+        if not (sm and n_m and first_m):
+            raise ValueError("malformed /ObjStm (missing stream, /N or /First)")
+        blob = sm.group(1)
+        if b"/Filter" in body:
+            if b"/FlateDecode" not in body:
+                raise ValueError("unsupported /ObjStm filter (only FlateDecode)")
+            blob = zlib.decompress(blob)
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = blob[:first].split()
+        if len(header) < 2 * n:
+            raise ValueError("/ObjStm header shorter than 2*N integers")
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(blob) - first
+            objs.setdefault(objnum, blob[first + off : first + end])
+
+
 def parse_pdf_spans(data: bytes) -> list[tuple[int, int, str, float, str]]:
     """PDF bytes → [(page_no, span_seq, text, size, font)] in reading
     order, one tuple per show-text operator."""
@@ -75,7 +112,8 @@ def parse_pdf_spans(data: bytes) -> list[tuple[int, int, str, float, str]]:
         raise ValueError("encrypted PDFs are outside the subset decoder's scope")
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)}
     if not objs:
-        raise ValueError("no PDF objects found (not a PDF or fully compressed xref stream)")
+        raise ValueError("no PDF objects found (not a PDF)")
+    _unpack_object_streams(objs)
 
     # page order: /Pages node's /Kids when present, else appearance order
     page_nums = []

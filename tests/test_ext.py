@@ -190,6 +190,28 @@ def test_ivf_kmeans_refinement_recall(spark, sf_dir):
     assert refined >= seeded - 0.05, f"refined {refined:.2f} vs seeded {seeded:.2f}"
 
 
+def test_kmeans_tolerance_convergence(spark):
+    """With tol set, Lloyd iteration stops once max centroid movement ≤ tol
+    — on well-separated clusters that happens well before the iteration cap
+    — and the recorded movement history shrinks toward zero."""
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        refine_centroids,
+    )
+
+    # two tight, far-apart clusters of 4-dim vectors
+    rows = [(i, [float(100 * (i % 2)) + 0.01 * i, 1.0, 2.0, 3.0]) for i in range(40)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = deterministic_centroids(vecs, n_cells=2).localCheckpoint()
+
+    history: list[float] = []
+    refine_centroids(vecs, cents, iters=10, tol=1e-9, history=history)
+    assert 1 <= len(history) < 10, f"expected early stop, ran {len(history)} iters"
+    assert history[-1] <= 1e-9
+    # movement at the fixpoint is strictly smaller than the first step
+    assert history[-1] <= history[0]
+
+
 def test_quantized_search_fidelity(spark, sf_dir):
     """int8-dequantized brute-force top-3 must nearly reproduce the exact
     float ranking (storage 4x down, recall ~1.0 on unit vectors)."""

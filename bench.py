@@ -42,9 +42,13 @@ HEADLINE = (
 # comparability; these append so BENCH_rN keys are a superset of r1's):
 # a TPC-H Q9 analog (multi-fact star join) and the 10×-depth hierarchy
 # traversal that exposes fixpoint-loop overhead regressions.
+# Round-3: the image-codec round-trip (CPU-heavy Arrow mapInPandas) and
+# the streaming-dedup batch twin (banded join + batch attribution).
 EXTRA_DEFAULT = (
     "yearly_brand_profit",
     "hierarchy_paths_deep",
+    "image_decode_stats",
+    "incremental_dedup_pairs",
 )
 
 

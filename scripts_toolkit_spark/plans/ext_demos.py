@@ -127,7 +127,12 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow foreachBatch run over the same 3 waves."""
     from scripts_toolkit_spark.streaming import dedup_stream as DS
 
-    docs = _docs_with_dups(spark, sf_dir)
+    # repartition before the signature projection: single-file parquet
+    # arrives as 1-2 partitions and the shingle+minhash expression chain is
+    # CPU-bound (simhash_fingerprints discipline)
+    docs = _docs_with_dups(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sig = DS._signatures(docs, "text", "doc_id", _K, _PERMS, _BANDS).localCheckpoint()
     banded = DS._banded(sig)
     a = banded.select(

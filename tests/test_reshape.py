@@ -99,3 +99,13 @@ def test_profile_types_batching_equivalence(spark):
     for bs in (1, 3, 7, 64):
         assert profile_types(df, batch_size=bs) == full
     assert full["flag"] == "bool" and full["c2"] == "float" and full["c0"] == "int"
+
+    # and with MORE real columns than the default batch size, so the
+    # default path actually crosses a batch boundary (70 cols → 2 batches)
+    wide = spark.range(31).select(
+        *[
+            (F.col("id") * (i + 1) + (0.5 if i % 3 == 1 else 0)).alias(f"w{i}")
+            for i in range(70)
+        ]
+    )
+    assert profile_types(wide) == profile_types(wide, batch_size=200)

@@ -8,9 +8,11 @@ reference's format decoders establish, converter.py:96-127 ↔ SURVEY S4/S6).
 IMAGE decode is real: `ext/imagecodec.py` is a pure-stdlib PNG/BMP/PPM
 codec (the same fallback discipline as io/xport.py and io/pdftext.py), so
 `image_pixel_stats` and `resize_media` decode actual pixel data end-to-end
-in this container; PIL, when present, simply replaces the backend. AUDIO/
-VIDEO decode remains honestly stubbed (`decode_media_stub` raises — ffmpeg
-is genuinely absent), with `fake_decode_features` exercising the identical
+in this container; PIL, when present, simply replaces the backend. AUDIO
+decode is real for WAV/PCM16 (`ext/audiocodec.py`, stdlib `wave`):
+`audio_sample_stats` reduces actual samples. VIDEO and compressed-audio
+decode remain honestly stubbed (`decode_media_stub` raises — ffmpeg is
+genuinely absent), with `fake_decode_features` exercising the identical
 Arrow-batch plumbing for those payloads.
 """
 
@@ -43,11 +45,13 @@ def binary_table_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def decode_media_stub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Production decode surface for AUDIO/VIDEO (resample / codec frame
-    extraction). ffmpeg is not in this container; image payloads do NOT
-    need this — they decode for real via ext/imagecodec."""
+    """Production decode surface for VIDEO and COMPRESSED audio (mp3/aac/
+    opus frame extraction). ffmpeg is not in this container; image and
+    WAV payloads do NOT need this — they decode for real via
+    ext/imagecodec and ext/audiocodec."""
     raise NotImplementedError(
-        "audio/video decoding requires ffmpeg; wire it in here on a real cluster"
+        "video/compressed-audio decoding requires ffmpeg; wire it in here "
+        "on a real cluster"
     )
 
 
@@ -169,6 +173,49 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(_stats, PIXEL_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id bigint, n_channels int, sample_rate int, n_samples bigint, "
+    "sum_abs bigint, peak int"
+)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode over the binary column: WAV/PCM16 payloads decode
+    to actual samples (ext/audiocodec, stdlib `wave`) and reduce to exact
+    integer statistics — bit-stable, oracle-comparable. Non-WAV payloads
+    pass through with -1 sentinels (total function, no poison pills)."""
+
+    def _stats(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from scripts_toolkit_spark.ext import audiocodec as AC
+
+        for pdf in pdf_iter:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "n_channels", "sample_rate", "n_samples",
+                    "sum_abs", "peak",
+                )
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if AC.sniff_wav(blob):
+                    ch, rate, samples = AC.decode_wav(blob)
+                    n, sa = len(samples), sum(abs(s) for s in samples)
+                    pk = max((abs(s) for s in samples), default=0)
+                else:
+                    ch = rate = pk = -1
+                    n = sa = -1
+                rows["media_id"].append(mid)
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["sum_abs"].append(sa)
+                rows["peak"].append(pk)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_stats, AUDIO_STATS_SCHEMA)
 
 
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame_bytes binary, frame_digest string"

@@ -584,3 +584,67 @@ SELECT vec_id, 'ppm' AS fmt, 8 AS width, 8 AS height,
     AS pos_wsum
 FROM p
 """
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode under the driver gate (the WAV analog of
+    image_decode_stats): each embedding vector becomes a 64-sample mono
+    PCM16 WAV (int8-quantized values as samples), whose RIFF container is
+    hand-assembled with struct and decoded back through the stdlib `wave`
+    reader — two independent implementations, so header-layout bugs cannot
+    cancel out. Reduced to exact integer sample statistics; the oracle
+    computes the same integers straight from the embeddings."""
+    from scripts_toolkit_spark.ext.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = quantize_embeddings(emb).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _roundtrip(pdf_iter):
+        import pandas as pd
+
+        from scripts_toolkit_spark.ext import audiocodec as AC
+
+        for pdf in pdf_iter:
+            out = {
+                "vec_id": [], "n_channels": [], "sample_rate": [],
+                "n_samples": [], "sum_abs": [], "peak": [],
+            }
+            for vid, q in zip(pdf["vec_id"], pdf["q"]):
+                blob = AC.encode_wav([int(s) for s in q], sample_rate=8000)
+                ch, rate, samples = AC.decode_wav(blob)
+                out["vec_id"].append(vid)
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_abs"].append(sum(abs(s) for s in samples))
+                out["peak"].append(max(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    return qt.select("vec_id", "q").mapInPandas(
+        _roundtrip,
+        "vec_id bigint, n_channels int, sample_rate int, n_samples bigint, "
+        "sum_abs bigint, peak int",
+    )
+
+
+AUDIO_DECODE_STATS_SQL = """
+WITH s AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+    embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS aq
+  FROM s
+)
+SELECT vec_id, 1 AS n_channels, 8000 AS sample_rate,
+  CAST(len(aq) AS BIGINT) AS n_samples,
+  list_reduce(aq, (x, y) -> x + y) AS sum_abs,
+  CAST(list_max(aq) AS INT) AS peak
+FROM q
+"""

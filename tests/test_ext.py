@@ -136,6 +136,26 @@ def test_image_pixel_stats_decodes_all_formats(spark):
     assert got[4]["fmt"] is None and got[4]["width"] == -1
 
 
+def test_audio_sample_stats_real_decode(spark):
+    from scripts_toolkit_spark.ext.audiocodec import encode_wav
+    from scripts_toolkit_spark.ext.multimodal import audio_sample_stats
+
+    samples = [0, 500, -500, 12000, -32768]
+    rows = [
+        (1, "audio/wav", bytearray(encode_wav(samples, sample_rate=16000)), None),
+        (2, "text/plain", bytearray(b"definitely not riff"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in audio_sample_stats(media).collect()}
+    r1 = got[1]
+    assert (r1["n_channels"], r1["sample_rate"], r1["n_samples"]) == (1, 16000, 5)
+    assert r1["sum_abs"] == sum(abs(s) for s in samples)
+    assert r1["peak"] == 32768
+    assert got[2]["n_samples"] == -1
+
+
 def test_text_metrics_sanity(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"

@@ -57,6 +57,32 @@ def test_expand_paths_multiplicity(spark):
     assert ["cc_UBPR9999", "line_77", "group_x", "sch-RC", "root"] in by_concept["cc_UBPR9999"]
 
 
+def test_expand_paths_cycle_raises(spark):
+    """A cycle can never drain the open-path set: the loop must hit
+    max_depth and raise, not spin or silently return partial paths."""
+    import pytest
+
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "root")], "src string, dst string"
+    )
+    start = spark.createDataFrame([("a",)], "node string")
+    with pytest.raises(RuntimeError, match="converge"):
+        G.expand_paths(cyc, start, "root", max_depth=6)
+
+
+def test_expand_paths_depth_offsets_from_probe_interval(spark):
+    """Convergence must be detected whether or not the chain depth lands on
+    a probe hop (the loop checkpoints/probes every k hops, not every hop)."""
+    for depth in (1, 2, 3, 4, 5):
+        chain = [(f"n{i}", f"n{i + 1}") for i in range(depth - 1)] + [
+            (f"n{depth - 1}", "root")
+        ]
+        e = spark.createDataFrame(chain, "src string, dst string")
+        start = spark.createDataFrame([("n0",)], "node string")
+        got = G.expand_paths(e, start, "root").collect()
+        assert len(got) == 1 and len(got[0]["path"]) == depth + 1, f"depth={depth}"
+
+
 def test_classify_and_assemble(spark):
     e = _edges(spark)
     lv = G.leaves(e)

@@ -68,13 +68,22 @@ def main() -> None:
     # warmup: run the first query once to pay JVM + codegen startup
     qs[names[0]](spark, SF_DIR).limit(1).collect()
 
+    # repeat each query and keep the per-query MINIMUM: the min is the
+    # noise-robust estimator for wall-clock under background load (r2's
+    # recorded bench was inflated 43% by machine contention; take-min makes
+    # round-over-round numbers comparable without a quiet-machine guarantee)
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        # noop sink: executes the full plan distributed without billing
-        # driver-side row transfer to the query
-        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            # noop sink: executes the full plan distributed without billing
+            # driver-side row transfer to the query
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -586,6 +586,79 @@ FROM p
 """
 
 
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE pipeline under the driver gate: 8x8 gray image from each
+    embedding (as in image_decode_stats) → encode as RGB PNG → decode (full
+    zlib/filter path) → nearest-neighbor resample to 4x4 → PNG re-encode →
+    decode again → integer pixel stats. Nearest-neighbor source indices are
+    integer floor divisions (resize_rgb), so the oracle replays the exact
+    resample arithmetic on the quantized values — the whole
+    encode/decode/resize chain must be lossless for the hash to match."""
+    from scripts_toolkit_spark.ext.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = quantize_embeddings(emb).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pix = qt.select(
+        "vec_id", F.transform("q", lambda x: x + F.lit(127)).alias("pix")
+    )
+
+    def _roundtrip(pdf_iter):
+        import pandas as pd
+
+        from scripts_toolkit_spark.ext import imagecodec as IC
+
+        for pdf in pdf_iter:
+            out = {"vec_id": [], "out_w": [], "out_h": [], "gray_sum": [], "pos_wsum": []}
+            for vid, pixlist in zip(pdf["vec_id"], pdf["pix"]):
+                gray = bytes(int(p) for p in pixlist)
+                rgb = bytes(b for g in gray for b in (g, g, g))
+                w, h, decoded = IC.decode_image(IC.encode_png(8, 8, rgb))
+                small = IC.resize_rgb(w, h, decoded, 4, 4)
+                _, _, rgb2 = IC.decode_image(IC.encode_png(4, 4, small))
+                gray2 = rgb2[0::3]
+                out["vec_id"].append(vid)
+                out["out_w"].append(4)
+                out["out_h"].append(4)
+                out["gray_sum"].append(sum(gray2))
+                out["pos_wsum"].append(sum(i * g for i, g in enumerate(gray2)))
+            yield pd.DataFrame(out)
+
+    return pix.mapInPandas(
+        _roundtrip,
+        "vec_id bigint, out_w int, out_h int, gray_sum bigint, pos_wsum bigint",
+    )
+
+
+# Nearest-neighbor replay: output pixel (y, x) of the 8x8→4x4 resample
+# reads source index (2y)*8 + 2x; DuckDB lists are 1-based.
+IMAGE_RESIZE_STATS_SQL = """
+WITH s AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+    embedding
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT) + 127) AS pix
+  FROM s
+),
+r AS (
+  SELECT vec_id,
+    list_transform(range(0, 16), k -> pix[16 * (k // 4) + 2 * (k % 4) + 1]) AS rp
+  FROM p
+)
+SELECT vec_id, 4 AS out_w, 4 AS out_h,
+  list_reduce(rp, (x, y) -> x + y) AS gray_sum,
+  list_reduce(list_transform(range(1, 17), i -> (i - 1) * rp[i]), (x, y) -> x + y)
+    AS pos_wsum
+FROM r
+"""
+
+
 def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode under the driver gate (the WAV analog of
     image_decode_stats): each embedding vector becomes a 64-sample mono

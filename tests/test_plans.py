@@ -59,6 +59,26 @@ def test_waiting_suppliers_semi_anti_equi_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_codec_queries_are_narrow_after_repartition(spark, sf_dir):
+    """The codec round-trip queries (image/audio decode, resize, dedup-twin
+    signatures) are CPU-bound Python stages: their plans must be one
+    explicit CPU-spreading repartition + Arrow map — no join, no extra
+    shuffle before the mapInPandas."""
+    for name in ("image_decode_stats", "audio_decode_stats", "image_resize_stats"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, name
+        assert plan.count("Exchange") <= 1, name
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
+
+
+def test_incremental_dedup_twin_equi_keyed(spark, sf_dir):
+    """The streaming-dedup batch twin must pair via the banded equi-join —
+    never a cartesian/nested-loop plan."""
+    plan = _plan(spark, sf_dir, "incremental_dedup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_hll_registers_partial_aggregate(spark, sf_dir):
     """The sketch's register MAX must run partial→final (map-side combine)
     — the property that keeps sketched cardinality cheap at scale."""

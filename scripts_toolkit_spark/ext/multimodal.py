@@ -218,6 +218,47 @@ def audio_sample_stats(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(_stats, AUDIO_STATS_SCHEMA)
 
 
+CHANNEL_SCHEMA = (
+    "media_id bigint, channel int, sample_rate int, n_samples bigint, "
+    "sum_abs bigint, peak int"
+)
+
+
+def split_wav_channels(media: DataFrame) -> DataFrame:
+    """De-interleave multi-channel WAV payloads: one output row per
+    (media_id, channel) with exact integer per-channel statistics — the
+    explode-shaped audio analog of sample_frames (one input row → many).
+    Non-WAV payloads contribute no rows."""
+
+    def _split(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from scripts_toolkit_spark.ext import audiocodec as AC
+
+        for pdf in pdf_iter:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "channel", "sample_rate", "n_samples",
+                    "sum_abs", "peak",
+                )
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not AC.sniff_wav(blob):
+                    continue
+                n_ch, rate, samples = AC.decode_wav(blob)
+                for ch in range(n_ch):
+                    mono = samples[ch::n_ch]
+                    rows["media_id"].append(mid)
+                    rows["channel"].append(ch)
+                    rows["sample_rate"].append(rate)
+                    rows["n_samples"].append(len(mono))
+                    rows["sum_abs"].append(sum(abs(s) for s in mono))
+                    rows["peak"].append(max((abs(s) for s in mono), default=0))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(_split, CHANNEL_SCHEMA)
+
+
 FRAME_SCHEMA = "media_id bigint, frame_no int, frame_bytes binary, frame_digest string"
 
 

@@ -721,3 +721,69 @@ SELECT vec_id, 1 AS n_channels, 8000 AS sample_rate,
   CAST(list_max(aq) AS INT) AS peak
 FROM q
 """
+
+
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLE pipeline under the driver gate (audio analog of
+    image_resize_stats): 64-sample 8 kHz WAV per embedding → decode →
+    nearest-neighbor resample to 2 kHz (16 samples) → WAV re-encode →
+    decode → integer stats. Resample source indices are integer floor
+    divisions (i * in_rate // out_rate = 4i), so the oracle replays the
+    exact pick on the quantized values."""
+    from scripts_toolkit_spark.ext.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = quantize_embeddings(emb).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _roundtrip(pdf_iter):
+        import pandas as pd
+
+        from scripts_toolkit_spark.ext import audiocodec as AC
+
+        for pdf in pdf_iter:
+            out = {"vec_id": [], "out_rate": [], "n_samples": [], "sum_abs": [], "pos_wsum": []}
+            for vid, q in zip(pdf["vec_id"], pdf["q"]):
+                blob = AC.encode_wav([int(s) for s in q], sample_rate=8000)
+                _, rate, samples = AC.decode_wav(blob)
+                small = AC.resample_nearest(samples, rate, 2000)
+                _, rate2, got = AC.decode_wav(AC.encode_wav(small, sample_rate=2000))
+                out["vec_id"].append(vid)
+                out["out_rate"].append(rate2)
+                out["n_samples"].append(len(got))
+                out["sum_abs"].append(sum(abs(s) for s in got))
+                out["pos_wsum"].append(sum(i * abs(s) for i, s in enumerate(got)))
+            yield pd.DataFrame(out)
+
+    return qt.select("vec_id", "q").mapInPandas(
+        _roundtrip,
+        "vec_id bigint, out_rate int, n_samples bigint, sum_abs bigint, pos_wsum bigint",
+    )
+
+
+# Nearest-neighbor replay: 64 samples at 8kHz → 2kHz keeps every 4th
+# sample (source index i*8000//2000 = 4i); DuckDB lists are 1-based.
+AUDIO_RESAMPLE_STATS_SQL = """
+WITH s AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+    embedding
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> abs(CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT))) AS aq
+  FROM s
+),
+r AS (
+  SELECT vec_id, list_transform(range(0, 16), k -> aq[4 * k + 1]) AS rs FROM q
+)
+SELECT vec_id, 2000 AS out_rate,
+  CAST(len(rs) AS BIGINT) AS n_samples,
+  list_reduce(rs, (x, y) -> x + y) AS sum_abs,
+  list_reduce(list_transform(range(1, 17), i -> (i - 1) * rs[i]), (x, y) -> x + y)
+    AS pos_wsum
+FROM r
+"""

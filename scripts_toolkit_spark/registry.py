@@ -82,6 +82,7 @@ register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
 register("image_decode_stats", xd.image_decode_stats, xd.IMAGE_DECODE_STATS_SQL)
 register("audio_decode_stats", xd.audio_decode_stats, xd.AUDIO_DECODE_STATS_SQL)
 register("image_resize_stats", xd.image_resize_stats, xd.IMAGE_RESIZE_STATS_SQL)
+register("audio_resample_stats", xd.audio_resample_stats, xd.AUDIO_RESAMPLE_STATS_SQL)
 
 # ---- rollup/cube, window functions, set ops, validity windows, SMJ
 # (§2.4 A7, §2.10, §2.6 D4-D5, §2.7 J7) --------------------------------------

@@ -156,6 +156,26 @@ def test_audio_sample_stats_real_decode(spark):
     assert got[2]["n_samples"] == -1
 
 
+def test_split_wav_channels(spark):
+    from scripts_toolkit_spark.ext.audiocodec import encode_wav
+    from scripts_toolkit_spark.ext.multimodal import split_wav_channels
+
+    # stereo: L = [10, -20, 30], R = [1, 2, -3], interleaved
+    inter = [10, 1, -20, 2, 30, -3]
+    rows = [
+        (1, "audio/wav", bytearray(encode_wav(inter, sample_rate=8000, n_channels=2)), None),
+        (2, "text/plain", bytearray(b"nope"), None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, content binary, meta map<string,string>"
+    )
+    got = {(r["media_id"], r["channel"]): r for r in split_wav_channels(media).collect()}
+    assert set(got) == {(1, 0), (1, 1)}  # non-WAV row contributes nothing
+    left, right = got[(1, 0)], got[(1, 1)]
+    assert left["n_samples"] == 3 and left["sum_abs"] == 60 and left["peak"] == 30
+    assert right["sum_abs"] == 6 and right["peak"] == 3
+
+
 def test_text_metrics_sanity(spark):
     df = spark.createDataFrame(
         [(1, "the quick brown fox jumps over the lazy dog")], "doc_id long, text string"

@@ -272,3 +272,96 @@ FROM (
 )
 WHERE rank <= 50
 """
+
+
+# decontamination: 8-word shingles, the classic eval-overlap window
+_DECON_N = 8
+
+
+def _split_assign() -> F.Column:
+    """The corpus_split_counts 80/10/10 md5-bucket rule, shared so the
+    decontamination pass sees the exact same train/test membership."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 10
+    return F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+
+
+def train_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination (reference has no counterpart; standard
+    LLM-pipeline hygiene): flag training documents that share any 8-word
+    shingle with the held-out test split, reporting how many of the doc's
+    distinct shingles are contaminated.
+
+    Scale shape: both sides reduce to 16-byte md5 shingle digests before
+    the join — the shuffle never carries text. The eval side is ~10% of
+    the corpus and arrives as a DISTINCT digest set (smaller still), so at
+    100 TB the join is an equi-join on digest with partial aggregation
+    per train doc; AQE may broadcast the eval side outright. Shingling
+    itself is a narrow map (split → slide → hash), no shuffle."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _split_assign().alias("split"), F.split("text", " ").alias("w")
+    )
+    shingles = d.where(F.size("w") >= _DECON_N).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(_DECON_N - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _DECON_N))),
+            )
+        ).alias("h"),
+    )
+    train = shingles.where(F.col("split") == "train").dropDuplicates(["doc_id", "h"])
+    eval_set = shingles.where(F.col("split") == "test").select("h").distinct()
+    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        train.join(eval_set, "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        hits.join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_contaminated",
+            "n_shingles",
+            (F.col("n_contaminated") / F.col("n_shingles")).alias("contamination_ratio"),
+        )
+    )
+
+
+TRAIN_EVAL_OVERLAP_SQL = f"""
+WITH sp AS (
+  SELECT doc_id,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+         THEN 'train'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
+         THEN 'val' ELSE 'test' END AS split,
+    string_split(text, ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, split, h
+  FROM (
+    SELECT doc_id, split,
+      unnest(list_transform(range(1, len(w) - {_DECON_N} + 2),
+        i -> md5(array_to_string(w[i:i+{_DECON_N}-1], ' ')))) AS h
+    FROM sp WHERE len(w) >= {_DECON_N}
+  )
+),
+ev AS (SELECT DISTINCT h FROM sh WHERE split = 'test'),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh WHERE split = 'train' GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_contaminated
+  FROM sh JOIN ev USING (h)
+  WHERE split = 'train'
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_contaminated AS BIGINT) AS n_contaminated,
+       CAST(n_shingles AS BIGINT) AS n_shingles,
+       CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination_ratio
+FROM hits JOIN per_doc USING (doc_id)
+"""

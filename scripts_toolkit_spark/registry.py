@@ -160,6 +160,7 @@ register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
 register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
 register("document_chunks", cd.document_chunks, cd.DOCUMENT_CHUNKS_SQL)
 register("corpus_split_counts", cd.corpus_split_counts, cd.CORPUS_SPLIT_COUNTS_SQL)
+register("train_eval_overlap", cd.train_eval_overlap, cd.TRAIN_EVAL_OVERLAP_SQL)
 
 # ---- remaining classic TPC-H shapes (Q7/Q8/Q9/Q10/Q12/Q19 analogs) ---------
 from scripts_toolkit_spark.plans import analytics4 as a4

@@ -307,3 +307,56 @@ def test_resize_media_plumbing(spark, sf_dir):
         if r["resize_backend"] == "byte-grid-stub":
             step = max(len(blob) // 32, 1)
             assert bytes(r["resized"]) == blob[::step][:32]
+
+
+def test_train_eval_overlap_flags_real_shared_shingles(spark, sf_dir):
+    """Brute-force re-verification: every flagged train doc must share at
+    least one verbatim 8-word shingle with some test-split doc, and the
+    contamination counts must match an independent pandas recomputation."""
+    import hashlib
+
+    import __spark_entry__ as entrymod
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    flagged = {
+        r["doc_id"]: (r["n_contaminated"], r["n_shingles"])
+        for r in entrymod.queries()["train_eval_overlap"](spark, sf_dir).collect()
+    }
+    assert flagged, "degenerate: no contaminated docs at this SF"
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def split_of(doc_id: int) -> str:
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10
+        return "train" if b < 8 else ("val" if b < 9 else "test")
+
+    def shingles(text: str) -> set[str]:
+        w = text.split(" ")
+        return {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+
+    eval_shingles: set[str] = set()
+    train_docs = {}
+    for r in docs:
+        s = split_of(r["doc_id"])
+        if s == "test":
+            eval_shingles |= shingles(r["text"])
+        elif s == "train":
+            train_docs[r["doc_id"]] = shingles(r["text"])
+
+    expected = {
+        did: (len(sh & eval_shingles), len(sh))
+        for did, sh in train_docs.items()
+        if sh & eval_shingles
+    }
+    assert flagged == expected
+
+
+def test_train_eval_overlap_plan_equi_keyed(spark, sf_dir):
+    """Decontamination must join on shingle digests only — no cartesian or
+    nested-loop pairing, and the scan must not feed text into the join."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["train_eval_overlap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

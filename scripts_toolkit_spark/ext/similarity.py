@@ -294,6 +294,159 @@ def ivf_topk(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential float64 fold of sum((a[i]-b[i])^2) — same determinism
+    contract as `_dot` (fixed fold order, IEEE ops)."""
+    diffs = F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** F.lit(2))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codes(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into `m` contiguous
+    `sub_dim`-wide subvectors and assign each to its nearest (L2) codebook
+    entry in that subspace → `m` small-int codes per vector (the FAISS PQ
+    storage layout: m·log2(codes) bits instead of dim·32).
+
+    `codebook` is (code, centroid) — tiny, broadcast; subspace entries are
+    slices of the same centroid rows, so one table serves all m subspaces.
+    Deterministic: L2 by sequential fold, argmin tiebreak on code asc.
+
+    Scale shape: explode-to-subvectors is a narrow map (m rows/vector);
+    the assignment is a broadcast join + windowed argmin partitioned by
+    (vector, subspace) — no global shuffle of raw vectors beyond the
+    window's hash partitioning on the id."""
+    scored = _pq_all_distances(vectors, codebook, m, sub_dim, id_col, vec_col)
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(id_col, "s", "code", "d2")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    k: int = 3,
+    m: int = 4,
+    sub_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS-standard compressed-domain
+    search: IVF cells generate candidates (equi-join, as `ivf_topk`), then
+    candidates are ranked by ASYMMETRIC DISTANCE (ADC): the query's exact
+    subvectors against the neighbor's PQ codes, i.e. sum over subspaces of
+    the query→codeword L2² — never touching the neighbor's raw vector.
+
+    At 100 TB this is the shape that wins: the corpus side of the scoring
+    join carries only (id, m codes) — a few bytes/vector instead of
+    dim·4 — and the per-query lookup table (m·n_codes distances) joins
+    equi-keyed on (query, subspace, code). The m partial distances are
+    pivoted to fixed columns and added left-to-right, so the ADC sum has a
+    fixed fold order (bit-reproducible; no float-sum order dependence).
+
+    Deterministic end-to-end (md5-seeded centroids shared with the coarse
+    quantizer, fold-ordered L2, code/rank tiebreaks) → oracle-replayable."""
+    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).localCheckpoint()
+    codebook = cents.select(F.col("cell_id").alias("code"), "centroid")
+    # neighbor-side compressed codes + query-side distance LUT are the SAME
+    # frame: d2(vec, s, code) covers all codebook entries, codes = argmin;
+    # checkpointed because both legs of the scoring join reference it
+    subs_scored = _pq_all_distances(vectors, codebook, m, sub_dim, id_col, vec_col)
+    subs_scored = subs_scored.localCheckpoint()
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
+    codes = (
+        subs_scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(F.col(id_col).alias("neighbor_id"), "s", "code")
+    )
+    lut = subs_scored.select(F.col(id_col).alias("query_id"), "s", "code", "d2")
+    assigned = ivf_assign(vectors, cents, n_probe, id_col, vec_col).localCheckpoint()
+    corpus = assigned.where(F.col("is_home")).select(
+        F.col(id_col).alias("neighbor_id"), "cell_id"
+    )
+    queries = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
+    cand = (
+        queries.join(corpus, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    parts = cand.join(codes, "neighbor_id").join(lut, ["query_id", "s", "code"])
+    pivoted = parts.groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"d{s}")
+            for s in range(m)
+        ]
+    )
+    adc = pivoted.select(
+        "query_id",
+        "neighbor_id",
+        sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0")).alias("adc_dist"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "adc_dist")
+    )
+
+
+def _pq_all_distances(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec, subspace, code) → L2² distance for EVERY codebook entry —
+    serves both as the PQ assignment input (argmin per subspace) and the
+    query-side ADC lookup table."""
+    subs = vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+    cb = F.broadcast(
+        codebook.select(
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(F.col("centroid"), s * sub_dim + 1, sub_dim).alias("csub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e"),
+        ).select("code", F.col("e.s").alias("s"), F.col("e.csub").alias("csub"))
+    )
+    return subs.join(cb, "s").select(
+        id_col, "s", "code", _l2sq(F.col("sub"), F.col("csub")).alias("d2")
+    )
+
+
 def quantize_embeddings(
     vectors: DataFrame,
     id_col: str = "vec_id",

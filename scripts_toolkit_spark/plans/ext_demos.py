@@ -427,6 +427,89 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-3 (the FAISS-standard compressed-domain
+    rank): IVF cells generate candidates, PQ codes (m=4 subspaces × 16
+    codewords, slices of the same md5-seeded centroids) rank them by
+    asymmetric L2² distance. The scoring join carries codes, not vectors.
+    Deterministic end-to-end → the oracle replays centroid pick, encoding,
+    LUT, and the fixed-order 4-term ADC sum in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(emb, n_cells=16, n_probe=3, k=3, m=4, sub_dim=16)
+
+
+_PQ_L2_SQL = """
+    list_reduce(list_transform(range(1, 17),
+      i -> (CAST(sub[i] AS DOUBLE) - CAST(csub[i] AS DOUBLE))
+         * (CAST(sub[i] AS DOUBLE) - CAST(csub[i] AS DOUBLE))), (x, y) -> x + y)
+"""
+
+ANN_TOPK_IVFPQ_SQL = f"""
+WITH cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+),
+centv AS (
+  SELECT cell_id, embedding AS centroid FROM cents JOIN embeddings USING (vec_id)
+),
+cb AS (
+  SELECT s, cell_id AS code, centroid[s*16+1 : s*16+16] AS csub
+  FROM centv, UNNEST(range(4)) AS t(s)
+),
+subs AS (
+  SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sub
+  FROM embeddings, UNNEST(range(4)) AS t(s)
+),
+d2 AS (
+  SELECT vec_id, s, code, {_PQ_L2_SQL} AS d2
+  FROM subs JOIN cb USING (s)
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, s, code
+  FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM embeddings e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
+  FROM aff
+  QUALIFY r <= 3
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE r = 1) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+pivoted AS (
+  SELECT c.query_id, c.neighbor_id,
+    MAX(CASE WHEN nc.s = 0 THEN l.d2 END) AS p0,
+    MAX(CASE WHEN nc.s = 1 THEN l.d2 END) AS p1,
+    MAX(CASE WHEN nc.s = 2 THEN l.d2 END) AS p2,
+    MAX(CASE WHEN nc.s = 3 THEN l.d2 END) AS p3
+  FROM cand c
+  JOIN codes nc ON nc.neighbor_id = c.neighbor_id
+  JOIN d2 l ON l.vec_id = c.query_id AND l.s = nc.s AND l.code = nc.code
+  GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, p0 + p1 + p2 + p3 AS adc_dist,
+    row_number() OVER (PARTITION BY query_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) AS rank
+  FROM pivoted
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+FROM ranked WHERE rank <= 3
+"""
+
+
 # ----------------------------------------------------------- text analysis -
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, language-ID, order-sensitive fingerprint

@@ -77,6 +77,7 @@ register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
 # quantization in SQL; recall vs brute force additionally tested in pytest
 register("ann_topk_lsh", xd.ann_topk_lsh, xd.ANN_TOPK_LSH_SQL)
 register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
+register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
 register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
 register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
 register("image_decode_stats", xd.image_decode_stats, xd.IMAGE_DECODE_STATS_SQL)

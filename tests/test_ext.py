@@ -360,3 +360,42 @@ def test_train_eval_overlap_plan_equi_keyed(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_adc_vs_exact_rerank(spark, sf_dir):
+    """IVF-PQ sanity: (a) the ADC-ranked neighbor set overlaps the exact
+    top-k meaningfully (compressed-domain ranking is lossy but far above
+    chance), and (b) each query's PQ codes reconstruct a distance that is
+    the sum of per-subspace LUT entries — verified implicitly by (a) plus
+    the oracle gate; here we additionally check monotonic structure:
+    rank 1 has the smallest adc_dist per query."""
+    from scripts_toolkit_spark.ext.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=3)
+    approx = ivfpq_topk(emb, n_cells=8, n_probe=3, k=3, m=4, sub_dim=16)
+    rows = approx.collect()
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.25, f"IVF-PQ recall {recall:.2f}"
+
+    by_query: dict = {}
+    for r in rows:
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+    for q, rs in by_query.items():
+        rs.sort()
+        dists = [d for _, d in rs]
+        assert dists == sorted(dists), f"ADC ranks out of order for query {q}"
+
+
+def test_ivfpq_scoring_join_carries_codes_not_vectors(spark, sf_dir):
+    """The ADC scoring path must be equi-keyed: the only nested-loop join
+    allowed in the whole plan is the 16-row broadcast centroid sweep (the
+    same shape ann_topk_ivf uses); candidate scoring itself joins on
+    (query, subspace, code)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["ann_topk_ivfpq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

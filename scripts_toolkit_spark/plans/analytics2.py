@@ -48,7 +48,7 @@ def brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p.where(F.col("p_brand") != "Brand#5")), li.l_partkey == p.p_partkey)
+        li.join(p.where(F.col("p_brand") != "Brand#5"), li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", (F.col("p_size") % 5).alias("size_bucket"))
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )

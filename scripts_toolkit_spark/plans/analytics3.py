@@ -61,7 +61,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("rev_dec") == F.col("max_dec"))
-        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .join(s, F.col("suppkey") == s.s_suppkey)
         .select("suppkey", "s_name", F.col("rev_dec").cast("double").alias("total_revenue"))
     )
 

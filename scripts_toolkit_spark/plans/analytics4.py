@@ -34,8 +34,8 @@ def cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("ck"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sk"))
         .where(F.col("cust_nation") != F.col("supp_nation"))
@@ -70,7 +70,7 @@ def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
         .groupBy(F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -107,7 +107,7 @@ def yearly_brand_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - _dec("p_retailprice") * F.lit(0.6).cast("decimal(6,4)") * _dec("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", F.year("l_shipdate").alias("ship_year"))
         .agg(F.sum(amount).cast("decimal(38,6)").cast("double").alias("profit"))
     )
@@ -133,7 +133,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.where(F.col("l_returnflag") == "R")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(_rev().cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -184,7 +184,7 @@ def disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     brackets — Catalyst pushes the OR-of-ANDs into one scan."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     bracket1 = (F.col("p_type") == "ECONOMY") & (F.col("l_quantity") <= 10) & (F.col("p_size") <= 15)
     bracket2 = (F.col("p_type") == "SMALL") & (F.col("l_quantity") > 10) & (F.col("p_size") <= 30)
     bracket3 = (F.col("p_type") == "STANDARD") & (F.col("l_discount") >= 0.05)

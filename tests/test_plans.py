@@ -71,6 +71,66 @@ def test_codec_queries_are_narrow_after_repartition(spark, sf_dir):
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, name
 
 
+# Tables whose row count grows with SF (BASELINE.md data model): forcing
+# these under a broadcast hint is an OOM at scale — AQE must decide instead.
+# nation/region are constant-size and stay explicitly broadcast.
+_SF_LINEAR_SIGNATURES = {
+    "customer": {"c_custkey", "c_name"},
+    "supplier": {"s_suppkey", "s_name"},
+    "part": {"p_partkey", "p_brand"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey"},
+    "events": {"event_type", "user_id"},
+    "documents": {"doc_id", "text"},
+    "embeddings": {"vec_id", "embedding"},
+}
+
+
+def _forced_broadcasts_of_sf_linear(df) -> list[str]:
+    """Walk the analyzed logical plan; under every broadcast hint, flag any
+    SF-linear base-table scan. A group-less (one-row scalar) Aggregate
+    subtree is exempt — its result is KB-scale whatever the SF — and a
+    checkpoint (LogicalRDD) is a materialization boundary the policy
+    already vetted at creation time."""
+    out: list[str] = []
+
+    def table_of(node) -> str | None:
+        names = {node.output().apply(i).name() for i in range(node.output().size())}
+        for t, sig in _SF_LINEAR_SIGNATURES.items():
+            if sig <= names:
+                return t
+        return None
+
+    def walk(node, in_hint: bool) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "Aggregate" and node.groupingExpressions().isEmpty():
+            return
+        if "Hint" in cls:
+            in_hint = True
+        if in_hint and "Relation" in cls:
+            t = table_of(node)
+            if t:
+                out.append(t)
+        cs = node.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i), in_hint)
+
+    walk(df._jdf.queryExecution().analyzed(), False)
+    return out
+
+
+def test_no_forced_broadcast_of_sf_linear_tables(spark, sf_dir):
+    """Repo scale policy (plans/analytics.py docstring, SCALING.md "Joins"):
+    fixed-size dims broadcast, SF-linear tables carry NO manual hint — AQE
+    decides. This lint pins it for every registered query."""
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        vio = _forced_broadcasts_of_sf_linear(fn(spark, sf_dir))
+        if vio:
+            bad[name] = sorted(set(vio))
+    assert not bad, f"forced broadcast of SF-linear tables: {bad}"
+
+
 def test_incremental_dedup_twin_equi_keyed(spark, sf_dir):
     """The streaming-dedup batch twin must pair via the banded equi-join —
     never a cartesian/nested-loop plan."""

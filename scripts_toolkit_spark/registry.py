@@ -2,6 +2,16 @@
 
 One `register(...)` call per implemented operator demonstration. This file
 is the single auditable map from the §2 inventory to runnable queries.
+
+ORDERING CONTRACT: the driver's correctness gate samples the FIRST 50
+registered queries (CORRECTNESS_r01..r03 each hold exactly 50 rows in
+registration order). Rounds 1-3 always led with the same 50, so the 39
+queries registered after `order_count_distribution` never received a
+driver-side correctness row (round-3 verdict, "What's missing" #1).
+Round 4 therefore leads with exactly those 39 (same relative order),
+followed by queries new/changed this round, followed by the long-green
+tier. Rotate again whenever the registry grows past what one sample
+window covers.
 """
 
 from __future__ import annotations
@@ -9,98 +19,13 @@ from __future__ import annotations
 from scripts_toolkit_spark.contract import register
 from scripts_toolkit_spark.plans import analytics
 
-# ---- headline join/aggregate queries (J1/J4 broadcast enrichment, A5-ish
-# grouped aggregation, §2.7/§2.4) -------------------------------------------
-register("pricing_summary", analytics.pricing_summary, analytics.PRICING_SUMMARY_SQL)
-register("revenue_by_nation", analytics.revenue_by_nation, analytics.REVENUE_BY_NATION_SQL)
-register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_ORDERS_SQL)
-register("order_priority_counts", analytics.order_priority_counts, analytics.ORDER_PRIORITY_COUNTS_SQL)
-
-# ---- scalar functions F1-F16 + MDRM pipeline (§2.3, §3.1) ------------------
-from scripts_toolkit_spark.plans import function_demos as fd
-
-register("clean_text_chain", fd.clean_text_chain, fd.CLEAN_TEXT_CHAIN_SQL)
-register("derive_fields", fd.derive_fields, fd.DERIVE_FIELDS_SQL)
-register("split_explode_tokens", fd.split_explode_tokens, fd.SPLIT_EXPLODE_TOKENS_SQL)
-register("json_extract_props", fd.json_extract_props, fd.JSON_EXTRACT_PROPS_SQL)
-register("nan_null_normalize", fd.nan_null_normalize, fd.NAN_NULL_NORMALIZE_SQL)
-register("mdrm_pipeline_demo", fd.mdrm_pipeline_demo, fd.MDRM_PIPELINE_DEMO_SQL)
-
-# ---- type profiler + melt/pivot long EAV store (§2.4 A1-A3, §2.5 R1-R4) ----
-from scripts_toolkit_spark.plans import reshape_demos as rd
-
-register("type_profile", rd.type_profile, rd.TYPE_PROFILE_SQL)
-register("melt_wide_to_eav", rd.melt_wide_to_eav, rd.MELT_WIDE_TO_EAV_SQL)
-register("pivot_eav_to_wide", rd.pivot_eav_to_wide, rd.PIVOT_EAV_TO_WIDE_SQL)
-
-# ---- joins: broadcast/anti/range/as-of/prefix-key (§2.7 J1-J7, §2.6 D3) ----
-from scripts_toolkit_spark.plans import join_demos as jd
-
-register("eav_dictionary_enrich", jd.eav_dictionary_enrich, jd.EAV_DICTIONARY_ENRICH_SQL)
-register("customers_without_orders", jd.customers_without_orders, jd.CUSTOMERS_WITHOUT_ORDERS_SQL)
-register("value_band_join", jd.value_band_join, jd.VALUE_BAND_JOIN_SQL)
-register("purchase_asof_click", jd.purchase_asof_click, jd.PURCHASE_ASOF_CLICK_SQL)
-register(
-    "purchase_asof_click_tolerance",
-    jd.purchase_asof_click_tolerance,
-    jd.PURCHASE_ASOF_CLICK_TOLERANCE_SQL,
-)
-register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOIN_SQL)
-
-# ---- hierarchy/graph: leaf discovery, path expansion, classification (§2.8) -
-from scripts_toolkit_spark.plans import taxonomy as tx
-
-register("hierarchy_paths", tx.hierarchy_paths, tx.HIERARCHY_PATHS_SQL)
-register("hierarchy_paths_deep", tx.hierarchy_paths_deep, tx.HIERARCHY_PATHS_DEEP_SQL)
-register("hierarchy_classify", tx.hierarchy_classify, tx.HIERARCHY_CLASSIFY_SQL)
-
-# ---- ordered/stateful + windows (§2.9 T1-T4, §2.10) ------------------------
-from scripts_toolkit_spark.plans import stateful_demos as sd
-
-register("fill_forward_signup_value", sd.fill_forward_signup_value, sd.FILL_FORWARD_SIGNUP_VALUE_SQL)
-register("user_sessions", sd.user_sessions, sd.USER_SESSIONS_SQL)
-register("tumbling_event_counts", sd.tumbling_event_counts, sd.TUMBLING_EVENT_COUNTS_SQL)
-register("session_window_stats", sd.session_window_stats, sd.SESSION_WINDOW_STATS_SQL)
-
-# ---- training-data-pipeline extensions (§2.12): dedup, similarity, text,
-# multimodal ------------------------------------------------------------------
-from scripts_toolkit_spark.plans import ext_demos as xd
-
-register("exact_dup_groups", xd.exact_dup_groups, xd.EXACT_DUP_GROUPS_SQL)
-register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
-register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
-register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
-register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
-register("simhash_near_dups", xd.simhash_near_dups, xd.SIMHASH_NEAR_DUPS_SQL)
-register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
-# approximate BUT deterministic: oracle replays the identical bucketing /
-# quantization in SQL; recall vs brute force additionally tested in pytest
-register("ann_topk_lsh", xd.ann_topk_lsh, xd.ANN_TOPK_LSH_SQL)
-register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
-register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
-register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
-register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
-register("image_decode_stats", xd.image_decode_stats, xd.IMAGE_DECODE_STATS_SQL)
-register("audio_decode_stats", xd.audio_decode_stats, xd.AUDIO_DECODE_STATS_SQL)
-register("image_resize_stats", xd.image_resize_stats, xd.IMAGE_RESIZE_STATS_SQL)
-register("audio_resample_stats", xd.audio_resample_stats, xd.AUDIO_RESAMPLE_STATS_SQL)
-
-# ---- rollup/cube, window functions, set ops, validity windows, SMJ
-# (§2.4 A7, §2.10, §2.6 D4-D5, §2.7 J7) --------------------------------------
-from scripts_toolkit_spark.plans import window_demos as wd
-
-register("rollup_revenue", wd.rollup_revenue, wd.ROLLUP_REVENUE_SQL)
-register("cube_lineitem_stats", wd.cube_lineitem_stats, wd.CUBE_LINEITEM_STATS_SQL)
-register("customer_order_ranks", wd.customer_order_ranks, wd.CUSTOMER_ORDER_RANKS_SQL)
-register("running_revenue_frame", wd.running_revenue_frame, wd.RUNNING_REVENUE_FRAME_SQL)
-register("segment_set_ops", wd.segment_set_ops, wd.SEGMENT_SET_OPS_SQL)
-register("validity_window_lookup", wd.validity_window_lookup, wd.VALIDITY_WINDOW_LOOKUP_SQL)
-register("supplier_part_volumes", wd.supplier_part_volumes, wd.SUPPLIER_PART_VOLUMES_SQL)
+# ============================================================================
+# TIER 1 — the 39 queries the r1-r3 driver samples never reached.
+# ============================================================================
 
 # ---- correlated/distinct shapes, sampling, grouped-map applyInPandas -------
 from scripts_toolkit_spark.plans import analytics2 as a2
 
-register("order_count_distribution", a2.order_count_distribution, a2.ORDER_COUNT_DISTRIBUTION_SQL)
 register("brand_supplier_counts", a2.brand_supplier_counts, a2.BRAND_SUPPLIER_COUNTS_SQL)
 register("rich_inactive_customers", a2.rich_inactive_customers, a2.RICH_INACTIVE_CUSTOMERS_SQL)
 register("top_value_nations", a2.top_value_nations, a2.TOP_VALUE_NATIONS_SQL)
@@ -180,3 +105,105 @@ register("yearly_brand_profit", a4.yearly_brand_profit, a4.YEARLY_BRAND_PROFIT_S
 register("returned_item_report", a4.returned_item_report, a4.RETURNED_ITEM_REPORT_SQL)
 register("linestatus_priority_counts", a4.linestatus_priority_counts, a4.LINESTATUS_PRIORITY_COUNTS_SQL)
 register("disjunctive_promo_revenue", a4.disjunctive_promo_revenue, a4.DISJUNCTIVE_PROMO_REVENUE_SQL)
+
+# ============================================================================
+# TIER 2 — queries NEW or materially CHANGED in round 4 (need fresh driver
+# rows while inside the 50-query sample window).
+# ============================================================================
+from scripts_toolkit_spark.plans import ext_demos as xd
+
+# ann_topk_ivfpq: round-4 rework (normalized PQ, inner-product ADC, exact
+# rerank) — re-sampled here
+register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
+
+# ============================================================================
+# TIER 3 — long-green tier (driver rows in CORRECTNESS_r01-r03, all green;
+# still fully covered by tools/verify_local.py every round).
+# ============================================================================
+
+# ---- headline join/aggregate queries (J1/J4 broadcast enrichment, A5-ish
+# grouped aggregation, §2.7/§2.4) -------------------------------------------
+register("pricing_summary", analytics.pricing_summary, analytics.PRICING_SUMMARY_SQL)
+register("revenue_by_nation", analytics.revenue_by_nation, analytics.REVENUE_BY_NATION_SQL)
+register("top_unshipped_orders", analytics.top_unshipped_orders, analytics.TOP_UNSHIPPED_ORDERS_SQL)
+register("order_priority_counts", analytics.order_priority_counts, analytics.ORDER_PRIORITY_COUNTS_SQL)
+
+# ---- scalar functions F1-F16 + MDRM pipeline (§2.3, §3.1) ------------------
+from scripts_toolkit_spark.plans import function_demos as fd
+
+register("clean_text_chain", fd.clean_text_chain, fd.CLEAN_TEXT_CHAIN_SQL)
+register("derive_fields", fd.derive_fields, fd.DERIVE_FIELDS_SQL)
+register("split_explode_tokens", fd.split_explode_tokens, fd.SPLIT_EXPLODE_TOKENS_SQL)
+register("json_extract_props", fd.json_extract_props, fd.JSON_EXTRACT_PROPS_SQL)
+register("nan_null_normalize", fd.nan_null_normalize, fd.NAN_NULL_NORMALIZE_SQL)
+register("mdrm_pipeline_demo", fd.mdrm_pipeline_demo, fd.MDRM_PIPELINE_DEMO_SQL)
+
+# ---- type profiler + melt/pivot long EAV store (§2.4 A1-A3, §2.5 R1-R4) ----
+from scripts_toolkit_spark.plans import reshape_demos as rd
+
+register("type_profile", rd.type_profile, rd.TYPE_PROFILE_SQL)
+register("melt_wide_to_eav", rd.melt_wide_to_eav, rd.MELT_WIDE_TO_EAV_SQL)
+register("pivot_eav_to_wide", rd.pivot_eav_to_wide, rd.PIVOT_EAV_TO_WIDE_SQL)
+
+# ---- joins: broadcast/anti/range/as-of/prefix-key (§2.7 J1-J7, §2.6 D3) ----
+from scripts_toolkit_spark.plans import join_demos as jd
+
+register("eav_dictionary_enrich", jd.eav_dictionary_enrich, jd.EAV_DICTIONARY_ENRICH_SQL)
+register("customers_without_orders", jd.customers_without_orders, jd.CUSTOMERS_WITHOUT_ORDERS_SQL)
+register("value_band_join", jd.value_band_join, jd.VALUE_BAND_JOIN_SQL)
+register("purchase_asof_click", jd.purchase_asof_click, jd.PURCHASE_ASOF_CLICK_SQL)
+register(
+    "purchase_asof_click_tolerance",
+    jd.purchase_asof_click_tolerance,
+    jd.PURCHASE_ASOF_CLICK_TOLERANCE_SQL,
+)
+register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOIN_SQL)
+
+# ---- hierarchy/graph: leaf discovery, path expansion, classification (§2.8) -
+from scripts_toolkit_spark.plans import taxonomy as tx
+
+register("hierarchy_paths", tx.hierarchy_paths, tx.HIERARCHY_PATHS_SQL)
+register("hierarchy_paths_deep", tx.hierarchy_paths_deep, tx.HIERARCHY_PATHS_DEEP_SQL)
+register("hierarchy_classify", tx.hierarchy_classify, tx.HIERARCHY_CLASSIFY_SQL)
+
+# ---- ordered/stateful + windows (§2.9 T1-T4, §2.10) ------------------------
+from scripts_toolkit_spark.plans import stateful_demos as sd
+
+register("fill_forward_signup_value", sd.fill_forward_signup_value, sd.FILL_FORWARD_SIGNUP_VALUE_SQL)
+register("user_sessions", sd.user_sessions, sd.USER_SESSIONS_SQL)
+register("tumbling_event_counts", sd.tumbling_event_counts, sd.TUMBLING_EVENT_COUNTS_SQL)
+register("session_window_stats", sd.session_window_stats, sd.SESSION_WINDOW_STATS_SQL)
+
+# ---- training-data-pipeline extensions (§2.12): dedup, similarity, text,
+# multimodal ------------------------------------------------------------------
+register("exact_dup_groups", xd.exact_dup_groups, xd.EXACT_DUP_GROUPS_SQL)
+register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
+register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
+register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
+register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
+register("simhash_near_dups", xd.simhash_near_dups, xd.SIMHASH_NEAR_DUPS_SQL)
+register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
+# approximate BUT deterministic: oracle replays the identical bucketing /
+# quantization in SQL; recall vs brute force additionally tested in pytest
+register("ann_topk_lsh", xd.ann_topk_lsh, xd.ANN_TOPK_LSH_SQL)
+register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
+register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
+register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
+register("image_decode_stats", xd.image_decode_stats, xd.IMAGE_DECODE_STATS_SQL)
+register("audio_decode_stats", xd.audio_decode_stats, xd.AUDIO_DECODE_STATS_SQL)
+register("image_resize_stats", xd.image_resize_stats, xd.IMAGE_RESIZE_STATS_SQL)
+register("audio_resample_stats", xd.audio_resample_stats, xd.AUDIO_RESAMPLE_STATS_SQL)
+
+# ---- rollup/cube, window functions, set ops, validity windows, SMJ
+# (§2.4 A7, §2.10, §2.6 D4-D5, §2.7 J7) --------------------------------------
+from scripts_toolkit_spark.plans import window_demos as wd
+
+register("rollup_revenue", wd.rollup_revenue, wd.ROLLUP_REVENUE_SQL)
+register("cube_lineitem_stats", wd.cube_lineitem_stats, wd.CUBE_LINEITEM_STATS_SQL)
+register("customer_order_ranks", wd.customer_order_ranks, wd.CUSTOMER_ORDER_RANKS_SQL)
+register("running_revenue_frame", wd.running_revenue_frame, wd.RUNNING_REVENUE_FRAME_SQL)
+register("segment_set_ops", wd.segment_set_ops, wd.SEGMENT_SET_OPS_SQL)
+register("validity_window_lookup", wd.validity_window_lookup, wd.VALIDITY_WINDOW_LOOKUP_SQL)
+register("supplier_part_volumes", wd.supplier_part_volumes, wd.SUPPLIER_PART_VOLUMES_SQL)
+
+register("order_count_distribution", a2.order_count_distribution, a2.ORDER_COUNT_DISTRIBUTION_SQL)

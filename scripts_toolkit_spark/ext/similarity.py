@@ -301,6 +301,118 @@ def _l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def normalize_vectors(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, unit-L2-norm vector) — the standard pre-step for cosine-metric
+    PQ: on unit vectors, L2² = 2 − 2·cos, so L2 ranking is monotone in
+    cosine and the quantizer optimizes the metric the search uses.
+    Deterministic: sequential-fold norm + per-element IEEE double divide
+    (replayed in DuckDB by the same list_transform / list_reduce)."""
+    n = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    return vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double") / n).alias(vec_col),
+    )
+
+
+def _subvectors(
+    vectors: DataFrame, m: int, sub_dim: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, s, sub): split each vector into m contiguous sub_dim-wide
+    subvectors — a narrow map (m rows/vector), no shuffle."""
+    return vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
+
+
+def pq_subspace_codebook(codebook: DataFrame, m: int, sub_dim: int) -> DataFrame:
+    """(s, code, csub): per-subspace codewords as slices of full-width
+    (code, centroid) rows — the seeded, model-free codebook layout (one
+    table serves all m subspaces)."""
+    return codebook.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(F.col("centroid"), s * sub_dim + 1, sub_dim).alias("csub"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col("e.s").alias("s"), "code", F.col("e.csub").alias("csub"))
+
+
+def train_pq_codebook(
+    vectors: DataFrame,
+    m: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace Lloyd (k-means) training of the PQ codebook — the
+    refinement that turns the seeded slice-codebook into codewords that
+    actually tile each subspace. Same discipline as `refine_centroids`:
+    assignment by fold-ordered L2 argmin (tiebreak code asc), new codeword
+    = element-wise mean via posexplode → (s, code, pos) hash aggregate →
+    array re-assembly; empty codes keep their previous codeword.
+
+    Distributed float means are summation-order-dependent in the last
+    bits, so the TRAINED path is a model-building routine (recall-tested
+    in pytest); the oracle-gated demo keeps the seeded slice codebook
+    whose pipeline is bit-reproducible."""
+    init = deterministic_centroids(vectors, n_codes, id_col, vec_col).localCheckpoint()
+    cb = pq_subspace_codebook(
+        init.select(F.col("cell_id").alias("code"), "centroid"), m, sub_dim
+    ).localCheckpoint()
+    subs = _subvectors(vectors, m, sub_dim, id_col, vec_col).localCheckpoint()
+    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
+    for _ in range(iters):
+        scored = subs.join(F.broadcast(cb), "s").select(
+            id_col, "s", "code", "sub", _l2sq(F.col("sub"), F.col("csub")).alias("d2")
+        )
+        assigned = (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("s", "code", "sub")
+        )
+        means = (
+            assigned.select("s", "code", F.posexplode("sub"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("col").alias("mv"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda e: e["mv"]
+                ).alias("new_csub")
+            )
+        )
+        cb = (
+            cb.join(means, ["s", "code"], "left")
+            .select("s", "code", F.coalesce("new_csub", "csub").alias("csub"))
+            .localCheckpoint()
+        )
+    return cb
+
+
 def pq_codes(
     vectors: DataFrame,
     codebook: DataFrame,
@@ -322,7 +434,8 @@ def pq_codes(
     the assignment is a broadcast join + windowed argmin partitioned by
     (vector, subspace) — no global shuffle of raw vectors beyond the
     window's hash partitioning on the id."""
-    scored = _pq_all_distances(vectors, codebook, m, sub_dim, id_col, vec_col)
+    sub_cb = pq_subspace_codebook(codebook, m, sub_dim)
+    scored = _pq_all_distances(vectors, sub_cb, m, sub_dim, id_col, vec_col)
     w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
     return (
         scored.withColumn("r", F.row_number().over(w))
@@ -338,30 +451,62 @@ def ivfpq_topk(
     k: int = 3,
     m: int = 4,
     sub_dim: int = 16,
+    rerank_factor: int = 4,
+    pq_n_codes: int | None = None,
+    sub_codebook: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the FAISS-standard compressed-domain
-    search: IVF cells generate candidates (equi-join, as `ivf_topk`), then
-    candidates are ranked by ASYMMETRIC DISTANCE (ADC): the query's exact
-    subvectors against the neighbor's PQ codes, i.e. sum over subspaces of
-    the query→codeword L2² — never touching the neighbor's raw vector.
+    search with the standard refinement step:
+
+    1. L2-NORMALIZE the corpus (unit norm ⇒ L2² = 2 − 2·cos, so the PQ/IVF
+       L2 machinery ranks by the cosine metric the exact baseline uses —
+       the round-3 recall bug was exactly this mismatch on unnormalized
+       vectors).
+    2. IVF cells generate candidates (equi-join on cell_id, as `ivf_topk`).
+    3. Candidates rank by ASYMMETRIC DISTANCE (ADC): the query's exact
+       subvectors against the neighbor's PQ codes — sum over subspaces of
+       query→codeword L2², never touching the neighbor's raw vector.
+    4. EXACT RERANK: the ADC top-(rerank_factor·k) shortlist per query is
+       re-scored by exact cosine (a skinny equi-join back to the unit
+       vectors) and the final top-k ranks by cosine — ADC's quantization
+       error picks the shortlist, not the final order.
 
     At 100 TB this is the shape that wins: the corpus side of the scoring
     join carries only (id, m codes) — a few bytes/vector instead of
-    dim·4 — and the per-query lookup table (m·n_codes distances) joins
-    equi-keyed on (query, subspace, code). The m partial distances are
-    pivoted to fixed columns and added left-to-right, so the ADC sum has a
-    fixed fold order (bit-reproducible; no float-sum order dependence).
+    dim·4 — the per-query lookup table (m·n_codes distances) joins
+    equi-keyed on (query, subspace, code), and the rerank join touches
+    rerank_factor·k rows per query. The m partial distances are pivoted to
+    fixed columns and added left-to-right (fixed fold order → bit-
+    reproducible), and on unit vectors cosine = plain dot (sequential
+    fold).
 
-    Deterministic end-to-end (md5-seeded centroids shared with the coarse
-    quantizer, fold-ordered L2, code/rank tiebreaks) → oracle-replayable."""
-    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).localCheckpoint()
-    codebook = cents.select(F.col("cell_id").alias("code"), "centroid")
+    `pq_n_codes` decouples codebook size from IVF cell count (more
+    codewords = finer quantization; the md5-prefix pick is a prefix
+    property, so one centroid collect serves both). `sub_codebook`: an
+    optional pre-trained (s, code, csub) from `train_pq_codebook` over the
+    NORMALIZED image (pytest-only path — distributed float means); default
+    is the md5-seeded slice codebook, deterministic end-to-end →
+    oracle-replayable."""
+    normed = normalize_vectors(vectors, id_col, vec_col).localCheckpoint()
+    n_codes = pq_n_codes or n_cells
+    big = deterministic_centroids(
+        normed, max(n_cells, n_codes), id_col, vec_col
+    ).localCheckpoint()
+    cents = big.where(F.col("cell_id") < n_cells)
+    if sub_codebook is None:
+        sub_codebook = pq_subspace_codebook(
+            big.where(F.col("cell_id") < n_codes).select(
+                F.col("cell_id").alias("code"), "centroid"
+            ),
+            m,
+            sub_dim,
+        )
     # neighbor-side compressed codes + query-side distance LUT are the SAME
     # frame: d2(vec, s, code) covers all codebook entries, codes = argmin;
     # checkpointed because both legs of the scoring join reference it
-    subs_scored = _pq_all_distances(vectors, codebook, m, sub_dim, id_col, vec_col)
+    subs_scored = _pq_all_distances(normed, sub_codebook, m, sub_dim, id_col, vec_col)
     subs_scored = subs_scored.localCheckpoint()
     w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
     codes = (
@@ -370,7 +515,7 @@ def ivfpq_topk(
         .select(F.col(id_col).alias("neighbor_id"), "s", "code")
     )
     lut = subs_scored.select(F.col(id_col).alias("query_id"), "s", "code", "d2")
-    assigned = ivf_assign(vectors, cents, n_probe, id_col, vec_col).localCheckpoint()
+    assigned = ivf_assign(normed, cents, n_probe, id_col, vec_col).localCheckpoint()
     corpus = assigned.where(F.col("is_home")).select(
         F.col(id_col).alias("neighbor_id"), "cell_id"
     )
@@ -393,17 +538,31 @@ def ivfpq_topk(
         "neighbor_id",
         sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0")).alias("adc_dist"),
     )
-    wk = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist_n = rerank_factor * k
+    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("ar", F.row_number().over(wa))
+        .where(F.col("ar") <= shortlist_n)
+        .select("query_id", "neighbor_id")
+    )
+    qv = normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = normed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    reranked = (
+        shortlist.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("nv")).alias("cos_sim"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        adc.withColumn("rank", F.row_number().over(wk))
+        reranked.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "adc_dist")
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
 
 
 def _pq_all_distances(
     vectors: DataFrame,
-    codebook: DataFrame,
+    sub_codebook: DataFrame,
     m: int,
     sub_dim: int,
     id_col: str,
@@ -411,37 +570,9 @@ def _pq_all_distances(
 ) -> DataFrame:
     """(vec, subspace, code) → L2² distance for EVERY codebook entry —
     serves both as the PQ assignment input (argmin per subspace) and the
-    query-side ADC lookup table."""
-    subs = vectors.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(F.col(vec_col), s * sub_dim + 1, sub_dim).alias("sub"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("e"),
-    ).select(id_col, F.col("e.s").alias("s"), F.col("e.sub").alias("sub"))
-    cb = F.broadcast(
-        codebook.select(
-            "code",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("s"),
-                            F.slice(F.col("centroid"), s * sub_dim + 1, sub_dim).alias("csub"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("e"),
-        ).select("code", F.col("e.s").alias("s"), F.col("e.csub").alias("csub"))
-    )
+    query-side ADC lookup table. `sub_codebook` is (s, code, csub)."""
+    subs = _subvectors(vectors, m, sub_dim, id_col, vec_col)
+    cb = F.broadcast(sub_codebook)
     return subs.join(cb, "s").select(
         id_col, "s", "code", _l2sq(F.col("sub"), F.col("csub")).alias("d2")
     )

@@ -429,13 +429,23 @@ FROM ranked WHERE rank <= 3
 
 def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-3 (the FAISS-standard compressed-domain
-    rank): IVF cells generate candidates, PQ codes (m=4 subspaces × 16
-    codewords, slices of the same md5-seeded centroids) rank them by
-    asymmetric L2² distance. The scoring join carries codes, not vectors.
-    Deterministic end-to-end → the oracle replays centroid pick, encoding,
-    LUT, and the fixed-order 4-term ADC sum in SQL."""
+    search, round-4 rework): vectors are L2-NORMALIZED first (unit norm ⇒
+    L2² monotone in cosine — the round-3 recall bug was ranking raw-L2
+    against a cosine baseline), IVF cells generate candidates, PQ codes
+    (m=4 subspaces × 64 codewords, slices of the md5-seeded normalized
+    centroids — the first 16 of the same prefix-ordered pick are the IVF
+    cells) shortlist them by asymmetric L2² distance, and the ADC top-24
+    per query is RERANKED by exact cosine. The scoring join carries codes,
+    not vectors; the rerank join touches 24 rows/query. Recall vs the
+    exact baseline is asserted in pytest (seeded ≥0.25, Lloyd-trained
+    ≥0.4). Deterministic end-to-end → the oracle replays normalization,
+    centroid pick, encoding, LUT, the fixed-order 4-term ADC sum,
+    shortlist, and the sequential-fold cosine rerank in SQL."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return SIM.ivfpq_topk(emb, n_cells=16, n_probe=3, k=3, m=4, sub_dim=16)
+    return SIM.ivfpq_topk(
+        emb, n_cells=16, n_probe=4, k=3, m=4, sub_dim=16,
+        rerank_factor=8, pq_n_codes=64,
+    )
 
 
 _PQ_L2_SQL = """
@@ -445,22 +455,32 @@ _PQ_L2_SQL = """
 """
 
 ANN_TOPK_IVFPQ_SQL = f"""
-WITH cents AS (
-  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
-         vec_id
+WITH nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
   FROM embeddings
-  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16
+),
+cents64 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+         vec_id
+  FROM nv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 64
+),
+cbv AS (
+  SELECT code, nvec AS centroid FROM cents64 JOIN nv USING (vec_id)
 ),
 centv AS (
-  SELECT cell_id, embedding AS centroid FROM cents JOIN embeddings USING (vec_id)
+  SELECT code AS cell_id, centroid FROM cbv WHERE code < 16
 ),
 cb AS (
-  SELECT s, cell_id AS code, centroid[s*16+1 : s*16+16] AS csub
-  FROM centv, UNNEST(range(4)) AS t(s)
+  SELECT s, code, centroid[s*16+1 : s*16+16] AS csub
+  FROM cbv, UNNEST(range(4)) AS t(s)
 ),
 subs AS (
-  SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sub
-  FROM embeddings, UNNEST(range(4)) AS t(s)
+  SELECT vec_id, s, nvec[s*16+1 : s*16+16] AS sub
+  FROM nv, UNNEST(range(4)) AS t(s)
 ),
 d2 AS (
   SELECT vec_id, s, code, {_PQ_L2_SQL} AS d2
@@ -474,14 +494,14 @@ codes AS (
 aff AS (
   SELECT e.vec_id, c.cell_id,
     list_reduce(list_transform(range(1, 65),
-      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
-  FROM embeddings e, centv c
+      i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM nv e, centv c
 ),
 assigned AS (
   SELECT vec_id, cell_id,
     row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
   FROM aff
-  QUALIFY r <= 3
+  QUALIFY r <= 4
 ),
 cand AS (
   SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
@@ -500,12 +520,25 @@ pivoted AS (
   JOIN d2 l ON l.vec_id = c.query_id AND l.s = nc.s AND l.code = nc.code
   GROUP BY c.query_id, c.neighbor_id
 ),
-ranked AS (
-  SELECT query_id, neighbor_id, p0 + p1 + p2 + p3 AS adc_dist,
-    row_number() OVER (PARTITION BY query_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) AS rank
+shortlist AS (
+  SELECT query_id, neighbor_id
   FROM pivoted
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 24
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(q.nvec[i] AS DOUBLE) * CAST(n.nvec[i] AS DOUBLE)), (x, y) -> x + y) AS cos_sim
+  FROM shortlist s
+  JOIN nv q ON q.vec_id = s.query_id
+  JOIN nv n ON n.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM reranked
 )
-SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= 3
 """
 

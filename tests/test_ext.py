@@ -226,7 +226,7 @@ def test_ivf_kmeans_refinement_recall(spark, sf_dir):
 
     seeded = recall(ivf_topk(emb, n_cells=8, n_probe=3, k=3))
     refined = recall(ivf_topk(emb, n_cells=8, n_probe=3, k=3, refine_iters=2))
-    assert refined >= 0.4
+    assert refined >= 0.6, f"IVF refined recall {refined:.2f}"  # measured ≈0.66
     assert refined >= seeded - 0.05, f"refined {refined:.2f} vs seeded {seeded:.2f}"
 
 
@@ -363,30 +363,69 @@ def test_train_eval_overlap_plan_equi_keyed(spark, sf_dir):
 
 
 def test_ivfpq_adc_vs_exact_rerank(spark, sf_dir):
-    """IVF-PQ sanity: (a) the ADC-ranked neighbor set overlaps the exact
-    top-k meaningfully (compressed-domain ranking is lossy but far above
-    chance), and (b) each query's PQ codes reconstruct a distance that is
-    the sum of per-subspace LUT entries — verified implicitly by (a) plus
-    the oracle gate; here we additionally check monotonic structure:
-    rank 1 has the smallest adc_dist per query."""
+    """IVF-PQ sanity with the SEEDED (oracle-replayable) codebook — the
+    registered demo's configuration: normalized vectors, 64 codewords,
+    n_probe=4, exact-cosine rerank of the ADC top-24. Recall vs exact
+    top-3 must sit comfortably above chance (measured ≈0.38 at sf0.001),
+    and within each query the final ranks must be cosine-descending
+    (rerank order, not ADC order)."""
     from scripts_toolkit_spark.ext.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = brute_force_topk(emb, emb, k=3)
-    approx = ivfpq_topk(emb, n_cells=8, n_probe=3, k=3, m=4, sub_dim=16)
+    approx = ivfpq_topk(
+        emb, n_cells=8, n_probe=4, k=3, m=4, sub_dim=16,
+        rerank_factor=8, pq_n_codes=64,
+    )
     rows = approx.collect()
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(e & a) / len(e)
-    assert recall >= 0.25, f"IVF-PQ recall {recall:.2f}"
+    assert recall >= 0.25, f"IVF-PQ seeded recall {recall:.2f}"
 
     by_query: dict = {}
     for r in rows:
-        by_query.setdefault(r["query_id"], []).append((r["rank"], r["adc_dist"]))
+        by_query.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
     for q, rs in by_query.items():
         rs.sort()
-        dists = [d for _, d in rs]
-        assert dists == sorted(dists), f"ADC ranks out of order for query {q}"
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True), f"rerank out of order for query {q}"
+
+
+def test_ivfpq_trained_codebook_recall(spark, sf_dir):
+    """Lloyd-trained per-subspace codebook (train_pq_codebook over the
+    normalized image) must lift IVF-PQ recall to ≥0.4 (measured ≈0.49 at
+    sf0.001) and beat the seeded slice codebook."""
+    from scripts_toolkit_spark.ext.similarity import (
+        ivfpq_topk,
+        normalize_vectors,
+        train_pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def recall(df):
+        a = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(e & a) / len(e)
+
+    seeded = recall(
+        ivfpq_topk(
+            emb, n_cells=8, n_probe=4, k=3, m=4, sub_dim=16,
+            rerank_factor=8, pq_n_codes=64,
+        )
+    )
+    normed = normalize_vectors(emb).localCheckpoint()
+    cb = train_pq_codebook(normed, m=4, sub_dim=16, n_codes=64, iters=3)
+    trained = recall(
+        ivfpq_topk(
+            emb, n_cells=8, n_probe=4, k=3, m=4, sub_dim=16,
+            rerank_factor=8, sub_codebook=cb,
+        )
+    )
+    assert trained >= 0.4, f"IVF-PQ trained recall {trained:.2f}"
+    assert trained >= seeded - 0.02, f"trained {trained:.2f} vs seeded {seeded:.2f}"
 
 
 def test_ivfpq_scoring_join_carries_codes_not_vectors(spark, sf_dir):

@@ -177,6 +177,149 @@ def simhash16(shingles: Column) -> Column:
     return F.conv(F.array_join(bits_msb_first, ""), 2, 10).cast("long")
 
 
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash as a struct(fp_hi, fp_lo) of two 32-bit halves — the
+    corpus-scale fingerprint width (the 16-bit form saturates at ~10^5
+    docs: 65,536 distinct values means every bucket collides and
+    Hamming ≤ r pairs nearly everything; 64 bits keep random pairs at
+    E[hamming] = 32, far outside any real-dup ball).
+
+    Two-halves representation instead of one signed 64-bit value: every
+    intermediate stays < 2^32, so `conv`/bit-ops never touch the sign bit
+    in Spark (ANSI overflow) and the DuckDB replay never needs HUGEINT —
+    identical bit layout in both engines. Bit j of the logical fingerprint
+    lives in fp_lo for j < 32, fp_hi bit (j−32) otherwise; per shingle the
+    md5's first 8 hex chars feed the hi half, chars 9-16 the lo half.
+
+    Same single-pass shape as `simhash16`: one md5 per shingle, ONE fold
+    carrying a 64-long accumulator (per-bit folds would re-inline the
+    shingle expression tree 64×)."""
+    vals = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("lo"),
+        ),
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), 64)
+    bit_sums = F.aggregate(
+        vals,
+        zeros,
+        # floor(x / 2^b) % 2 is exact: x < 2^32 is exactly representable
+        # and dividing by a power of two only shifts the exponent
+        lambda acc, x: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda a, j: a
+            + (
+                F.floor(
+                    F.when(j < 32, x["lo"]).otherwise(x["hi"])
+                    / F.pow(F.lit(2.0), (j % 32).cast("double"))
+                ).cast("long")
+                % 2
+            )
+            * 2
+            - 1,
+        ),
+    )
+
+    def _half(sums: Column) -> Column:
+        bits_msb_first = F.transform(
+            F.reverse(sums), lambda a: F.when(a > 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+        return F.conv(F.array_join(bits_msb_first, ""), 2, 10).cast("long")
+
+    return F.struct(
+        _half(F.slice(bit_sums, 33, 32)).alias("fp_hi"),
+        _half(F.slice(bit_sums, 1, 32)).alias("fp_lo"),
+    )
+
+
+def simhash64_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over 64-bit SimHash (hi/lo halves), Hamming ≤ r,
+    paired by the same PIGEONHOLE equi-join as `simhash_pairs`: split the
+    64 logical bits into (r+1) contiguous pieces — within Hamming r at
+    least one piece matches exactly — explode to (piece_idx, piece)
+    sub-keys, self-equi-join, exact-Hamming verify. Recall 1.0 by
+    construction; candidate volume bounded by sub-key bucket sizes.
+    Piece extraction masks/shifts the halves (a piece straddling the
+    lo/hi boundary combines both), so every value stays < 2^32."""
+    pieces = max_hamming + 1
+    degenerate = pieces > 64
+    if degenerate:
+        pieces = 1
+    base, rem = divmod(64, pieces)
+    widths = [base + (1 if p < rem else 0) for p in range(pieces)]
+    offsets = [sum(widths[:p]) for p in range(pieces)]
+
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    fp = (
+        docs.repartition(parallelism)
+        .select(F.col(id_col), simhash64(word_shingles(text_col)).alias("f"))
+        .select(id_col, F.col("f.fp_hi").alias("fp_hi"), F.col("f.fp_lo").alias("fp_lo"))
+        .localCheckpoint()
+    )
+
+    def _piece(o: int, w: int) -> Column:
+        if degenerate:
+            return F.lit(0).cast("long")
+        if o >= 32:
+            return F.shiftright("fp_hi", o - 32).bitwiseAND(F.lit((1 << w) - 1))
+        if o + w <= 32:
+            return F.shiftright("fp_lo", o).bitwiseAND(F.lit((1 << w) - 1))
+        lo_w = 32 - o
+        lo_part = F.shiftright("fp_lo", o).bitwiseAND(F.lit((1 << lo_w) - 1))
+        hi_part = F.col("fp_hi").bitwiseAND(F.lit((1 << (o + w - 32)) - 1))
+        return F.shiftleft(hi_part, lo_w).bitwiseOR(lo_part)
+
+    piece_keys = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("piece_idx"),
+                _piece(offsets[p], widths[p]).alias("piece"),
+            )
+            for p in range(pieces)
+        ]
+    )
+    ex = fp.select(id_col, "fp_hi", "fp_lo", F.explode(piece_keys).alias("pc")).select(
+        id_col,
+        "fp_hi",
+        "fp_lo",
+        F.col("pc.piece_idx").alias("piece_idx"),
+        F.col("pc.piece").alias("piece"),
+    )
+    a = ex.select(
+        F.col(id_col).alias("id_a"),
+        F.col("fp_hi").alias("ha"),
+        F.col("fp_lo").alias("la"),
+        "piece_idx",
+        "piece",
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"),
+        F.col("fp_hi").alias("hb"),
+        F.col("fp_lo").alias("lb"),
+        "piece_idx",
+        "piece",
+    )
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        a.join(b, ["piece_idx", "piece"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     text_col: str = "text",

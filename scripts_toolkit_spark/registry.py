@@ -115,6 +115,9 @@ from scripts_toolkit_spark.plans import ext_demos as xd
 # ann_topk_ivfpq: round-4 rework (normalized PQ, inner-product ADC, exact
 # rerank) — re-sampled here
 register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
+# 64-bit SimHash (round-4: corpus-scale fingerprint width, two 32-bit halves)
+register("simhash64_fingerprints", xd.simhash64_fingerprints, xd.SIMHASH64_FINGERPRINTS_SQL)
+register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
 
 # ============================================================================
 # TIER 3 — long-green tier (driver rows in CORRECTNESS_r01-r03, all green;

@@ -41,6 +41,44 @@ def test_simhash_close_for_near_dups(spark):
     assert pairs.get((1, 3), 17) >= pairs[(1, 2)]
 
 
+def test_simhash64_pigeonhole_recall_one(spark, sf_dir):
+    """The 64-bit pigeonhole equi-join must return EXACTLY the all-pairs
+    Hamming-ball result (recall 1.0 by construction) — verified against a
+    brute-force pass over the collected fingerprints, including the piece
+    that straddles the lo/hi half boundary (7 pieces over 64 bits)."""
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.ext.dedup import simhash64, simhash64_pairs, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+    )
+    allr = docs.unionByName(dup)
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash64_pairs(allr, "text", "doc_id", max_hamming=6).collect()
+    }
+
+    fps = allr.select(
+        "doc_id", simhash64(word_shingles("text")).alias("f")
+    ).select("doc_id", F.col("f.fp_hi").alias("h"), F.col("f.fp_lo").alias("l")).collect()
+    m = {r["doc_id"]: (r["h"], r["l"]) for r in fps}
+    ids = sorted(m)
+    expected = set()
+    for i, a in enumerate(ids):
+        ha, la = m[a]
+        for b in ids[i + 1 :]:
+            hb, lb = m[b]
+            d = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+            if d <= 6:
+                expected.add((a, b, d))
+    assert got == expected
+    assert expected, "degenerate: no pairs in the Hamming ball at this SF"
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = brute_force_topk(emb, emb, k=3)

@@ -37,7 +37,12 @@ def test_near_dup_plans_have_no_all_pairs_join(spark, sf_dir):
     """The near-dup/ANN demo layer must stay equi-keyed: no cartesian or
     nested-loop pairing anywhere (the r1 scale gap — pigeonhole SimHash,
     sign-bucket embedding LSH, band-keyed char-ngram buckets)."""
-    for name in ("simhash_near_dups", "embedding_near_dup_pairs", "char_ngram_jaccard"):
+    for name in (
+        "simhash_near_dups",
+        "simhash64_near_dups",
+        "embedding_near_dup_pairs",
+        "char_ngram_jaccard",
+    ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

@@ -58,21 +58,35 @@ def sessionize(
     return df.withColumn(session_col, F.sum(new_session).over(wsum))
 
 
-def span_scan(spans: DataFrame) -> DataFrame:
+def span_scan(spans: DataFrame, doc_col: str | None = None) -> DataFrame:
     """T1+T2+T3: the full UBPR span-stream scan, batch form.
 
     Input schema (FIXTURES.md §F5): (page_no INT, span_seq BIGINT,
-    text STRING, size DOUBLE, font STRING), globally ordered by
-    (page_no, span_seq).
+    text STRING, size DOUBLE, font STRING), ordered by (page_no, span_seq)
+    within a document.
 
     Output: one record per FORMULA boundary with filled-forward page_name /
     title / mdrm / item_number (app.py:61-83), gathered narrative /
     description / formula text (app.py:85-108, gathering 10-pt spans until
     the next sentinel or a non-10-pt span), and the is_referenced_concepts
     latch (app.py:57-59).
+
+    `doc_col`: document-id column for corpus inputs — EVERY window
+    partitions on it, so a fleet of PDFs scans in parallel (one task per
+    document instead of one global serial sort; the streaming twin already
+    keys its state per document). Default None = the reference's one-PDF
+    semantics via a constant partition key, dropped from the output.
     """
+    single_doc = doc_col is None
+    doc = "_doc" if single_doc else doc_col
+    if single_doc:
+        spans = spans.withColumn(doc, F.lit(0))
     order = [F.col("page_no"), F.col("span_seq")]
-    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy(doc)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
 
     t = F.trim(F.col("text"))
     is_page = F.col("size") == 16.0
@@ -96,7 +110,11 @@ def span_scan(spans: DataFrame) -> DataFrame:
         # record_id: count of PRIOR formula markers → the FORMULA row itself
         # closes the current record
         F.sum(F.when(F.col("text") == "FORMULA", 1).otherwise(0))
-        .over(Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1))
+        .over(
+            Window.partitionBy(doc)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
         .alias("record_id"),
         # segment id: running count of sentinel rows (incl. current)
         F.sum(is_sentinel.cast("int")).over(w).alias("segment_id"),
@@ -116,7 +134,7 @@ def span_scan(spans: DataFrame) -> DataFrame:
     # body rows: inside a segment, gather while every span since the
     # sentinel (incl. this one) is 10-pt (app.py:88 stops at non-10pt)
     wseg = (
-        Window.partitionBy("segment_id")
+        Window.partitionBy(doc, "segment_id")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -126,7 +144,7 @@ def span_scan(spans: DataFrame) -> DataFrame:
     gathered = (
         body.where(F.col("_bad_so_far") == 0)
         .withColumn("record_id", F.col("segment_record"))
-        .groupBy("record_id", "segment_id", "segment_kind")
+        .groupBy(doc, "record_id", "segment_id", "segment_kind")
         .agg(
             F.array_join(
                 F.transform(
@@ -138,15 +156,16 @@ def span_scan(spans: DataFrame) -> DataFrame:
         )
         # a record may contain several segments of the same kind; the
         # reference keeps the last one written (dict overwrite)
-        .groupBy("record_id", "segment_kind")
+        .groupBy(doc, "record_id", "segment_kind")
         .agg(F.max_by("seg_text", "segment_id").alias("seg_text"))
-        .groupBy("record_id")
+        .groupBy(doc, "record_id")
         .pivot("segment_kind", list(SENTINELS))
         .agg(F.first("seg_text"))
     )
 
     # record header state = fill-forward values AT the FORMULA row
     headers = tagged.where(F.col("text") == "FORMULA").select(
+        doc,
         "record_id",
         "page_name",
         "title",
@@ -155,17 +174,16 @@ def span_scan(spans: DataFrame) -> DataFrame:
         (F.col("_ref_seen") == 1).alias("is_referenced_concepts"),
     )
 
-    return (
-        headers.join(gathered, "record_id", "left")
-        .select(
-            "record_id",
-            "page_name",
-            "title",
-            "item_number",
-            "mdrm",
-            "is_referenced_concepts",
-            F.trim(F.coalesce(F.col("NARRATIVE"), F.lit(""))).alias("narrative"),
-            F.trim(F.coalesce(F.col("DESCRIPTION"), F.lit(""))).alias("description"),
-            F.coalesce(F.col("FORMULA"), F.lit("")).alias("formula"),
-        )
+    out = headers.join(gathered, [doc, "record_id"], "left").select(
+        *([] if single_doc else [doc]),
+        "record_id",
+        "page_name",
+        "title",
+        "item_number",
+        "mdrm",
+        "is_referenced_concepts",
+        F.trim(F.coalesce(F.col("NARRATIVE"), F.lit(""))).alias("narrative"),
+        F.trim(F.coalesce(F.col("DESCRIPTION"), F.lit(""))).alias("description"),
+        F.coalesce(F.col("FORMULA"), F.lit("")).alias("formula"),
     )
+    return out

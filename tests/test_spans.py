@@ -59,3 +59,42 @@ def test_span_scan_records(spark):
     assert r1["formula"].strip() == "x + y"
     assert r1["is_referenced_concepts"] is True
     assert r1["narrative"] == ""  # no NARRATIVE sentinel in record 2
+
+
+def test_span_scan_corpus_partitioned_by_doc(spark):
+    """Corpus form: a fleet of PDFs scans in parallel, each document's
+    records identical to a single-doc run, with NO cross-document state
+    leakage — and the plan hash-partitions the span stream on the doc id
+    instead of serializing through one global sort."""
+    single = spark.createDataFrame(
+        SPANS, "page_no int, span_seq long, text string, size double, font string"
+    )
+    expected = sorted(
+        (r["record_id"], r["page_name"], r["title"], r["item_number"], r["mdrm"],
+         r["is_referenced_concepts"], r["narrative"], r["description"], r["formula"])
+        for r in span_scan(single).collect()
+    )
+
+    # doc B is a TRUNCATED variant (first record only): different record
+    # count per doc proves state does not leak across the partition key
+    corpus_rows = [("docA", *s) for s in SPANS] + [("docB", *s) for s in SPANS[:11]]
+    corpus = spark.createDataFrame(
+        corpus_rows,
+        "pdf_id string, page_no int, span_seq long, text string, size double, font string",
+    )
+    out = span_scan(corpus, doc_col="pdf_id").collect()
+    assert {r["pdf_id"] for r in out} == {"docA", "docB"}
+
+    got_a = sorted(
+        (r["record_id"], r["page_name"], r["title"], r["item_number"], r["mdrm"],
+         r["is_referenced_concepts"], r["narrative"], r["description"], r["formula"])
+        for r in out
+        if r["pdf_id"] == "docA"
+    )
+    assert got_a == expected
+    assert len([r for r in out if r["pdf_id"] == "docB"]) == 1
+
+    plan = span_scan(corpus, doc_col="pdf_id")._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(pdf_id" in plan
+    # the one-PDF default must NOT leak its internal constant key
+    assert "_doc" not in span_scan(single).columns

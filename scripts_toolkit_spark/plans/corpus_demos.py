@@ -278,6 +278,228 @@ WHERE rank <= 50
 _DECON_N = 8
 
 
+def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document (Rae et al.
+    2021 §A1.1; reference has no counterpart — standard LLM-corpus
+    filtering): duplicate-word fraction, duplicate-2-gram fraction, and
+    the fraction of all 2-grams taken by the single most frequent one.
+    High values flag boilerplate/spam for the quality gate.
+
+    Scale shape: word/2-gram distinct fractions are NATIVE array
+    expressions (zero shuffle); only the top-2-gram count needs an
+    explode → (doc_id, gram) hash aggregate → per-doc max, both
+    map-side-combinable; the final join is equi-keyed on doc_id.
+    Ratios are BIGINT/BIGINT double divisions — identical in DuckDB."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.get(w, i - 1), F.get(w, i)),
+    )
+    base = d.where(F.size(w) >= 2).select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double")
+        ).alias("dup_word_frac"),
+        grams.alias("grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+        )
+    )
+    return base.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        "dup_word_frac",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct_grams").cast("double") / F.col("n_grams").cast("double")
+        ).alias("dup_2gram_frac"),
+        (F.col("top_cnt").cast("double") / F.col("n_grams").cast("double")).alias(
+            "top_2gram_frac"
+        ),
+    )
+
+
+GOPHER_REPETITION_STATS_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+g AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS dup_word_frac,
+    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS grams
+  FROM base WHERE len(w) >= 2
+),
+counts AS (
+  SELECT doc_id, gram, COUNT(*) AS c
+  FROM g, UNNEST(grams) AS t(gram)
+  GROUP BY doc_id, gram
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_cnt, SUM(c) AS n_grams, COUNT(*) AS n_distinct_grams
+  FROM counts GROUP BY doc_id
+)
+SELECT g.doc_id,
+  CAST(n_words AS INT) AS n_words,
+  dup_word_frac,
+  1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_2gram_frac,
+  CAST(top_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_2gram_frac
+FROM g JOIN top ON g.doc_id = top.doc_id
+"""
+
+
+_BOILER_N = 5  # shingle width (words)
+_BOILER_K = 3  # doc-frequency threshold: shingle in >= K docs = boilerplate
+
+
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (C4-style hygiene; reference
+    has no counterpart): a 5-word shingle appearing in ≥ 3 DISTINCT
+    documents is boilerplate (headers, disclaimers, templates); report per
+    affected document how many of its distinct shingles are boilerplate.
+
+    Scale shape (the train_eval_overlap discipline): documents reduce to
+    16-byte md5 shingle digests before any shuffle; doc-frequency is one
+    hash aggregate over digests; the boilerplate set (df ≥ K) is tiny and
+    AQE-broadcastable; the per-doc join is equi-keyed on digest. The
+    shuffle never carries text."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sh = (
+        d.where(F.size("w") >= _BOILER_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - F.lit(_BOILER_N - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _BOILER_N))),
+                )
+            ).alias("h"),
+        )
+        .dropDuplicates(["doc_id", "h"])
+    )
+    boiler = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") >= _BOILER_K
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(boiler.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boilerplate"))
+    )
+    return hits.join(per_doc, "doc_id").select(
+        "doc_id",
+        "n_boilerplate",
+        "n_shingles",
+        (F.col("n_boilerplate") / F.col("n_shingles")).alias("boilerplate_ratio"),
+    )
+
+
+BOILERPLATE_SHINGLES_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, h
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(1, len(w) - {_BOILER_N} + 2),
+        i -> md5(array_to_string(w[i:i+{_BOILER_N}-1], ' ')))) AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= {_BOILER_N}
+  )
+),
+boiler AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= {_BOILER_K}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_boilerplate FROM sh JOIN boiler USING (h) GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(n_boilerplate AS BIGINT) AS n_boilerplate,
+  CAST(n_shingles AS BIGINT) AS n_shingles,
+  CAST(n_boilerplate AS DOUBLE) / n_shingles AS boilerplate_ratio
+FROM hits JOIN per_doc USING (doc_id)
+"""
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence
+_PACK_SHARDS = 16
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training (concatenate-then-chunk, GPT
+    style; reference has no counterpart): documents concatenate in doc_id
+    order and split into fixed 2048-token sequences; a document belongs to
+    the sequence where its first token lands (floor(prev_cumsum/budget)).
+    Reports per-sequence document and token counts.
+
+    Scale shape: packing is SHARD-PARALLEL — a global running sum would
+    serialize 100 TB through one task, so documents first hash into 16
+    deterministic shards (doc_id % 16, the real-pipeline sharding) and
+    the running sum windows per shard. One shuffle on shard, one sort."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = d.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(_PACK_BUDGET)
+        ).alias("seq_id"),
+    )
+    return seq.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+PACK_TRAINING_SEQUENCES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT shard, doc_id, n_tokens,
+    CAST(floor(COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+  FROM d
+)
+SELECT shard, seq_id,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS first_doc_id
+FROM seq
+GROUP BY shard, seq_id
+"""
+
+
 def _split_assign() -> F.Column:
     """The corpus_split_counts 80/10/10 md5-bucket rule, shared so the
     decontamination pass sees the exact same train/test membership."""

@@ -118,6 +118,13 @@ register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
 # 64-bit SimHash (round-4: corpus-scale fingerprint width, two 32-bit halves)
 register("simhash64_fingerprints", xd.simhash64_fingerprints, xd.SIMHASH64_FINGERPRINTS_SQL)
 register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
+# round-4 corpus additions: repetition quality, boilerplate detection,
+# sequence packing
+register("gopher_repetition_stats", cd.gopher_repetition_stats, cd.GOPHER_REPETITION_STATS_SQL)
+register("boilerplate_shingles", cd.boilerplate_shingles, cd.BOILERPLATE_SHINGLES_SQL)
+register(
+    "pack_training_sequences", cd.pack_training_sequences, cd.PACK_TRAINING_SEQUENCES_SQL
+)
 
 # ============================================================================
 # TIER 3 — long-green tier (driver rows in CORRECTNESS_r01-r03, all green;

@@ -44,11 +44,15 @@ HEADLINE = (
 # traversal that exposes fixpoint-loop overhead regressions.
 # Round-3: the image-codec round-trip (CPU-heavy Arrow mapInPandas) and
 # the streaming-dedup batch twin (banded join + batch attribution).
+# Round-4: the reworked IVF-PQ (normalize + ADC shortlist + rerank) and
+# the 64-bit SimHash pigeonhole pairing.
 EXTRA_DEFAULT = (
     "yearly_brand_profit",
     "hierarchy_paths_deep",
     "image_decode_stats",
     "incremental_dedup_pairs",
+    "ann_topk_ivfpq",
+    "simhash64_near_dups",
 )
 
 

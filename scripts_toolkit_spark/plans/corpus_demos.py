@@ -500,6 +500,149 @@ GROUP BY shard, seq_id
 """
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (reference has no counterpart;
+    everyday corpus featurization): tf = term count in doc, idf =
+    ln(N/df), ranked per doc with a token-asc tiebreak.
+
+    Scale shape: tf is one (doc, token) hash aggregate; df reuses tf's
+    distinct (doc, token) rows (no second pass over text); N is a one-row
+    scalar broadcast. Cross-engine determinism: ln is IEEE libm in both
+    engines but not guaranteed bit-identical, so the score is ROUNDED to
+    6 dp BEFORE ranking (CLAUDE.md rule) and ties break on token asc —
+    rank and value are then engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", F.col("rank").cast("int").alias("rank"), "tfidf")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+idf AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+),
+scored AS (
+  SELECT doc_id, token,
+    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+  FROM tf JOIN idf USING (token) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, token, tfidf,
+    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT doc_id, token, CAST(rank AS INT) AS rank, tfidf
+FROM ranked WHERE rank <= 3
+"""
+
+
+_CMS_W = 256  # buckets per row
+_CMS_D = 4  # hash rows
+_CMS_T = 100  # heavy-hitter report threshold (exact count)
+
+
+def _cms_bucket(r: int, token: F.Column) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{r}|"), token)), 1, 8), 16, 10
+        ).cast("long")
+        % _CMS_W
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter tokens via a 4×256 COUNT-MIN SKETCH, reported beside
+    exact counts (the hll_distinct_users pattern: the sketch is the scale
+    path, the exact count the verification). est = min over 4 md5-keyed
+    rows of the bucket counter; CMS guarantees est ≥ exact, equality when
+    the token's buckets are collision-free.
+
+    Scale shape: the sketch build is ONE hash aggregate over (row, bucket)
+    — 1,024 cells, map-side-combinable, KB-size whatever the corpus; at
+    100 TB that replaces a full-vocab shuffle when only heavy hitters
+    matter. The estimate join is equi-keyed on (row, bucket) against the
+    broadcast sketch. Deterministic md5 bucketing → DuckDB-replayable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("token"))
+    keys = F.array(
+        *[
+            F.struct(F.lit(r).alias("r"), _cms_bucket(r, F.col("token")).alias("bucket"))
+            for r in range(_CMS_D)
+        ]
+    )
+    sketch = (
+        tok.select(F.explode(keys).alias("k"))
+        .select(F.col("k.r").alias("r"), F.col("k.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_cnt")).where(
+        F.col("exact_cnt") >= _CMS_T
+    )
+    cand_keys = exact.select(
+        "token", "exact_cnt", F.explode(keys).alias("k")
+    ).select("token", "exact_cnt", F.col("k.r").alias("r"), F.col("k.bucket").alias("bucket"))
+    return (
+        cand_keys.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select("token", "exact_cnt", "cms_est")
+    )
+
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+keyed AS (
+  SELECT token, r,
+    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM tok, UNNEST(range({_CMS_D})) AS t(r)
+),
+sketch AS (
+  SELECT r, bucket, COUNT(*) AS c FROM keyed GROUP BY r, bucket
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_cnt FROM tok GROUP BY token HAVING COUNT(*) >= {_CMS_T}
+),
+cand AS (
+  SELECT e.token, e.exact_cnt, r,
+    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || e.token), 1, 8)) AS BIGINT) % {_CMS_W} AS bucket
+  FROM exact e, UNNEST(range({_CMS_D})) AS t(r)
+)
+SELECT cand.token, CAST(exact_cnt AS BIGINT) AS exact_cnt, CAST(MIN(c) AS BIGINT) AS cms_est
+FROM cand JOIN sketch USING (r, bucket)
+GROUP BY cand.token, exact_cnt
+"""
+
+
 def _split_assign() -> F.Column:
     """The corpus_split_counts 80/10/10 md5-bucket rule, shared so the
     decontamination pass sees the exact same train/test membership."""

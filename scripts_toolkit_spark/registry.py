@@ -125,6 +125,8 @@ register("boilerplate_shingles", cd.boilerplate_shingles, cd.BOILERPLATE_SHINGLE
 register(
     "pack_training_sequences", cd.pack_training_sequences, cd.PACK_TRAINING_SEQUENCES_SQL
 )
+register("tfidf_top_terms", cd.tfidf_top_terms, cd.TFIDF_TOP_TERMS_SQL)
+register("cms_heavy_hitters", cd.cms_heavy_hitters, cd.CMS_HEAVY_HITTERS_SQL)
 
 # ============================================================================
 # TIER 3 — long-green tier (driver rows in CORRECTNESS_r01-r03, all green;

@@ -41,6 +41,19 @@ def test_simhash_close_for_near_dups(spark):
     assert pairs.get((1, 3), 17) >= pairs[(1, 2)]
 
 
+def test_cms_overestimate_property(spark, sf_dir):
+    """Count-min sketch invariant: the estimate NEVER undercounts; with a
+    4×256 sketch over this vocabulary most heavy hitters should be
+    collision-free (est == exact for at least half)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["cms_heavy_hitters"](spark, sf_dir).collect()
+    assert rows, "degenerate: no heavy hitters at this SF"
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+    tight = sum(1 for r in rows if r["cms_est"] == r["exact_cnt"])
+    assert tight >= len(rows) // 2
+
+
 def test_simhash64_pigeonhole_recall_one(spark, sf_dir):
     """The 64-bit pigeonhole equi-join must return EXACTLY the all-pairs
     Hamming-ball result (recall 1.0 by construction) — verified against a

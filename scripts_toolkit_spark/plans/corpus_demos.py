@@ -609,8 +609,11 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_keys = exact.select(
         "token", "exact_cnt", F.explode(keys).alias("k")
     ).select("token", "exact_cnt", F.col("k.r").alias("r"), F.col("k.bucket").alias("bucket"))
+    # no broadcast hint: the sketch is ≤ D·W rows by construction, but its
+    # lineage reaches the documents scan, so the SF-linear broadcast lint
+    # would flag a forced hint — AQE broadcasts a KB-size frame on its own
     return (
-        cand_keys.join(F.broadcast(sketch), ["r", "bucket"])
+        cand_keys.join(sketch, ["r", "bucket"])
         .groupBy("token", "exact_cnt")
         .agg(F.min("c").alias("cms_est"))
         .select("token", "exact_cnt", "cms_est")

@@ -388,6 +388,57 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-3 over the INT8-QUANTIZED vector store (bounded
+    query batch, vec_id < 128 — the ann_topk_cosine linearity guard): the
+    end-to-end check that search quality survives the 4× storage cut a
+    100 TB vector corpus wants. quantize → dequantize → rank; every step
+    deterministic (round-half-away, fold-ordered dots), so the oracle
+    replays the compressed store bit-for-bit. Fidelity stats per vector
+    live in embedding_quantization_stats; this is the search-side twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qt = SIM.quantize_embeddings(emb)
+    # checkpoint: both topk legs (query batch + corpus) reference the
+    # dequantized image — left lazy, the quantization computes twice
+    deq = qt.select(
+        "vec_id", SIM.dequantize(F.col("q"), F.col("q_scale")).alias("embedding")
+    ).localCheckpoint()
+    return SIM.brute_force_topk(
+        deq.where(F.col("vec_id") < _ANN_EXACT_MAX_QUERIES), deq, k=3
+    )
+
+
+ANN_TOPK_INT8_SQL = """
+WITH qt AS (
+  SELECT vec_id,
+    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS q_scale,
+    embedding
+  FROM embeddings
+),
+deq AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> round(CAST(x AS DOUBLE) / q_scale) * q_scale) AS d
+  FROM qt
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_reduce(list_transform(range(1, 65), i -> a.d[i] * b.d[i]), (x, y) -> x + y) AS dot,
+    sqrt(list_reduce(list_transform(range(1, 65), i -> a.d[i] * a.d[i]), (x, y) -> x + y)) AS na,
+    sqrt(list_reduce(list_transform(range(1, 65), i -> b.d[i] * b.d[i]), (x, y) -> x + y)) AS nb
+  FROM deq a, deq b
+  WHERE a.vec_id < 128 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+    dot / (na * nb) AS cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-3 (scale path). The whole pipeline is
     DETERMINISTIC (md5-parity hyperplanes, sequential-fold dots, rank

@@ -130,6 +130,54 @@ SELECT * FROM scored WHERE cos_sim >= {_EMB_TAU}
 """
 
 
+def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dedup capstone: LSH near-dup pairs → CONNECTED COMPONENTS
+    → one row per duplicate cluster with survivor (min vec_id), size, and
+    sorted members — the same pairs→components→survivor pipeline
+    `near_dup_clusters` runs for MinHash, over the embedding modality.
+    Components via distributed min-label propagation (pointer-halving,
+    O(log diameter) rounds); the oracle recomputes the clusters with a
+    recursive transitive-closure CTE over the identical pair set."""
+    from scripts_toolkit_spark.operators.graph import connected_components
+
+    pairs = embedding_near_dup_pairs(spark, sf_dir).localCheckpoint()
+    comp = connected_components(pairs)
+    # members: comma-joined string — no complex types in registered outputs
+    # (tests/test_registry.py::test_no_complex_types_in_outputs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min("node").alias("survivor_id"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
+EMBEDDING_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({EMBEDDING_NEAR_DUP_PAIRS_SQL}),
+und AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src)
+SELECT component AS cluster_id,
+       COUNT(*) AS size,
+       MIN(node) AS survivor_id,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM comp
+GROUP BY component
+"""
+
+
 # s-curve tuning for char-5-gram LSH: 4 bands × 2 rows over an 8-perm
 # signature → pairs at j=0.2 collide with p = 1-(1-0.04)^4 ≈ 15%, j=0.3
 # with ≈ 31%, while random pairs (j ≈ 0.03) collide with ≈ 0.4% — the

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from scripts_toolkit_spark.ext import dedup as DD
 from scripts_toolkit_spark.ext import similarity as SIM
@@ -331,6 +332,109 @@ SELECT vec_id, q_scale,
    * sqrt(list_reduce(list_transform(range(1, 65), i -> d[i] * d[i]), (x, y) -> x + y))) AS cos_fidelity,
   list_max(list_transform(range(1, 65), i -> abs(v[i] - d[i]))) AS max_abs_err
 FROM deq
+"""
+
+
+_HIST_BUCKETS = 128
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles from a FIXED-WIDTH HISTOGRAM sketch (128
+    equi-width buckets over the global [min, max]), reported beside the
+    exact interpolated percentiles — the third sketch family after HLL
+    (cardinality) and CMS (frequency). approx_pXX = upper edge of the
+    first bucket whose cumulative count crosses q·n.
+
+    Scale shape: the histogram is one (event_type, bucket) hash aggregate
+    — ≤ types×128 cells, map-side-combinable; the bucket CDF is a window
+    over ≤128 rows per type. At 100 TB that replaces the full sort an
+    exact quantile needs. Bounds come from a one-row scalar aggregate
+    (broadcast-exempt under the SF-linear lint). Deterministic: equi-width
+    bucketing is pure double arithmetic, identical in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(float(_HIST_BUCKETS))
+    b = ev.crossJoin(F.broadcast(mm)).select(
+        "event_type",
+        "vmin",
+        "vmax",
+        F.least(
+            F.floor((F.col("value") - F.col("vmin")) / width).cast("int"),
+            F.lit(_HIST_BUCKETS - 1),
+        ).alias("bucket"),
+    )
+    hist = b.groupBy("event_type", "vmin", "vmax", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("event_type")
+    cdf = hist.select(
+        "event_type",
+        "vmin",
+        "vmax",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    edge = F.col("vmin") + (F.col("bucket") + 1) * (
+        (F.col("vmax") - F.col("vmin")) / F.lit(float(_HIST_BUCKETS))
+    )
+    approx = cdf.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") >= 0.5 * F.col("n"), edge)).alias("approx_p50"),
+        F.min(F.when(F.col("cum") >= 0.95 * F.col("n"), edge)).alias("approx_p95"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("exact_p50"),
+        F.percentile("value", F.lit(0.95)).alias("exact_p95"),
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type", "approx_p50", "approx_p95", "exact_p50", "exact_p95"
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH mm AS (
+  SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events
+),
+b AS (
+  SELECT event_type, vmin, vmax,
+    least(CAST(floor((value - vmin) / ((vmax - vmin) / {_HIST_BUCKETS}.0)) AS INT),
+          {_HIST_BUCKETS - 1}) AS bucket
+  FROM events CROSS JOIN mm
+),
+hist AS (
+  SELECT event_type, vmin, vmax, bucket, COUNT(*) AS c
+  FROM b GROUP BY event_type, vmin, vmax, bucket
+),
+cdf AS (
+  SELECT event_type, vmin, vmax, bucket,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+approx AS (
+  SELECT event_type,
+    MIN(CASE WHEN cum >= 0.5 * n
+        THEN vmin + (bucket + 1) * ((vmax - vmin) / {_HIST_BUCKETS}.0) END) AS approx_p50,
+    MIN(CASE WHEN cum >= 0.95 * n
+        THEN vmin + (bucket + 1) * ((vmax - vmin) / {_HIST_BUCKETS}.0) END) AS approx_p95
+  FROM cdf GROUP BY event_type
+),
+exact AS (
+  SELECT event_type,
+    quantile_cont(value, 0.5) AS exact_p50,
+    quantile_cont(value, 0.95) AS exact_p95
+  FROM events GROUP BY event_type
+)
+SELECT event_type, approx_p50, approx_p95, exact_p50, exact_p95
+FROM approx JOIN exact USING (event_type)
 """
 
 

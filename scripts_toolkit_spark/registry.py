@@ -129,6 +129,7 @@ register("tfidf_top_terms", cd.tfidf_top_terms, cd.TFIDF_TOP_TERMS_SQL)
 register("cms_heavy_hitters", cd.cms_heavy_hitters, cd.CMS_HEAVY_HITTERS_SQL)
 register("ann_topk_int8", xd.ann_topk_int8, xd.ANN_TOPK_INT8_SQL)
 register("embedding_dup_clusters", x2.embedding_dup_clusters, x2.EMBEDDING_DUP_CLUSTERS_SQL)
+register("histogram_quantiles", x2.histogram_quantiles, x2.HISTOGRAM_QUANTILES_SQL)
 
 # ============================================================================
 # TIER 3 — long-green tier (driver rows in CORRECTNESS_r01-r03, all green;

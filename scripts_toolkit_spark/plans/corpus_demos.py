@@ -646,6 +646,67 @@ GROUP BY cand.token, exact_cnt
 """
 
 
+def mixture_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling (reference has no counterpart; how LLM
+    pipelines weight sources): each source gets a configured sampling
+    rate (tier A sources keep everything, tier B half, the tail a
+    quarter); a document survives iff its md5-uniform draw falls under
+    its source's rate. Reports configured vs realized rate per source.
+
+    Deterministic: the draw is md5(doc_id)/2^32 — stable under reruns and
+    repartitioning (the hash_sample_documents discipline), replayed
+    exactly by DuckDB. Scale shape: one narrow projection + one
+    per-source hash aggregate; no shuffle of documents."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(1.0))
+        .when(F.col("source").isin("src4", "src5", "src6", "src7"), F.lit(0.5))
+        .otherwise(F.lit(0.25))
+    )
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        d.select("source", rate.alias("rate"), (draw < rate).alias("kept"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "rate",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_total")).alias("realized_rate"),
+        )
+    )
+
+
+MIXTURE_SAMPLE_RATES_SQL = """
+WITH d AS (
+  SELECT source,
+    CAST(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3') THEN 1.0
+              WHEN source IN ('src4', 'src5', 'src6', 'src7') THEN 0.5
+              ELSE 0.25 END AS DOUBLE) AS rate,
+    CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0 AS draw
+  FROM documents
+)
+SELECT source, rate,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN draw < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN draw < rate THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS realized_rate
+FROM d
+GROUP BY source, rate
+"""
+
+
 def _split_assign() -> F.Column:
     """The corpus_split_counts 80/10/10 md5-bucket rule, shared so the
     decontamination pass sees the exact same train/test membership."""

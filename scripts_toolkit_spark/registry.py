@@ -222,3 +222,7 @@ register("validity_window_lookup", wd.validity_window_lookup, wd.VALIDITY_WINDOW
 register("supplier_part_volumes", wd.supplier_part_volumes, wd.SUPPLIER_PART_VOLUMES_SQL)
 
 register("order_count_distribution", a2.order_count_distribution, a2.ORDER_COUNT_DISTRIBUTION_SQL)
+
+# ---- round-4 additions past the 50-query driver window (verify_local
+# covers them every round; rotate into TIER 2 if materially changed) -------
+register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)

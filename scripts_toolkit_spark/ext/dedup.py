@@ -156,17 +156,17 @@ def simhash16(shingles: Column) -> Column:
     subexpression trees per reference — measured 50s → 2s at sf0.1)."""
     vals = F.transform(shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 4), 16, 10).cast("long"))
     zeros = F.array_repeat(F.lit(0).cast("long"), 16)
+    # shiftright needs a literal count, but the bit index is the lambda
+    # position — zip against a plan-time literal array of 2^j divisors;
+    # floor(x / 2^j) % 2 is exact for x < 2^16 in double math
+    powers = F.array(*[F.lit(float(1 << j)) for j in range(16)])
     bit_sums = F.aggregate(
         vals,
         zeros,
-        # shiftright needs a literal count, but j is the lambda index —
-        # floor(x / 2^j) % 2 is exact for x < 2^16 in double math
         lambda acc, x: F.zip_with(
             acc,
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda a, j: a
-            + (F.floor(x / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2) * 2
-            - 1,
+            powers,
+            lambda a, p: a + (F.floor(x / p).cast("long") % 2) * 2 - 1,
         ),
     )
     # fingerprint = Σ (bit_sum[j] > 0) << j — built as a base-2 string so the
@@ -207,15 +207,16 @@ def simhash64(shingles: Column) -> Column:
             lambda s: F.conv(F.substring(F.md5(s), hex_start, 8), 16, 10).cast("long"),
         )
         zeros = F.array_repeat(F.lit(0).cast("long"), 32)
+        # plan-time literal 2^j divisors: pow() per element update was the
+        # next-largest cost after the when-branch
+        powers = F.array(*[F.lit(float(1 << j)) for j in range(32)])
         return F.aggregate(
             vals,
             zeros,
             lambda acc, x: F.zip_with(
                 acc,
-                F.sequence(F.lit(0), F.lit(31)),
-                lambda a, j: a
-                + (F.floor(x / F.pow(F.lit(2.0), j.cast("double"))).cast("long") % 2) * 2
-                - 1,
+                powers,
+                lambda a, p: a + (F.floor(x / p).cast("long") % 2) * 2 - 1,
             ),
         )
 

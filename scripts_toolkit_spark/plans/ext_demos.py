@@ -115,6 +115,64 @@ WHERE CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
 """
 
 
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup (doc-inside-doc; ext/dedup.py
+    minhash_containment_pairs): banded-minhash candidates, then
+    DIRECTIONAL |A∩B|/|A| verification — the planted full-doc dups score
+    containment(orig→dup) = 1.0 while symmetric Jaccard would dilute a
+    small-in-large pair. Same equi-keyed band join as minhash_near_dups;
+    the oracle replays candidates and both directions in SQL."""
+    docs = _docs_with_dups(spark, sf_dir)
+    return DD.minhash_containment_pairs(
+        docs, "text", "doc_id", k=_K, perms=_PERMS, bands=_BANDS,
+        containment_threshold=0.8,
+    )
+
+
+CONTAINMENT_DUP_PAIRS_SQL = f"""
+WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM docs
+),
+shing AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(len(w) - {_K - 1}, 0) + 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS shingles
+  FROM base
+),
+minhash AS (
+  SELECT doc_id,
+    [list_min(list_transform(shingles, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+     FOR p IN range({_PERMS})] AS sig,
+    shingles
+  FROM shing
+),
+banded AS (
+  SELECT doc_id,
+    b AS band,
+    md5(array_to_string(sig[b * {_ROWS} + 1 : b * {_ROWS} + {_ROWS}], '#')) AS key
+  FROM minhash, UNNEST(range({_BANDS})) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y USING (band, key)
+  WHERE x.doc_id < y.doc_id
+),
+sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM minhash),
+scored AS (
+  SELECT id_a, id_b,
+    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(sa.sset) AS containment_ab,
+    CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE) / len(sb.sset) AS containment_ba
+  FROM cand
+  JOIN sets sa ON sa.doc_id = id_a
+  JOIN sets sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, containment_ab, containment_ba
+FROM scored
+WHERE containment_ab >= 0.8 OR containment_ba >= 0.8
+"""
+
+
 def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the STREAMING signature-store dedup
     (streaming/dedup_stream.py), putting the streaming family's core logic

@@ -226,3 +226,4 @@ register("order_count_distribution", a2.order_count_distribution, a2.ORDER_COUNT
 # ---- round-4 additions past the 50-query driver window (verify_local
 # covers them every round; rotate into TIER 2 if materially changed) -------
 register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
+register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)

@@ -96,6 +96,23 @@ def test_histogram_quantiles_bracket_exact(spark, sf_dir):
             assert lo <= approx <= hi, (r["event_type"], q, approx, lo, hi)
 
 
+def test_containment_catches_planted_full_doc_dups(spark, sf_dir):
+    """Planted dups append one word to the original, so shingles(orig) ⊂
+    shingles(dup): containment(orig→dup) must be exactly 1.0 for every
+    planted pair the bands surface, and every reported pair must cross
+    the threshold in at least one direction."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["containment_dup_pairs"](spark, sf_dir).collect()
+    assert rows, "degenerate: no containment pairs at this SF"
+    planted = [r for r in rows if r["id_b"] == r["id_a"] + 1000000]
+    assert planted, "bands surfaced no planted orig→dup pairs"
+    assert all(r["containment_ab"] == 1.0 for r in planted)
+    assert all(
+        r["containment_ab"] >= 0.8 or r["containment_ba"] >= 0.8 for r in rows
+    )
+
+
 def test_cms_overestimate_property(spark, sf_dir):
     """Count-min sketch invariant: the estimate NEVER undercounts; with a
     4×256 sketch over this vocabulary most heavy hitters should be

@@ -37,7 +37,10 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v
+        # signed-zero canon: the exact path compares with == (-0.0 == 0.0)
+        # but the multiset-hash path keys on repr (repr(-0.0) != repr(0.0));
+        # +0.0 collapses -0.0 so both paths agree
+        return v + 0.0
     if isinstance(v, list):
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):
@@ -72,6 +75,29 @@ def _multiset_hash(cols, rows) -> int:
             1 << 128
         )
     return acc
+
+
+def _hash_diff_samples(scols, srows, dcols, drows, limit: int = 3):
+    """On multiset-hash mismatch, recover a few differing rows for the
+    error message (the fast path drops them; debugging needs examples)."""
+    from collections import Counter
+
+    def _counter(cols, rows):
+        idx = sorted(range(len(cols)), key=lambda i: cols[i])
+        c: Counter = Counter()
+        rep = {}
+        for r in rows:
+            t = tuple(_canon(r[i]) for i in idx)
+            d = hashlib.md5(repr(t).encode()).digest()
+            c[d] += 1
+            rep.setdefault(d, t)
+        return c, rep
+
+    sc, srep = _counter(scols, srows)
+    dc, drep = _counter(dcols, drows)
+    only_s = [srep[d] for d in (sc - dc) if d in srep][:limit]
+    only_d = [drep[d] for d in (dc - sc) if d in drep][:limit]
+    return only_s, only_d
 
 
 def main(names: list[str]) -> int:
@@ -123,7 +149,11 @@ def main(names: list[str]) -> int:
         if not problems:
             if len(srows) > _EXACT_COMPARE_MAX_ROWS:
                 if _multiset_hash(scols, srows) != _multiset_hash(dcols, drows):
-                    problems.append("values differ (multiset-hash compare, large result)")
+                    only_s, only_d = _hash_diff_samples(scols, srows, dcols, drows)
+                    problems.append(
+                        "values differ (multiset-hash compare, large result); "
+                        f"spark-only sample: {only_s}; duckdb-only sample: {only_d}"
+                    )
             else:
                 sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
                 if sset != dset:

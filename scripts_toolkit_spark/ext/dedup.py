@@ -113,6 +113,12 @@ def minhash_lsh_pairs(
             F.array_distinct("shingles").alias("sset"),
             lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
         )
+        # docs shorter than k words have NO shingles: their band keys all
+        # collapse to md5('') so they'd pair with each other, and the
+        # verify ratio is 0/0 — NULL in Spark but NaN (> threshold) in a
+        # DuckDB replay. Exclude them before banding; they can never be
+        # near-dups of anything.
+        .where(F.size("sset") > 0)
         .localCheckpoint()
     )
 
@@ -177,6 +183,9 @@ def minhash_containment_pairs(
             F.array_distinct("shingles").alias("sset"),
             lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
         )
+        # empty shingle sets: band keys collapse to md5('') and containment
+        # is 0/0 (NULL in Spark, NaN-in-DuckDB divergence) — exclude
+        .where(F.size("sset") > 0)
         .localCheckpoint()
     )
     banded = sig.select(id_col, F.explode("bands").alias("b")).select(

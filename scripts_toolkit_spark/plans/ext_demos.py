@@ -93,10 +93,13 @@ minhash AS (
   FROM shing
 ),
 banded AS (
+  -- len(shingles) > 0 mirrors the Spark-side empty-set exclusion (docs
+  -- < k words would band to md5('') and verify to 0/0 = NaN here)
   SELECT doc_id,
     b AS band,
     md5(array_to_string(sig[b * {_ROWS} + 1 : b * {_ROWS} + {_ROWS}], '#')) AS key
   FROM minhash, UNNEST(range({_BANDS})) AS t(b)
+  WHERE len(shingles) > 0
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
@@ -148,10 +151,12 @@ minhash AS (
   FROM shing
 ),
 banded AS (
+  -- len(shingles) > 0 mirrors the Spark-side empty-set exclusion
   SELECT doc_id,
     b AS band,
     md5(array_to_string(sig[b * {_ROWS} + 1 : b * {_ROWS} + {_ROWS}], '#')) AS key
   FROM minhash, UNNEST(range({_BANDS})) AS t(b)
+  WHERE len(shingles) > 0
 ),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

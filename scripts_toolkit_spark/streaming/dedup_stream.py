@@ -53,6 +53,9 @@ def _signatures(docs: DataFrame, text_col: str, id_col: str,
             F.array_distinct("sh").alias("sset"),
             lsh_bands(minhash_signature(F.col("sh"), perms), bands, rows).alias("bands"),
         )
+        # docs with no shingles (< k words) band to md5('') and verify to
+        # 0/0 — exclude, mirroring ext/dedup.minhash_lsh_pairs
+        .where(F.size("sset") > 0)
     )
 
 

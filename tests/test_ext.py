@@ -29,6 +29,37 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert hits >= 15, f"only {hits} of 20 planted near-dups found"
 
 
+def test_minhash_short_docs_never_pair(spark):
+    """Docs shorter than k words have EMPTY shingle sets: every band key
+    collapses to md5('') so they'd all pair with each other, and the
+    verify ratio is 0/0 — NULL in Spark but NaN (which compares greater
+    than any threshold) in a DuckDB replay. Both pipelines must exclude
+    them before banding."""
+    rows = [
+        (1, "a b"),  # < k=3 words → no shingles
+        (2, "x y"),  # < k → no shingles
+        (3, "alpha beta gamma delta epsilon"),
+        (4, "alpha beta gamma delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, perms=8, bands=4
+        ).collect()
+    }
+    assert (1, 2) not in got
+    assert (3, 4) in got
+    cgot = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_containment_pairs(
+            df, containment_threshold=0.8, perms=8, bands=4
+        ).collect()
+    }
+    assert (1, 2) not in cgot
+    assert (3, 4) in cgot
+
+
 def test_simhash_close_for_near_dups(spark):
     rows = [
         (1, "alpha beta gamma delta epsilon zeta eta theta"),

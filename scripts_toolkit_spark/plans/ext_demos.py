@@ -391,9 +391,12 @@ SELECT doc_id, fp_hi, fp_lo FROM fp
 def simhash64_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at 64-bit width (Hamming ≤ 6 — planted
     one-word-append dups measure Hamming 0-11 here, while random 64-bit
-    pairs sit at E=32, so the ball is pure signal) via the same pigeonhole
-    equi-join as the 16-bit form: 7 bit-pieces, one must match exactly,
-    recall 1.0 by construction vs the oracle's all-pairs join."""
+    pairs sit at E=32, so the ball is pure signal) via multi-block
+    COMBINATION equi-join keys (ext/dedup.simhash64_candidates): 10 blocks,
+    join on every 4-block subset — C(10,4) = 210 keys of ~26 bits, so
+    buckets stay tiny at corpus scale (the (r+1)-piece pigeonhole's 9-bit
+    keys saturate: ~N²/512 candidates). Recall 1.0 by pigeonhole vs the
+    oracle's all-pairs join."""
     docs = _docs_with_dups(spark, sf_dir)
     return DD.simhash64_pairs(docs, "text", "doc_id", max_hamming=6)
 

@@ -195,6 +195,52 @@ def test_simhash64_pigeonhole_recall_one(spark, sf_dir):
     assert expected, "degenerate: no pairs in the Hamming ball at this SF"
 
 
+def test_simhash64_candidate_volume_stays_linear(spark):
+    """Saturated-LSH guard: on RANDOM fingerprints (no real near-dups) the
+    combination-key candidate generator must stay ~linear in N. At r=6 the
+    old (r+1)-piece scheme used 9-bit keys → ~7·N²/512 ≈ 54k candidate
+    pairs for N=2000; the 10-block/4-subset keys are ~26 bits wide, so
+    expected collisions are C(N,2)·210/2^26 ≈ 6 — assert ≤ N as a loose
+    linear bound that the quadratic scheme exceeds 27×."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, rng.getrandbits(32), rng.getrandbits(32)) for i in range(2000)]
+    fp = spark.createDataFrame(rows, "doc_id long, fp_hi long, fp_lo long")
+    n_cand = DD.simhash64_candidates(fp, "doc_id", max_hamming=6).count()
+    assert n_cand <= 2000, f"{n_cand} candidates from 2000 random fingerprints"
+
+
+def test_simhash64_combination_matches_cheap_path(spark):
+    """The m-block combination join must return EXACTLY the same verified
+    pairs as the classic (r+1)-piece pigeonhole (both are recall-1.0
+    candidate schemes feeding the same exact-Hamming verify)."""
+    import random
+
+    rng = random.Random(7)
+    base = [(i, rng.getrandbits(32), rng.getrandbits(32)) for i in range(300)]
+    # plant near-dups: flip `d` low bits of fp_lo for a copy of every 10th
+    planted = [
+        (i + 10000, h, l ^ ((1 << (i % 7)) - 1)) for (i, h, l) in base if i % 10 == 0
+    ]
+    fp = spark.createDataFrame(base + planted, "doc_id long, fp_hi long, fp_lo long")
+
+    def _verified(n_blocks):
+        ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+            F.col("la").bitwiseXOR(F.col("lb"))
+        )
+        return {
+            (r["id_a"], r["id_b"])
+            for r in DD.simhash64_candidates(fp, "doc_id", 6, n_blocks)
+            .withColumn("h", ham)
+            .where(F.col("h") <= 6)
+            .collect()
+        }
+
+    assert _verified(10) == _verified(7)  # m=10 combos vs (r+1)-piece path
+    assert _verified(10), "degenerate: no planted pairs inside the ball"
+
+
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = brute_force_topk(emb, emb, k=3)

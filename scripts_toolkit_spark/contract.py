@@ -46,6 +46,28 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+def registry_fingerprints() -> dict[str, str]:
+    """name → md5(fn source ‖ oracle SQL), in registration order — the
+    change-detection basis for the ORDERING CONTRACT (new/changed queries
+    must sit inside the driver's first-50 sample window; enforced by
+    tests/test_registry_order.py against tests/registry_manifest.json).
+
+    Limitation, by design: the hash covers the registered plan function's
+    own source and its oracle string. A behavior change buried in a
+    library helper (ext/, operators/) does not move it — rotating those
+    callers remains a review judgment (note it in the rotation commit)."""
+    import hashlib
+    import inspect
+
+    _ensure_loaded()
+    out: dict[str, str] = {}
+    for name, fn in _QUERIES.items():
+        src = inspect.getsource(fn)
+        sql = _ORACLES.get(name, "")
+        out[name] = hashlib.md5((src + "\x00" + sql).encode()).hexdigest()
+    return out
+
+
 _LOADED = False
 
 

@@ -794,3 +794,160 @@ SELECT doc_id, CAST(n_contaminated AS BIGINT) AS n_contaminated,
        CAST(n_contaminated AS DOUBLE) / n_shingles AS contamination_ratio
 FROM hits JOIN per_doc USING (doc_id)
 """
+
+
+# ------------------------------------------------------- BPE tokenization --
+# Frozen-pair-statistics BPE (ext/bpe.py): 2 rounds x 12 merges. The
+# merges are DATA (corpus-derived, deterministic), so the Spark demos
+# train driver-side and inline them as literals, while the oracle
+# re-trains inside SQL (unrolled rounds) and applies the identical
+# list_reduce replace chain - bit-for-bit the same rewriting.
+_BPE_ROUNDS, _BPE_PER_ROUND = 2, 12
+
+# shared SQL fragments: double-pipe char encoding + merge application.
+# list_reduce has no initial-accumulator form in DuckDB, so the sequence
+# string is PREPENDED to the merge list; each merge is packed as
+# 'pattern<US>replacement' (unit separator chr(31)) and unpacked in the
+# lambda.
+_BPE_SYM_SQL = (
+    "'||' || array_to_string(list_transform(range(1, length({w}) + 1),"
+    " i -> substr({w}, i, 1)), '||') || '||'"
+)
+_BPE_APPLY_SQL = (
+    "list_reduce(list_prepend({seq}, {ms}),"
+    " (acc, m) -> replace(acc, string_split(m, chr(31))[1],"
+    " string_split(m, chr(31))[2]))"
+)
+_BPE_TOKS_SQL = "list_filter(string_split_regex({seq}, '\\|+'), x -> x <> '')"
+
+# one training round in SQL: adjacent-pair counts over the current
+# symbol sequences -> top per_round merges by (count desc, l, r), packed
+# for the reduce lambda. {seqs} must yield (w, seq) per word.
+_BPE_ROUND_SQL = """
+  SELECT list('|' || l || '||' || r || '|' || chr(31) || '|' || l || r || '|'
+              ORDER BY rnk) AS ms,
+         list(struct_pack(l := l, r := r, cnt := cnt) ORDER BY rnk) AS raw
+  FROM (
+    SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rnk
+    FROM (
+      SELECT syms[i] AS l, syms[i + 1] AS r, COUNT(*) AS cnt
+      FROM (SELECT {toks} AS syms FROM ({seqs})) s,
+           UNNEST(range(1, len(syms))) AS t(i)
+      GROUP BY syms[i], syms[i + 1]
+    )
+    QUALIFY rnk <= {per_round}
+  )
+"""
+
+
+def _bpe_round_sql(seqs: str) -> str:
+    return _BPE_ROUND_SQL.format(
+        toks=_BPE_TOKS_SQL.format(seq="seq"), seqs=seqs, per_round=_BPE_PER_ROUND
+    )
+
+
+_BPE_TRAIN_CTES = f"""words AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+flat AS (SELECT unnest(ws) AS w FROM words),
+seq0 AS (SELECT w, {_BPE_SYM_SQL.format(w="w")} AS seq FROM flat),
+m1 AS ({_bpe_round_sql("SELECT seq FROM seq0")}),
+seq1 AS (
+  SELECT w, {_BPE_APPLY_SQL.format(seq="seq", ms="(SELECT ms FROM m1)")} AS seq
+  FROM seq0
+),
+m2 AS ({_bpe_round_sql("SELECT seq FROM seq1")}),
+mall AS (
+  SELECT (SELECT ms FROM m1) || (SELECT ms FROM m2) AS ms,
+         (SELECT raw FROM m1) || (SELECT raw FROM m2) AS raw
+)"""
+
+
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself (rank, pair, merged symbol,
+    frozen pair count) - training is deterministic (exact counts,
+    lexicographic tiebreak), so the oracle re-derives the identical
+    table inside SQL."""
+    from scripts_toolkit_spark.ext import bpe as BPE
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    merges = BPE.train_bpe_merges(d, "text", _BPE_ROUNDS, _BPE_PER_ROUND)
+    return spark.createDataFrame(
+        [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
+        "rank int, left string, right string, merged string, pair_count bigint",
+    )
+
+
+BPE_MERGE_TABLE_SQL = f"""
+WITH {_BPE_TRAIN_CTES}
+SELECT CAST(i AS INT) AS rank,
+       raw[i].l AS "left", raw[i].r AS "right",
+       raw[i].l || raw[i].r AS merged,
+       CAST(raw[i].cnt AS BIGINT) AS pair_count
+FROM mall, UNNEST(range(1, len(raw) + 1)) AS t(i)
+"""
+
+
+def document_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE twin of `document_chunks`: the same 64-token / 48-stride
+    windowing, but over SUBWORD tokens from the corpus-trained merge
+    table instead of regex word tokens - the segmentation an LLM
+    pipeline actually performs. Merges are trained driver-side
+    (KB-scale) and inlined; encoding is the pure-expression path so the
+    oracle replays it exactly."""
+    from scripts_toolkit_spark.ext import bpe as BPE
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    merges = [
+        (l, r) for l, r, _m, _c in BPE.train_bpe_merges(d, "text", _BPE_ROUNDS, _BPE_PER_ROUND)
+    ]
+    toks = BPE.encode_tokens_expr("text", merges)
+    d = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(_OVERLAP)).cast("double") / F.lit(_STRIDE)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_no"),
+            F.array_join(F.slice("toks", i * _STRIDE + 1, _CHUNK), " ").alias("chunk_text"),
+            F.least(n - i * _STRIDE, F.lit(_CHUNK)).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    return d.select(
+        "doc_id", n.alias("n_tokens"), F.explode(chunks).alias("c")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
+DOCUMENT_CHUNKS_BPE_SQL = f"""
+WITH {_BPE_TRAIN_CTES},
+enc AS (
+  SELECT doc_id,
+    flatten(list_transform(ws, w ->
+      {_BPE_TOKS_SQL.format(seq=_BPE_APPLY_SQL.format(seq=_BPE_SYM_SQL.format(w="w"), ms="ms"))}
+    )) AS toks
+  FROM words, mall
+),
+sized AS (
+  SELECT doc_id, toks, len(toks) AS n_tokens,
+    greatest(CAST(ceil(CAST(len(toks) - {_OVERLAP} AS DOUBLE) / {_STRIDE}) AS INT), 1) AS n_chunks
+  FROM enc
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+  CAST(i AS INT) AS chunk_no,
+  CAST(least(n_tokens - i * {_STRIDE}, {_CHUNK}) AS INT) AS n_chunk_tokens,
+  array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text
+FROM sized, UNNEST(range(n_chunks)) AS t(i)
+"""

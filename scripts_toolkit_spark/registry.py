@@ -4,14 +4,15 @@ One `register(...)` call per implemented operator demonstration. This file
 is the single auditable map from the §2 inventory to runnable queries.
 
 ORDERING CONTRACT: the driver's correctness gate samples the FIRST 50
-registered queries (CORRECTNESS_r01..r03 each hold exactly 50 rows in
-registration order). Rounds 1-3 always led with the same 50, so the 39
-queries registered after `order_count_distribution` never received a
-driver-side correctness row (round-3 verdict, "What's missing" #1).
-Round 4 therefore leads with exactly those 39 (same relative order),
-followed by queries new/changed this round, followed by the long-green
-tier. Rotate again whenever the registry grows past what one sample
-window covers.
+registered queries in registration order. Every query that is NEW or
+MATERIALLY CHANGED in the current round MUST sit inside that window
+(CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
+round-4 newcomers registered past it). Round 5 therefore leads with
+TIER 1 = the 10 round-5 new/changed queries, then TIER 2 = the round-4
+window rows (their only driver evidence is CORRECTNESS_r04), then the
+long-green tier. `tests/test_registry_order.py` enforces the rule
+mechanically against a committed source-hash manifest; regenerate it
+with `python tools/update_registry_manifest.py` after rotating.
 """
 
 from __future__ import annotations
@@ -20,7 +21,32 @@ from scripts_toolkit_spark.contract import register
 from scripts_toolkit_spark.plans import analytics
 
 # ============================================================================
-# TIER 1 — the 39 queries the r1-r3 driver samples never reached.
+# TIER 1 — round-5 NEW or materially CHANGED (must be driver-sampled).
+# ============================================================================
+from scripts_toolkit_spark.plans import corpus_demos as cd
+from scripts_toolkit_spark.plans import ext_demos as xd
+
+# NEW: BPE subword tokenization (ext/bpe.py) — merge-table training +
+# subword-chunked twin of document_chunks
+register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
+register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
+# round-4 newcomers registered past the window (verdict Next #3)
+register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
+register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)
+# CHANGED: multi-block combination pairing (ext/dedup.simhash64_candidates)
+register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
+# CHANGED: literal-codebook LUT + array ADC/shortlist; √N cell count
+register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
+register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
+# CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
+# streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
+register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
+register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
+register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
+
+# ============================================================================
+# TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
+# keep them sampled while the window has room).
 # ============================================================================
 
 # ---- correlated/distinct shapes, sampling, grouped-map applyInPandas -------
@@ -78,8 +104,6 @@ from scripts_toolkit_spark.plans import wide_demos as wdm
 register("melt_wide60", wdm.melt_wide60, wdm.MELT_WIDE60_SQL)
 
 # ---- corpus hygiene: canonical dedup, redaction, vocabulary stats ----------
-from scripts_toolkit_spark.plans import corpus_demos as cd
-
 register("canonical_text_dedup", cd.canonical_text_dedup, cd.CANONICAL_TEXT_DEDUP_SQL)
 register("corpus_prep_pipeline", cd.corpus_prep_pipeline, cd.CORPUS_PREP_PIPELINE_SQL)
 register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
@@ -106,20 +130,11 @@ register("returned_item_report", a4.returned_item_report, a4.RETURNED_ITEM_REPOR
 register("linestatus_priority_counts", a4.linestatus_priority_counts, a4.LINESTATUS_PRIORITY_COUNTS_SQL)
 register("disjunctive_promo_revenue", a4.disjunctive_promo_revenue, a4.DISJUNCTIVE_PROMO_REVENUE_SQL)
 
-# ============================================================================
-# TIER 2 — queries NEW or materially CHANGED in round 4 (need fresh driver
-# rows while inside the 50-query sample window).
-# ============================================================================
-from scripts_toolkit_spark.plans import ext_demos as xd
-
-# ann_topk_ivfpq: round-4 rework (normalized PQ, inner-product ADC, exact
-# rerank) — re-sampled here
-register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
-# 64-bit SimHash (round-4: corpus-scale fingerprint width, two 32-bit halves)
+# ---- round-4 additions (64-bit SimHash fingerprints, corpus quality,
+# sketches; the near-dup/ANN siblings that changed in r5 sit in TIER 1) ------
+# 64-bit SimHash fingerprint projection (unchanged since r4 — the r5
+# pairing rework is entirely in simhash64_candidates/simhash64_pairs)
 register("simhash64_fingerprints", xd.simhash64_fingerprints, xd.SIMHASH64_FINGERPRINTS_SQL)
-register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
-# round-4 corpus additions: repetition quality, boilerplate detection,
-# sequence packing
 register("gopher_repetition_stats", cd.gopher_repetition_stats, cd.GOPHER_REPETITION_STATS_SQL)
 register("boilerplate_shingles", cd.boilerplate_shingles, cd.BOILERPLATE_SHINGLES_SQL)
 register(
@@ -190,18 +205,14 @@ register("tumbling_event_counts", sd.tumbling_event_counts, sd.TUMBLING_EVENT_CO
 register("session_window_stats", sd.session_window_stats, sd.SESSION_WINDOW_STATS_SQL)
 
 # ---- training-data-pipeline extensions (§2.12): dedup, similarity, text,
-# multimodal ------------------------------------------------------------------
+# multimodal (near-dup/ANN rows changed in r5 live in TIER 1) ----------------
 register("exact_dup_groups", xd.exact_dup_groups, xd.EXACT_DUP_GROUPS_SQL)
-register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
-register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
-register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
 register("simhash_fingerprints", xd.simhash_fingerprints, xd.SIMHASH_FINGERPRINTS_SQL)
 register("simhash_near_dups", xd.simhash_near_dups, xd.SIMHASH_NEAR_DUPS_SQL)
 register("ann_topk_cosine", xd.ann_topk_cosine, xd.ANN_TOPK_COSINE_SQL)
 # approximate BUT deterministic: oracle replays the identical bucketing /
 # quantization in SQL; recall vs brute force additionally tested in pytest
 register("ann_topk_lsh", xd.ann_topk_lsh, xd.ANN_TOPK_LSH_SQL)
-register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
 register("text_stats", xd.text_stats, xd.TEXT_STATS_SQL)
 register("media_features", xd.media_features, xd.MEDIA_FEATURES_SQL)
 register("image_decode_stats", xd.image_decode_stats, xd.IMAGE_DECODE_STATS_SQL)
@@ -222,8 +233,3 @@ register("validity_window_lookup", wd.validity_window_lookup, wd.VALIDITY_WINDOW
 register("supplier_part_volumes", wd.supplier_part_volumes, wd.SUPPLIER_PART_VOLUMES_SQL)
 
 register("order_count_distribution", a2.order_count_distribution, a2.ORDER_COUNT_DISTRIBUTION_SQL)
-
-# ---- round-4 additions past the 50-query driver window (verify_local
-# covers them every round; rotate into TIER 2 if materially changed) -------
-register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
-register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)

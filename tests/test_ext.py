@@ -638,3 +638,45 @@ def test_ivfpq_scoring_join_carries_codes_not_vectors(spark, sf_dir):
     df = entrymod.queries()["ann_topk_ivfpq"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_double_delimiter_merge_mechanics(spark):
+    """The double-pipe encoding must merge CONSECUTIVE occurrences
+    (single-delimiter encodings miss every second one because replace()
+    consumes the shared boundary) and apply left-to-right
+    non-overlapping: 'abab'+(a,b) → [ab, ab]; 'aaa'+(a,a) → [aa, a]."""
+    from scripts_toolkit_spark.ext import bpe as BPE
+
+    df = spark.createDataFrame([(1, "abab aaa")], "doc_id long, text string")
+    got = df.select(
+        BPE.encode_tokens_expr("text", [("a", "b"), ("a", "a")]).alias("t")
+    ).first()["t"]
+    assert got == ["ab", "ab", "aa", "a"]
+
+
+def test_bpe_arrow_encoder_matches_expression_path(spark, sf_dir):
+    """The production mapInPandas encoder and the oracle-replayable
+    expression encoder must be token-for-token identical (both rewrite
+    all non-overlapping occurrences left-to-right in rank order), and
+    BPE must be lossless: concatenated tokens == concatenated words."""
+    from scripts_toolkit_spark.ext import bpe as BPE
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    merges = [
+        (l, r) for l, r, _m, _c in BPE.train_bpe_merges(d, "text", rounds=2, per_round=8)
+    ]
+    assert len(merges) == 16
+    expr = {
+        r["doc_id"]: r["t"]
+        for r in d.select(
+            "doc_id", BPE.encode_tokens_expr("text", merges).alias("t")
+        ).collect()
+    }
+    arrow = {r["doc_id"]: list(r["tokens"]) for r in BPE.encode_with_merges(d, merges).collect()}
+    assert expr and expr == arrow
+    words = {
+        r["doc_id"]: r["w"]
+        for r in d.select("doc_id", BPE.words_of("text").alias("w")).collect()
+    }
+    for did, toks in expr.items():
+        assert "".join(toks) == "".join(words[did])

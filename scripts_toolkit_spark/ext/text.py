@@ -106,6 +106,52 @@ def predict_lang(c: Column | str) -> Column:
     )
 
 
+def kgram_hashes(c: Column | str, k: int = 8) -> Column:
+    """32-bit md5-derived hash per character k-gram (positions
+    1..len−k+1) — engine-portable (md5 hex prefix via base-16 conv)."""
+    col = c if isinstance(c, Column) else F.col(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(0))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.substring(col, i, F.lit(k))), 1, 4 * 2), 16, 10
+        ).cast("long"),
+    )
+
+
+def winnowed_fingerprints(c: Column | str, k: int = 8, window: int = 16) -> Column:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS document-fingerprinting algorithm, public): slide a
+    `window`-wide frame over the k-gram hash sequence and keep each
+    frame's MINIMUM hash; distinct selected hashes are the fingerprint
+    set. Guarantee: two documents sharing any exact substring of at
+    least window + k − 1 characters contain an identical frame of
+    k-gram hashes, hence select at least one common fingerprint.
+    Selection is by hash VALUE only (no positional tiebreak), so it is
+    position-independent and identical across engines. Docs shorter
+    than window + k − 1 chars yield an empty set (no guarantee possible
+    — callers must not bucket them; cf. the empty-shingle NaN lesson).
+
+    Performance: pass the k-gram array through `winnow_min_hashes` over
+    a MATERIALIZED column when scanning a corpus — this convenience form
+    re-inlines the md5-per-position array once per reference."""
+    return winnow_min_hashes(kgram_hashes(c, k), window)
+
+
+def winnow_min_hashes(h: Column, window: int = 16) -> Column:
+    """Winnowing selection over an existing hash-sequence column (see
+    `winnowed_fingerprints`)."""
+    n = F.size(h)
+    return F.when(
+        n >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda i: F.array_min(F.slice(h, i, window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+
+
 def doc_fingerprint(c: Column | str, modulus: int = 2_147_483_647) -> Column:
     """Order-sensitive document fingerprint: md5-derived per-(word, position)
     hashes summed mod 2^31-1. Commutative sum + positional salt ⇒ identical

@@ -951,3 +951,57 @@ SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
   array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ') AS chunk_text
 FROM sized, UNNEST(range(n_chunks)) AS t(i)
 """
+
+
+def unigram_nll_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train corpus-wide word
+    probabilities p(w) = count(w)/total in one aggregate pass, then score
+    each document by its average negative log-likelihood - the classic
+    cheap perplexity proxy for corpus filtering (high avg NLL = rare-word
+    soup / noise; low = repetitive boilerplate).
+
+    Cross-engine float discipline (CLAUDE.md rules): ln(p) is per-row
+    IEEE (libm in both engines - the tfidf precedent) and is rounded to
+    6 dp then cast to DECIMAL(18,6) BEFORE the per-document SUM, so the
+    reduction is exact and order-independent; the final average divides
+    the exact decimal sum as double and rounds to 6 dp. The token->stats
+    join is on the corpus vocabulary (an aggregate, vocabulary-sized; at
+    open-web scale AQE decides the strategy - never force-broadcast)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    total = tok.count()
+    lnp = F.round(F.log(F.col("cnt").cast("double") / F.lit(float(total))), 6).cast(
+        "decimal(18,6)"
+    )
+    stats = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select("w", lnp.alias("lnp"))
+    return (
+        tok.join(stats, "w")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("lnp").alias("s"))
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(-F.col("s").cast("double") / F.col("n_words").cast("double"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+UNIGRAM_NLL_SCORES_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+stats AS (
+  SELECT w,
+    CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM total)), 6) AS DECIMAL(18,6)) AS lnp
+  FROM tok GROUP BY w
+)
+SELECT doc_id, COUNT(*) AS n_words,
+  round(-CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM tok JOIN stats USING (w)
+GROUP BY doc_id
+"""

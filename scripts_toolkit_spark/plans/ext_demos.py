@@ -1108,3 +1108,75 @@ SELECT vec_id, 2000 AS out_rate,
     AS pos_wsum
 FROM r
 """
+
+
+# ----------------------------------------------------- winnowing overlap --
+# Exact-substring duplication detection via winnowing fingerprints
+# (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS algorithm): any two
+# docs sharing an exact substring of ≥ _WIN_W + _WIN_K − 1 = 23 chars
+# select at least one common fingerprint. Pairs rank by how many
+# fingerprints they share. Catches verbatim passage reuse that
+# shingle-Jaccard dilutes and SimHash averages away.
+_WIN_K, _WIN_W = 8, 16
+# boilerplate guard: fingerprints present in more than this many docs are
+# dropped before pairing (they are template text, and they are also what
+# blows up bucket fan-in — same discipline as boilerplate_shingles)
+_WIN_MAX_DF = 64
+_WIN_MIN_SHARED = 4
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc pairs sharing ≥ 4 winnowed substring fingerprints, over
+    documents ∪ planted dups (each dup shares its whole text with the
+    original). k-gram hash arrays are materialized ONCE (localCheckpoint
+    — the md5-per-position array would otherwise be re-inlined per
+    reference); the pair join is equi-keyed on fingerprint value with
+    document-frequency-capped fan-in."""
+    docs = _docs_with_dups(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    h = docs.select(
+        "doc_id", TX.kgram_hashes("text", _WIN_K).alias("h")
+    ).localCheckpoint()
+    fps = h.select(
+        "doc_id", F.explode(TX.winnow_min_hashes(F.col("h"), _WIN_W)).alias("fp")
+    )
+    keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= _WIN_MAX_DF
+    )
+    sel = fps.join(keep.select("fp"), "fp").localCheckpoint()
+    a = sel.select(F.col("doc_id").alias("id_a"), "fp")
+    b = sel.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+
+
+WINNOW_OVERLAP_PAIRS_SQL = f"""
+WITH docs AS ({_DOCS_WITH_DUPS_SQL}),
+h AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(text) - {_WIN_K - 1}, 0) + 1),
+      i -> CAST(('0x' || substr(md5(substr(text, i, {_WIN_K})), 1, 8)) AS BIGINT)) AS hs
+  FROM docs
+),
+fps AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(hs) >= {_WIN_W} THEN
+      list_distinct(list_transform(range(1, len(hs) - {_WIN_W - 1} + 1),
+        i -> list_min(hs[i : i + {_WIN_W - 1}])))
+    ELSE [] END) AS fp
+  FROM h
+),
+keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {_WIN_MAX_DF}),
+sel AS (SELECT doc_id, fp FROM fps JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM sel a JOIN sel b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""

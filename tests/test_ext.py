@@ -680,3 +680,38 @@ def test_bpe_arrow_encoder_matches_expression_path(spark, sf_dir):
     }
     for did, toks in expr.items():
         assert "".join(toks) == "".join(words[did])
+
+
+def test_winnowing_substring_guarantee(spark):
+    """Schleimer et al. guarantee: docs sharing an exact substring of
+    ≥ window + k − 1 chars select at least one common fingerprint;
+    docs shorter than window + k − 1 yield an EMPTY set (no md5('')
+    style degenerate bucketing)."""
+    shared = "the quick brown fox jumps over it"  # 33 chars ≥ 16+8−1
+    rows = [
+        (1, "AAAA " + shared + " BBBBBBBBBBBB"),
+        (2, "CCCCCCCCCCCC " + shared + " DD"),
+        (3, "completely different text with no overlap at all here"),
+        (4, "tiny"),  # < 23 chars
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: set(r["f"])
+        for r in df.select(
+            "doc_id", TX.winnowed_fingerprints("text", k=8, window=16).alias("f")
+        ).collect()
+    }
+    assert got[1] & got[2], "shared 33-char substring selected no common fingerprint"
+    assert got[4] == set()
+
+
+def test_winnow_overlap_finds_planted_dups(spark, sf_dir):
+    """Every planted full-document dup shares its whole text with the
+    original, so (orig, orig+10^6) pairs must dominate the overlap
+    report unless boilerplate fps swamped them (df cap)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["winnow_overlap_pairs"](spark, sf_dir).collect()
+    assert rows, "degenerate: no overlap pairs at this SF"
+    planted = [r for r in rows if r["id_b"] == r["id_a"] + 1000000]
+    assert planted, "no planted orig/dup pair surfaced"

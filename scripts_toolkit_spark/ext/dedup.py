@@ -106,19 +106,21 @@ def minhash_lsh_pairs(
     # localCheckpoint materializes it exactly once and cuts lineage.
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     sig = (
-        docs.repartition(parallelism)
+        # docs shorter than k words have NO shingles: their band keys all
+        # collapse to md5('') so they'd pair with each other, and the
+        # verify ratio is 0/0 — NULL in Spark but NaN (> threshold) in a
+        # DuckDB replay. Exclude them BEFORE the signature projection on
+        # the raw word count (≡ sset non-empty): a post-projection filter
+        # on size(sset) splits the projection and Catalyst re-inlines the
+        # shingle tree below it (measured 3× the whole query)
+        docs.where(F.size(F.split(text_col, " ")) >= k)
+        .repartition(parallelism)
         .select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
         .select(
             F.col(id_col),
             F.array_distinct("shingles").alias("sset"),
             lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
         )
-        # docs shorter than k words have NO shingles: their band keys all
-        # collapse to md5('') so they'd pair with each other, and the
-        # verify ratio is 0/0 — NULL in Spark but NaN (> threshold) in a
-        # DuckDB replay. Exclude them before banding; they can never be
-        # near-dups of anything.
-        .where(F.size("sset") > 0)
         .localCheckpoint()
     )
 
@@ -176,16 +178,17 @@ def minhash_containment_pairs(
     rows = perms // bands
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     sig = (
-        docs.repartition(parallelism)
+        # pre-filter < k-word docs on the RAW word count (≡ empty sset:
+        # md5('') bucketing + 0/0 NaN divergence; see minhash_lsh_pairs
+        # for why the filter must sit below the signature projection)
+        docs.where(F.size(F.split(text_col, " ")) >= k)
+        .repartition(parallelism)
         .select(F.col(id_col), word_shingles(text_col, k).alias("shingles"))
         .select(
             F.col(id_col),
             F.array_distinct("shingles").alias("sset"),
             lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
         )
-        # empty shingle sets: band keys collapse to md5('') and containment
-        # is 0/0 (NULL in Spark, NaN-in-DuckDB divergence) — exclude
-        .where(F.size("sset") > 0)
         .localCheckpoint()
     )
     banded = sig.select(id_col, F.explode("bands").alias("b")).select(

@@ -47,15 +47,17 @@ def _signatures(docs: DataFrame, text_col: str, id_col: str,
                 k: int, perms: int, bands: int) -> DataFrame:
     rows = perms // bands
     return (
-        docs.select(F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("sh"))
+        # pre-filter < k-word docs on the raw word count (≡ empty sset:
+        # md5('') bucketing + 0/0 NaN divergence, mirroring
+        # ext/dedup.minhash_lsh_pairs — a post-projection size(sset)
+        # filter would re-inline the signature tree below itself)
+        docs.where(F.size(F.split(text_col, " ")) >= k)
+        .select(F.col(id_col).alias("doc_id"), word_shingles(text_col, k).alias("sh"))
         .select(
             "doc_id",
             F.array_distinct("sh").alias("sset"),
             lsh_bands(minhash_signature(F.col("sh"), perms), bands, rows).alias("bands"),
         )
-        # docs with no shingles (< k words) band to md5('') and verify to
-        # 0/0 — exclude, mirroring ext/dedup.minhash_lsh_pairs
-        .where(F.size("sset") > 0)
     )
 
 

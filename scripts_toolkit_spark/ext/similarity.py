@@ -340,19 +340,37 @@ def ivf_topk(
     cents = cents.localCheckpoint()
     if refine_iters:
         cents = refine_centroids(vectors, cents, refine_iters, id_col, vec_col)
-    assigned = ivf_assign(vectors, cents, n_probe, id_col, vec_col).localCheckpoint()
+    # norms materialize INTO the assignment checkpoint: the in-cell exact
+    # cosine otherwise re-folds sqrt(Σv²) for BOTH vectors on every
+    # candidate pair — ~n_probe·N/n_cells pairs per vector. Precomputed
+    # sqrt(dot(v,v)) is the identical expression → identical bits.
+    assigned = (
+        ivf_assign(vectors, cents, n_probe, id_col, vec_col)
+        .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        .localCheckpoint()
+    )
     corpus = assigned.where(F.col("is_home")).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cell_id",
     )
     queries = assigned.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell_id",
     )
     # home-only corpus leg ⇒ a pair can arise from at most one shared
     # cell; no dedup shuffle needed
     scored = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -46,6 +46,8 @@ HEADLINE = (
 # the streaming-dedup batch twin (banded join + batch attribution).
 # Round-4: the reworked IVF-PQ (normalize + ADC shortlist + rerank) and
 # the 64-bit SimHash pigeonhole pairing.
+# Round-5: √N-cell IVF, BPE subword chunking (train + encode), and the
+# winnowing substring-overlap dedup — the three new heavy operators.
 EXTRA_DEFAULT = (
     "yearly_brand_profit",
     "hierarchy_paths_deep",
@@ -53,6 +55,9 @@ EXTRA_DEFAULT = (
     "incremental_dedup_pairs",
     "ann_topk_ivfpq",
     "simhash64_near_dups",
+    "ann_topk_ivf",
+    "document_chunks_bpe",
+    "winnow_overlap_pairs",
 )
 
 

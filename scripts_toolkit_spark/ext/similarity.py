@@ -521,9 +521,9 @@ def pq_codes(
     Deterministic: L2 by sequential fold, argmin tiebreak on code asc.
 
     Scale shape: explode-to-subvectors is a narrow map (m rows/vector);
-    the assignment is a broadcast join + windowed argmin partitioned by
-    (vector, subspace) — no global shuffle of raw vectors beyond the
-    window's hash partitioning on the id."""
+    the assignment is a broadcast join + aggregate argmin keyed on
+    (vector, subspace) — map-side partial combine, no window sort, no
+    global shuffle of raw vectors."""
     sub_cb = pq_subspace_codebook(codebook, m, sub_dim)
     scored = _pq_all_distances(vectors, sub_cb, m, sub_dim, id_col, vec_col)
     # aggregate argmin (min over struct(d2, code) = orderBy d2 asc, code
@@ -567,14 +567,16 @@ def ivfpq_topk(
        vectors) and the final top-k ranks by cosine — ADC's quantization
        error picks the shortlist, not the final order.
 
-    At 100 TB this is the shape that wins: the corpus side of the scoring
-    join carries only (id, m codes) — a few bytes/vector instead of
-    dim·4 — the per-query lookup table (m·n_codes distances) joins
-    equi-keyed on (query, subspace, code), and the rerank join touches
-    rerank_factor·k rows per query. The m partial distances are pivoted to
-    fixed columns and added left-to-right (fixed fold order → bit-
-    reproducible), and on unit vectors cosine = plain dot (sequential
-    fold).
+    At 100 TB this is the shape that wins: the candidate join carries
+    only (id, m codes) — a few bytes/vector instead of dim·4; each
+    query's candidates GATHER into one row, the query's LUT
+    (m·n_codes distances against the literal codebook) joins once, and
+    ADC + the top-(rerank_factor·k) shortlist evaluate as array
+    expressions (Σ_s lut[s·n_codes + code_s] added in fixed s order →
+    bit-reproducible; slice∘array_sort ≡ the (adc asc, id asc) window
+    top-k without sorting the full candidate set). The rerank join
+    touches rerank_factor·k rows per query; on unit vectors cosine =
+    plain dot (sequential fold).
 
     `pq_n_codes` decouples codebook size from IVF cell count (more
     codewords = finer quantization; the md5-prefix pick is a prefix

@@ -42,6 +42,7 @@ def test_near_dup_plans_have_no_all_pairs_join(spark, sf_dir):
         "simhash64_near_dups",
         "embedding_near_dup_pairs",
         "char_ngram_jaccard",
+        "winnow_overlap_pairs",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name

@@ -1005,3 +1005,151 @@ SELECT doc_id, COUNT(*) AS n_words,
 FROM tok JOIN stats USING (w)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------------- Bloom-filter membership --
+# Completes the sketch family (HLL = cardinality, CMS = frequency,
+# histogram = quantiles, Bloom = MEMBERSHIP): a 2^15-bit / 3-hash Bloom
+# filter over the eval split's shingle digests, probed by the train side.
+# At 100 TB the filter is a KB-scale bit-array AGGREGATE (1024 bit_or'd
+# 32-bit words) that reaches every probe task without shuffling the eval
+# digests - the standard first pass before the exact decontamination
+# join. No false negatives by construction (bloom_hits >= exact_hits,
+# pytest-pinned); false-positive rate is the load-factor formula.
+_BLOOM_BITS, _BLOOM_K = 32768, 3
+
+
+def _pow32() -> F.Column:
+    # built lazily: Column construction needs an active session
+    return F.array(*[F.lit(1 << b).cast("long") for b in range(32)])
+
+
+def _bloom_pos(h: F.Column, j: int) -> F.Column:
+    """Bit position j for digest h: md5-derived, engine-portable."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(h, F.lit(f"|{j}"))), 1, 8), 16, 10).cast(
+            "long"
+        )
+        % _BLOOM_BITS
+    )
+
+
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-pass of the train/eval decontamination join
+    (`train_eval_overlap` twin): per train doc, how many distinct 8-word
+    shingles the Bloom filter flags (bloom_hits, a SUPERSET) vs the
+    exact digest join (exact_hits). The filter build is one hash
+    aggregate over the eval digests; the probe joins a <=1024-row word
+    table (bounded by construction - AQE broadcasts it, no hint)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _split_assign().alias("split"), F.split("text", " ").alias("w")
+    )
+    sh = d.where(F.size("w") >= _DECON_N).select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - F.lit(_DECON_N - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("w"), i, _DECON_N))),
+            )
+        ).alias("h"),
+    ).dropDuplicates(["doc_id", "split", "h"])
+    train = sh.where(F.col("split") == "train").select("doc_id", "h").localCheckpoint()
+    ev = sh.where(F.col("split") == "test").select("h").distinct().localCheckpoint()
+
+    parr = F.array(*[_bloom_pos(F.col("h"), j) for j in range(_BLOOM_K)])
+    bits = (
+        ev.select(F.explode(parr).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("int").alias("word"),
+            (F.col("p") % 32).cast("int").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or(F.get(_pow32(), F.col("bit"))).alias("wv"))
+    )
+    probe = train.select("doc_id", "h", F.explode(parr).alias("p")).select(
+        "doc_id",
+        "h",
+        (F.col("p") / 32).cast("int").alias("word"),
+        (F.col("p") % 32).cast("int").alias("bit"),
+    )
+    bloom = (
+        probe.join(bits, "word")
+        .where(F.col("wv").bitwiseAND(F.get(_pow32(), F.col("bit"))) != 0)
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .where(F.col("k_hit") == _BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    exact = train.join(ev, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("exact_hits")
+    )
+    per_doc = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        bloom.join(exact, "doc_id", "left")
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "bloom_hits",
+            F.coalesce("exact_hits", F.lit(0)).alias("exact_hits"),
+        )
+    )
+
+
+BLOOM_DECONTAMINATION_SQL = f"""
+WITH sp AS (
+  SELECT doc_id,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+         THEN 'train'
+         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 9
+         THEN 'val' ELSE 'test' END AS split,
+    string_split(text, ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, split, h
+  FROM (
+    SELECT doc_id, split,
+      unnest(list_transform(range(1, len(w) - {_DECON_N} + 2),
+        i -> md5(array_to_string(w[i:i+{_DECON_N}-1], ' ')))) AS h
+    FROM sp WHERE len(w) >= {_DECON_N}
+  )
+),
+train AS (SELECT doc_id, h FROM sh WHERE split = 'train'),
+ev AS (SELECT DISTINCT h FROM sh WHERE split = 'test'),
+evpos AS (
+  SELECT CAST(('0x' || substr(md5(h || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {_BLOOM_BITS} AS p
+  FROM ev, UNNEST(range({_BLOOM_K})) AS t(j)
+),
+bits AS (
+  SELECT CAST(p // 32 AS INT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS wv
+  FROM evpos GROUP BY 1
+),
+probe AS (
+  SELECT doc_id, h,
+    CAST(('0x' || substr(md5(h || '|' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {_BLOOM_BITS} AS p
+  FROM train, UNNEST(range({_BLOOM_K})) AS t(j)
+),
+bloom AS (
+  SELECT doc_id, COUNT(*) AS bloom_hits FROM (
+    SELECT doc_id, h, COUNT(*) AS k_hit
+    FROM probe JOIN bits ON bits.word = CAST(probe.p // 32 AS INT)
+    WHERE (bits.wv & (CAST(1 AS BIGINT) << CAST(probe.p % 32 AS INT))) <> 0
+    GROUP BY doc_id, h
+  ) WHERE k_hit = {_BLOOM_K}
+  GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id, COUNT(*) AS exact_hits FROM train JOIN ev USING (h) GROUP BY doc_id
+),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+SELECT b.doc_id, n_shingles, bloom_hits, coalesce(exact_hits, 0) AS exact_hits
+FROM bloom b
+LEFT JOIN exact USING (doc_id)
+JOIN per_doc USING (doc_id)
+"""

@@ -31,9 +31,10 @@ from scripts_toolkit_spark.plans import ext_demos as xd
 register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
 register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
 # NEW: winnowing substring-overlap dedup (MOSS fingerprints) + unigram-LM
-# quality scoring
+# quality scoring + Bloom-filter decontamination pre-pass
 register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
 register("unigram_nll_scores", cd.unigram_nll_scores, cd.UNIGRAM_NLL_SCORES_SQL)
+register("bloom_decontamination", cd.bloom_decontamination, cd.BLOOM_DECONTAMINATION_SQL)
 # round-4 newcomers registered past the window (verdict Next #3)
 register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
 register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)

@@ -158,10 +158,11 @@ def test_cms_overestimate_property(spark, sf_dir):
 
 
 def test_simhash64_pigeonhole_recall_one(spark, sf_dir):
-    """The 64-bit pigeonhole equi-join must return EXACTLY the all-pairs
-    Hamming-ball result (recall 1.0 by construction) — verified against a
-    brute-force pass over the collected fingerprints, including the piece
-    that straddles the lo/hi half boundary (7 pieces over 64 bits)."""
+    """The 64-bit combination-key pairing must return EXACTLY the
+    all-pairs Hamming-ball result (recall 1.0 by pigeonhole) — verified
+    against a brute-force pass over the collected fingerprints,
+    including blocks that straddle the lo/hi half boundary (10 blocks /
+    4-subsets at r=6)."""
     from pyspark.sql import functions as F
 
     from scripts_toolkit_spark.ext.dedup import simhash64, simhash64_pairs, word_shingles
@@ -715,3 +716,17 @@ def test_winnow_overlap_finds_planted_dups(spark, sf_dir):
     assert rows, "degenerate: no overlap pairs at this SF"
     planted = [r for r in rows if r["id_b"] == r["id_a"] + 1000000]
     assert planted, "no planted orig/dup pair surfaced"
+
+
+def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
+    """Bloom membership invariant: the filter NEVER misses a true hit
+    (bloom_hits >= exact_hits per doc), and every doc the exact join
+    flags appears in the bloom report."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["bloom_decontamination"](spark, sf_dir).collect()
+    assert rows, "degenerate: no bloom hits at this SF"
+    assert all(r["bloom_hits"] >= r["exact_hits"] for r in rows)
+    exact = entrymod.queries()["train_eval_overlap"](spark, sf_dir).collect()
+    flagged = {r["doc_id"] for r in rows}
+    assert all(r["doc_id"] in flagged for r in exact)

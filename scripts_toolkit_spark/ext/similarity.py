@@ -651,10 +651,19 @@ def ivfpq_topk(
             ** F.lit(2),
         ),
     )
-    # lut first, CHECKPOINTED, codes derived from the materialized column:
-    # a single projection would let Catalyst inline the 256-fold lut
-    # expression once per codes reference (m + 1 copies)
-    per_vec = normed.select(id_col, lut_expr.alias("lut")).localCheckpoint()
+    # The LUT fuses INTO the assignment checkpoint, computed only on the
+    # home row (one per vector — a when() guard keeps the 256-entry fold
+    # from running once per probe row), so ONE materialization serves the
+    # corpus codes, the query LUT, and the cell assignment, and the
+    # candidate join carries the m-code array directly — no separate
+    # per-vector frame, no extra candidates×codes shuffle. `codes` derive
+    # from the MATERIALIZED lut column (deriving them in the same
+    # projection would re-inline the 256-fold once per reference).
+    assigned = (
+        ivf_assign(normed, cents, n_probe, id_col, vec_col)
+        .withColumn("lut", F.when(F.col("is_home"), lut_expr))
+        .localCheckpoint()
+    )
     codes_expr = F.array(
         *[
             F.array_min(
@@ -667,11 +676,13 @@ def ivfpq_topk(
             for s in range(m)
         ]
     )
-    assigned = ivf_assign(normed, cents, n_probe, id_col, vec_col).localCheckpoint()
     corpus = assigned.where(F.col("is_home")).select(
-        F.col(id_col).alias("neighbor_id"), "cell_id"
+        F.col(id_col).alias("neighbor_id"), "cell_id", codes_expr.alias("ncodes")
     )
     queries = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
+    qlut = assigned.where(F.col("is_home")).select(
+        F.col(id_col).alias("query_id"), "lut"
+    )
     # no pair dedup needed: the corpus leg is HOME cells only, and a
     # vector has exactly one home cell, so a (query, neighbor) pair can
     # arise from at most one shared cell — a dropDuplicates here would be
@@ -679,7 +690,7 @@ def ivfpq_topk(
     cand = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "ncodes")
     )
     # ADC + shortlist: gather each query's candidates (with their m-code
     # arrays) into one row, join the query's LUT once, and compute every
@@ -691,15 +702,9 @@ def ivfpq_topk(
     # pairs × m rows or window-sorting the full candidate set.
     shortlist_n = rerank_factor * k
     gathered = (
-        cand.join(
-            per_vec.select(
-                F.col(id_col).alias("neighbor_id"), codes_expr.alias("ncodes")
-            ),
-            "neighbor_id",
-        )
-        .groupBy("query_id")
+        cand.groupBy("query_id")
         .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
-        .join(per_vec.select(F.col(id_col).alias("query_id"), "lut"), "query_id")
+        .join(qlut, "query_id")
     )
 
     def _adc(c: Column) -> Column:

@@ -83,7 +83,15 @@ def main() -> None:
     # round-over-round numbers comparable without a quiet-machine guarantee)
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
+    import gc
+
     for name in names:
+        # drop the previous queries' DataFrame wrappers so the
+        # ContextCleaner can release their localCheckpoint blocks —
+        # across ~80 executions the accumulated blocks pressure the
+        # block manager and the LAST entries pay for it (measured ~2s
+        # swing on the final ANN entry)
+        gc.collect()
         best = None
         for _ in range(repeat):
             t0 = time.time()

@@ -17,7 +17,7 @@ are children that are never parents (set algebra :133-139 → anti-joins).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -293,3 +293,78 @@ def taxonomy_json(assembled: DataFrame) -> DataFrame:
     return per_concept.select(
         "concept", F.to_json(F.struct("concept", "schedules")).alias("json")
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 6,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Iterative PageRank in FIXED-POINT integer arithmetic — the
+    distributed iterative-algorithm shape (join → aggregate per
+    iteration, checkpoint to truncate lineage) made bit-reproducible
+    across engines and partitionings:
+
+        r₀(v)    = scale // N
+        r_{t+1}(v) = base + (damping · Σ_{u→v} (r_t(u) // outdeg(u))) // 100
+        base     = ((100 − damping) · (scale // N)) // 100
+
+    Every operation is BIGINT (floor divisions, exact integer sums), so
+    the result is independent of float summation order — a double-typed
+    PageRank could never pass a value-hash oracle gate. All magnitudes
+    stay ≤ 100·scale < 2^63. Spark-side floor division uses the
+    exactly-divisible identity (r − r % d) / d: both operands < 2^53 so
+    the double division is exact (a bare floor(r/d) can misround when
+    1/d dips under one ulp of r).
+
+    Iteration cost: one equi-join (ranks ⋈ out-degree-annotated edges)
+    plus one hash aggregate per round; the edge table is materialized
+    once (`localCheckpoint`) and rank frames checkpoint per round — the
+    `connected_components` discipline. Nodes without in-edges settle at
+    `base` (left join + coalesce)."""
+    nodes = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    r0 = scale // max(n, 1)
+    base = ((100 - damping_pct) * r0) // 100
+    e = (
+        edges.join(
+            edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg")), src_col
+        )
+        .select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"), "outdeg")
+        .localCheckpoint()
+    )
+
+    def _exact_div(num: Column, den: Column) -> Column:
+        return ((num - num % den) / den).cast("long")
+
+    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            ranks.join(e, "node")
+            .select(F.col("dst").alias("node"), _exact_div(F.col("r"), F.col("outdeg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + _exact_div(
+                        F.lit(damping_pct) * F.coalesce(F.col("s"), F.lit(0)),
+                        F.lit(100),
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

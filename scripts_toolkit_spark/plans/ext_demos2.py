@@ -564,3 +564,91 @@ SELECT
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus))
 """
+
+
+# ------------------------------------------------------ iterative PageRank --
+# Fixed-point integer PageRank (operators/graph.pagerank_fixed_point) over
+# the customer↔supplier bipartite graph of 1995-Q1 orders. The point is
+# the ITERATIVE-algorithm shape under the exact oracle gate: a
+# double-typed PageRank could never hash-match across engines (float sum
+# order), so ranks are BIGINT fixed-point and every update is a floor
+# division / exact integer sum - the oracle replays all iterations as
+# unrolled CTE blocks.
+_PR_ITERS, _PR_SCALE, _PR_DAMP = 6, 10**12, 85
+
+
+def pagerank_top_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parties by fixed-point PageRank (deterministic tiebreak on
+    the node label)."""
+    from scripts_toolkit_spark.operators.graph import pagerank_fixed_point
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate").between("1995-01-01", "1995-03-31"))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP)
+    w = Window.orderBy(F.desc("r"), F.asc("node"))
+    return (
+        pr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("node", F.col("r").alias("rank_fp"), F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def _pagerank_iter_blocks() -> str:
+    blocks = []
+    prev = "r0"
+    for i in range(1, _PR_ITERS + 1):
+        blocks.append(f""",
+pr{i} AS (
+  SELECT n.node,
+    (SELECT base FROM params) + ({_PR_DAMP} * COALESCE(s.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // e.outdeg) AS s
+    FROM {prev} p JOIN e ON e.src = p.node
+    GROUP BY e.dst
+  ) s USING (node)
+)""")
+        prev = f"pr{i}"
+    return "".join(blocks)
+
+
+PAGERANK_TOP_PARTIES_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+),
+edges AS (SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+e AS (
+  SELECT src, dst, outdeg
+  FROM edges JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src) USING (src)
+),
+params AS (
+  SELECT {_PR_SCALE} // COUNT(*) AS r0,
+         (15 * ({_PR_SCALE} // COUNT(*))) // 100 AS base
+  FROM nodes
+),
+r0 AS (SELECT node, (SELECT r0 FROM params) AS r FROM nodes){_pagerank_iter_blocks()}
+SELECT node, CAST(r AS BIGINT) AS rank_fp, CAST(rnk AS INT) AS rank
+FROM (
+  SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rnk
+  FROM pr{_PR_ITERS}
+)
+WHERE rnk <= 20
+"""

@@ -35,6 +35,11 @@ register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_S
 register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
 register("unigram_nll_scores", cd.unigram_nll_scores, cd.UNIGRAM_NLL_SCORES_SQL)
 register("bloom_decontamination", cd.bloom_decontamination, cd.BLOOM_DECONTAMINATION_SQL)
+# NEW: iterative fixed-point PageRank (operators/graph.py) — the
+# join→aggregate-per-round algorithm shape under the exact oracle gate
+from scripts_toolkit_spark.plans import ext_demos2 as x2
+
+register("pagerank_top_parties", x2.pagerank_top_parties, x2.PAGERANK_TOP_PARTIES_SQL)
 # round-4 newcomers registered past the window (verdict Next #3)
 register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
 register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)

@@ -148,3 +148,19 @@ def test_connected_components_long_chain(spark):
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert set(got.values()) == {0} and len(got) == 301
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    """Fixed-point PageRank sanity on a symmetric star graph: the hub
+    outranks the (identical) spokes; total mass stays within floor-loss
+    of `scale`; every node is at least the teleport base."""
+    from scripts_toolkit_spark.operators.graph import pagerank_fixed_point
+
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "h"), ("b", "h"), ("c", "h")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    pr = {r["node"]: r["r"] for r in pagerank_fixed_point(df, iters=8).collect()}
+    assert pr["h"] > pr["a"] == pr["b"] == pr["c"]
+    scale = 10**12
+    base = (15 * (scale // 4)) // 100
+    assert all(v >= base for v in pr.values())
+    assert 0.9 * scale <= sum(pr.values()) <= scale

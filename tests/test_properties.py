@@ -151,3 +151,50 @@ def test_melt_pivot_roundtrip_random(spark):
             assert rssd not in got  # fully-null rows never reach the store
         else:
             assert got[rssd] == tuple(vals)
+
+
+def _bpe_ref_apply(word: str, merges) -> list:
+    """Reference greedy merge: explicit left-to-right list scan, one rule
+    at a time — the semantics the pipe-string rewriting must equal."""
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _bpe_pipe_apply(word: str, merges) -> list:
+    """The double-pipe string-rewriting mechanics shared by all three
+    engine paths (ext/bpe.py module docstring)."""
+    seq = "||" + "||".join(word) + "||"
+    for left, right in merges:
+        seq = seq.replace(f"|{left}||{right}|", f"|{left}{right}|")
+    return [t for t in seq.split("|") if t]
+
+
+@settings(max_examples=400)
+@given(
+    st.text(alphabet="ab", min_size=0, max_size=24),
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+            st.sampled_from(["a", "b", "aa", "ab", "ba", "bb"]),
+        ),
+        max_size=6,
+    ),
+)
+def test_bpe_pipe_rewriting_equals_reference_scan(word, merges):
+    """The pipe-delimited replace chain must equal an explicit
+    left-to-right merge scan for EVERY rule sequence — including
+    consecutive occurrences ('abab'), self-pairs ('aaa' + (a,a)), and
+    rules over previously merged symbols — and stay lossless."""
+    got = _bpe_pipe_apply(word, merges)
+    assert got == _bpe_ref_apply(word, merges)
+    assert "".join(got) == word

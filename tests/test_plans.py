@@ -137,6 +137,37 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark, sf_dir):
     assert not bad, f"forced broadcast of SF-linear tables: {bad}"
 
 
+# Queries with a REVIEWED, bounded BroadcastNestedLoopJoin — every entry
+# must be one of: a one-row scalar-aggregate attach, a tiny-by-
+# construction broadcast band table, or an absolutely-capped exact
+# baseline. Anything new that plans a BNLJ must either justify itself
+# here or restructure to an equi-join.
+_BNLJ_ALLOWLIST = {
+    "rich_inactive_customers": "Q22 scalar avg-balance attach (one row)",
+    "top_value_nations": "scalar threshold attach (one row)",
+    "tfidf_top_terms": "scalar corpus doc-count attach (one row)",
+    "histogram_quantiles": "scalar global min/max attach (one row)",
+    "value_band_join": "broadcast band table, tiny by construction",
+    "ann_topk_cosine": "exact baseline, absolute SF-independent query cap",
+    "ann_topk_int8": "int8 exact-search demo, absolute query cap",
+}
+
+
+def test_no_cartesian_and_bounded_bnlj_everywhere(spark, sf_dir):
+    """GLOBAL pairing lint: no registered query may plan a
+    CartesianProduct, and BroadcastNestedLoopJoin may appear only in the
+    reviewed allowlist above — the mechanical guarantee that every
+    pairing/join operator in the package stays equi-keyed at scale."""
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWLIST:
+            bad[name] = "BroadcastNestedLoopJoin (not allowlisted)"
+    assert not bad, f"unbounded pairing plans: {bad}"
+
+
 def test_incremental_dedup_twin_equi_keyed(spark, sf_dir):
     """The streaming-dedup batch twin must pair via the banded equi-join —
     never a cartesian/nested-loop plan."""

@@ -1153,3 +1153,106 @@ FROM bloom b
 LEFT JOIN exact USING (doc_id)
 JOIN per_doc USING (doc_id)
 """
+
+
+# ------------------------------------------------- char-n-gram language ID --
+# The n-gram-heuristic language identifier (Cavnar & Trenkle '94 style,
+# integer-scored): per-language profiles = the 32 most frequent char
+# TRIGRAMS of that language's corpus slice; a document scores one point
+# per trigram occurrence that hits a profile; predicted = argmax score
+# (tiebreak lang asc). Scores are exact INTEGER counts, so the whole
+# pipeline is deterministic with no float discipline at all. The profile
+# table is 5 langs x 32 rows - bounded by construction, AQE broadcasts.
+_LID_TOP = 32
+
+
+def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-evaluation of trigram-profile language ID against the corpus'
+    own lang labels: per language, document count, correctly-identified
+    count (docs with no profile hits count as wrong), and accuracy.
+
+    Honesty note: the synthetic corpus draws every lang label from the
+    SAME English-ish vocabulary, so no classifier can beat ~chance here —
+    the demo pins the n-gram-profile MECHANICS and their integer-exact
+    determinism, not classifier quality (on real multilingual text the
+    same profiles separate scripts/languages sharply)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t = F.lower("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
+        lambda i: F.substring(t, i, F.lit(3)),
+    )
+    doc_grams = d.select("doc_id", "lang", F.explode(grams).alias("g")).localCheckpoint()
+    w = Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("g"))
+    profiles = (
+        doc_grams.groupBy(F.col("lang").alias("plang"), "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _LID_TOP)
+        .select("plang", "g")
+    )
+    scores = (
+        doc_grams.join(profiles, "g")
+        .groupBy("doc_id", "plang")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    pred = scores.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("plang").alias("plang")))[
+            "plang"
+        ].alias("predicted")
+    )
+    joined = d.select("doc_id", "lang").join(pred, "doc_id", "left")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_correct",
+            (F.col("n_correct").cast("double") / F.col("n_docs").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+CHARNGRAM_LANG_ID_SQL = f"""
+WITH dg AS (
+  SELECT doc_id, lang, unnest(
+    list_transform(range(1, greatest(length(lower(text)) - 2, 0) + 1),
+      i -> substr(lower(text), i, 3))) AS g
+  FROM documents
+),
+profiles AS (
+  SELECT plang, g FROM (
+    SELECT lang AS plang, g, COUNT(*) AS cnt,
+      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+    FROM dg GROUP BY lang, g
+  ) WHERE rn <= {_LID_TOP}
+),
+scores AS (
+  SELECT doc_id, plang, COUNT(*) AS score
+  FROM dg JOIN profiles USING (g)
+  GROUP BY doc_id, plang
+),
+pred AS (
+  SELECT doc_id, plang AS predicted FROM (
+    SELECT doc_id, plang,
+      row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+),
+docs AS (SELECT DISTINCT doc_id, lang FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct,
+  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+FROM docs LEFT JOIN pred USING (doc_id)
+GROUP BY lang
+"""

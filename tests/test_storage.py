@@ -112,3 +112,58 @@ def test_eav_store_schema_evolution(spark, tmp_path):
     )
     got = {r["rssd"]: (r["totalprice"], r["newmetric"]) for r in q2_back.collect()}
     assert got == {1: (11.0, 5.0), 2: (21.0, 6.0)}
+
+
+def test_zorder_layout_skips_files_on_second_column(spark, sf_dir, tmp_path):
+    """Z-order tiling (operators/layout.py): range-partitioning by
+    user_id alone makes every file span the FULL value domain (a value
+    predicate reads all files); morton tiling bounds each file's value
+    footprint to ~a tile, so a 10%-of-domain value band overlaps at most
+    half as many files — the parquet min/max skipping the layout buys."""
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.operators.layout import (
+        morton_key,
+        scale_to_bits,
+        zorder_write,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    mm = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    ulo, uhi, vlo, vhi = mm
+    x = scale_to_bits(F.col("user_id"), F.lit(ulo), F.lit(uhi), 8)
+    y = scale_to_bits(F.col("value"), F.lit(vlo), F.lit(vhi), 8)
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "stripes")
+    zorder_write(ev, zpath, x, y, n_files=16, bits=8)
+    ev.withColumn("__r", x).repartitionByRange(16, "__r").drop("__r").write.mode(
+        "overwrite"
+    ).parquet(spath)
+
+    band_lo = vlo + 0.45 * (vhi - vlo)
+    band_hi = vlo + 0.55 * (vhi - vlo)
+
+    def overlapping_files(path: str) -> int:
+        rows = (
+            spark.read.parquet(path)
+            .withColumn("f", F.input_file_name())
+            .groupBy("f")
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        )
+        assert len(rows) >= 8, "layout produced too few files for the test"
+        return sum(1 for r in rows if r["lo"] <= band_hi and r["hi"] >= band_lo)
+
+    n_stripe = overlapping_files(spath)
+    n_z = overlapping_files(zpath)
+    # stripe layout: every file spans the full value domain
+    assert n_z <= n_stripe // 2, (n_z, n_stripe)
+
+    # morton key sanity: interleave is order-compatible with the tiling
+    r = spark.range(1).select(
+        morton_key(F.lit(0b101), F.lit(0b011), 3).alias("k")
+    ).first()
+    # a bits 1,0,1 -> key bits 0,2,4 ; b bits 1,1,0 -> key bits 1,3
+    assert r["k"] == (1 << 0) + (0 << 2) + (1 << 4) + (1 << 1) + (1 << 3)

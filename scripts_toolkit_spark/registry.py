@@ -8,11 +8,12 @@ registered queries in registration order. Every query that is NEW or
 MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it). Round 5 therefore leads with
-TIER 1 = the 10 round-5 new/changed queries, then TIER 2 = the round-4
-window rows (their only driver evidence is CORRECTNESS_r04), then the
-long-green tier. `tests/test_registry_order.py` enforces the rule
-mechanically against a committed source-hash manifest; regenerate it
-with `python tools/update_registry_manifest.py` after rotating.
+TIER 1 = the round-5 new/changed queries (16 by round close), then
+TIER 2 = the round-4 window rows (their only driver evidence is
+CORRECTNESS_r04), then the long-green tier. `tests/test_registry_order.py`
+enforces the rule mechanically against a committed source-hash manifest;
+regenerate it with `python tools/update_registry_manifest.py` after
+rotating.
 """
 
 from __future__ import annotations

@@ -1180,3 +1180,66 @@ WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
 """
+
+
+def incremental_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING winnowing dedup
+    (streaming/winnow_stream.py), putting that family's core logic under
+    the driver's oracle gate: fingerprints come from the streaming
+    module's own expressions, pairing is the UNCAPPED shared-count join
+    (the df boilerplate cap is retrospective - batch-only, see the
+    streaming module docstring), and each pair carries `emitted_in` -
+    the micro-batch an incremental run over 3 waves (doc_id % 3) would
+    emit it in, i.e. the LATER document's wave. The stream==batch pytest
+    (tests/test_winnow_stream.py) ties the semantics to an actual
+    availableNow run.
+
+    Input is the deterministic 1-in-8 slice (doc_id % 8 == 0, which
+    keeps planted orig/dup pairs together since the dup offset 10^6 is
+    ≡ 0 mod 8): without the batch demo's retrospective df cap, template
+    fingerprints pair quadratically, and an UNCAPPED full-corpus pairing
+    is exactly the shape this repo refuses to ship at scale — the slice
+    keeps the oracle row honest and the result bounded."""
+    from scripts_toolkit_spark.streaming import winnow_stream as WS
+
+    docs = (
+        _docs_with_dups(spark, sf_dir)
+        .where(F.col("doc_id") % 8 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    fps = WS._fingerprints(docs, "text", "doc_id", _WIN_K, _WIN_W).localCheckpoint()
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+        .withColumn("emitted_in", F.greatest(F.col("id_a") % 3, F.col("id_b") % 3))
+    )
+
+
+INCREMENTAL_WINNOW_PAIRS_SQL = f"""
+WITH docs AS (SELECT * FROM ({_DOCS_WITH_DUPS_SQL}) WHERE doc_id % 8 = 0),
+h AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(text) - {_WIN_K - 1}, 0) + 1),
+      i -> CAST(('0x' || substr(md5(substr(text, i, {_WIN_K})), 1, 8)) AS BIGINT)) AS hs
+  FROM docs
+),
+fps AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(hs) >= {_WIN_W} THEN
+      list_distinct(list_transform(range(1, len(hs) - {_WIN_W - 1} + 1),
+        i -> list_min(hs[i : i + {_WIN_W - 1}])))
+    ELSE [] END) AS fp
+  FROM h
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared,
+       greatest(a.doc_id % 3, b.doc_id % 3) AS emitted_in
+FROM fps a JOIN fps b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= {_WIN_MIN_SHARED}
+"""

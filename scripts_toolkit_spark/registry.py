@@ -43,6 +43,8 @@ from scripts_toolkit_spark.plans import ext_demos2 as x2
 register("pagerank_top_parties", x2.pagerank_top_parties, x2.PAGERANK_TOP_PARTIES_SQL)
 # NEW: char-trigram-profile language ID (integer-exact n-gram heuristic)
 register("charngram_lang_id", cd.charngram_lang_id, cd.CHARNGRAM_LANG_ID_SQL)
+# NEW: batch twin of the streaming winnowing dedup (wave attribution)
+register("incremental_winnow_pairs", xd.incremental_winnow_pairs, xd.INCREMENTAL_WINNOW_PAIRS_SQL)
 # round-4 newcomers registered past the window (verdict Next #3)
 register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
 register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)

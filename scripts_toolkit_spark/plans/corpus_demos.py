@@ -1179,12 +1179,16 @@ def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    t = F.lower("text")
+    # lowercase ONCE behind a materialization boundary: referenced from
+    # inside the per-position transform lambda, an inline lower(text)
+    # re-lowercases the whole document per trigram element
+    low = d.select("doc_id", "lang", F.lower("text").alias("lt")).localCheckpoint()
+    t = F.col("lt")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
         lambda i: F.substring(t, i, F.lit(3)),
     )
-    doc_grams = d.select("doc_id", "lang", F.explode(grams).alias("g")).localCheckpoint()
+    doc_grams = low.select("doc_id", "lang", F.explode(grams).alias("g")).localCheckpoint()
     w = Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("g"))
     profiles = (
         doc_grams.groupBy(F.col("lang").alias("plang"), "g")

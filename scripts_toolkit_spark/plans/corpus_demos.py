@@ -906,7 +906,10 @@ def document_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (l, r) for l, r, _m, _c in BPE.train_bpe_merges(d, "text", _BPE_ROUNDS, _BPE_PER_ROUND)
     ]
     toks = BPE.encode_tokens_expr("text", merges)
-    d = d.select("doc_id", toks.alias("toks"))
+    # materialize the token arrays: size + the per-chunk slices reference
+    # `toks` several times and projection collapse would re-run the whole
+    # BPE encode chain per reference
+    d = d.select("doc_id", toks.alias("toks")).localCheckpoint()
     n = F.size("toks")
     n_chunks = F.greatest(
         F.ceil((n - F.lit(_OVERLAP)).cast("double") / F.lit(_STRIDE)).cast("int"),

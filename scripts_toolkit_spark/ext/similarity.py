@@ -826,3 +826,49 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int | None = None,
+    tau: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023, public):
+    cluster the embedding space coarsely, then inside each cluster drop
+    every vector that is cosine-≥-tau similar to a lower-id clustermate —
+    the keep-lowest-id rule makes the survivor set deterministic without a
+    connected-components pass. Returns the DROP list:
+    (vec_id, cell_id, keeper_id = smallest matching lower id).
+
+    Scale shape: centroids are the deterministic md5-prefix pick (KB-scale
+    control plane), assignment is the literal-codebook projection
+    (`ivf_assign`, no shuffle), and the pair search is an equi-join on
+    cell_id with ~N/√N rows per cell — candidate volume ~N^1.5, never N².
+    The within-cell compare reuses the precomputed norms, so each pair
+    costs one fold. Deterministic end-to-end (same contract as `ivf_topk`)
+    → SQL-replayable."""
+    if n_cells is None:
+        n_cells = auto_n_cells(vectors)
+    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).localCheckpoint()
+    assigned = (
+        ivf_assign(vectors, cents, 1, id_col, vec_col)
+        .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        .localCheckpoint()
+    )
+    keep = assigned.select(
+        "cell_id",
+        F.col(id_col).alias("keeper_id"),
+        F.col(vec_col).alias("kv"),
+        F.col("nrm").alias("kn"),
+    )
+    cand = assigned.select("cell_id", id_col, vec_col, "nrm")
+    pairs = (
+        keep.join(cand, "cell_id")
+        .where(F.col("keeper_id") < F.col(id_col))
+        .where(
+            _dot(F.col("kv"), F.col(vec_col)) / (F.col("kn") * F.col("nrm")) >= F.lit(tau)
+        )
+    )
+    return pairs.groupBy(id_col, "cell_id").agg(F.min("keeper_id").alias("keeper_id"))

@@ -187,3 +187,72 @@ def span_scan(spans: DataFrame, doc_col: str | None = None) -> DataFrame:
         F.coalesce(F.col("FORMULA"), F.lit("")).alias("formula"),
     )
     return out
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    attr: Column | str,
+    order_by: list[str],
+    ts: str,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: collapse
+    each key's ordered history into one row per RUN of an unchanged
+    attribute value — (key, attr, valid_from, valid_to, n_rows, version).
+
+    Gaps-and-islands: flag rows where the attribute differs from its
+    predecessor (lag over the per-key order window), running-sum the flags
+    into a version number, then one grouped aggregate per (key, version).
+    Cost at any scale: ONE shuffle on the key + one sort (the minimum for
+    order-dependent semantics) followed by a map-side-combinable aggregate
+    — the same shape as `sessionize`. `valid_to` is the run's last
+    timestamp (closed interval); the open-ended convention is a `lead` over
+    the result if needed.
+    """
+    a = attr if isinstance(attr, Column) else F.col(attr)
+    w = Window.partitionBy(key).orderBy(*order_by)
+    changed = (~a.eqNullSafe(F.lag(a).over(w))).cast("bigint")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = df.select(
+        F.col(key),
+        a.alias("attr"),
+        F.col(ts).alias("__ts"),
+        F.sum(changed).over(wsum).alias("version"),
+    )
+    return runs.groupBy(key, "version").agg(
+        F.first("attr").alias("attr"),
+        F.min("__ts").alias("valid_from"),
+        F.max("__ts").alias("valid_to"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def apply_changelog(
+    df: DataFrame,
+    key: str,
+    op: Column,
+    order_by: list[str],
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC upsert/delete apply (the MERGE INTO shape): given a changelog
+    with a per-row operation column (`op` ∈ {insert, update, `delete_op`}),
+    reduce to the latest surviving state per key — rows whose LAST
+    operation is a delete vanish; otherwise the key keeps its last row's
+    columns plus `n_ops` (total changelog entries) and `last_op`.
+
+    One window pass (row_number + count over the same per-key frame), then
+    a filter — exactly the plan a Delta/Iceberg MERGE compiles to for a
+    latest-wins changelog, minus the table-format commit. Deterministic for
+    a total `order_by` (include a unique id as the final tiebreak)."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_by])
+    tagged = df.select(
+        "*",
+        op.alias("__op"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("n_ops"),
+    )
+    return (
+        tagged.where((F.col("__rn") == 1) & (F.col("__op") != delete_op))
+        .withColumn("last_op", F.col("__op"))
+        .drop("__op", "__rn")
+    )

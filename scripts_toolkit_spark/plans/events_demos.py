@@ -90,3 +90,90 @@ SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
        COUNT(CASE WHEN t_view < t_click AND t_click < t_purchase THEN 1 END) AS n_full_funnel
 FROM f
 """
+
+
+def scd2_event_type_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 interval build (operators/spans.scd2_intervals): collapse
+    each user's ordered event stream into one row per run of an unchanged
+    event_type — the snapshot→validity-interval shape every warehouse
+    dimension load runs. One shuffle on user_id + one sort, then a
+    map-side-combinable aggregate; (ts, event_id) is a total order so the
+    result is deterministic."""
+    from scripts_toolkit_spark.operators.spans import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scd2_intervals(ev, "user_id", F.col("event_type"), ["ts", "event_id"], "ts")
+    return out.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        F.col("attr").alias("event_type"),
+        "valid_from",
+        "valid_to",
+        "n_rows",
+    )
+
+
+SCD2_EVENT_TYPE_INTERVALS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    CASE WHEN event_type IS DISTINCT FROM
+              lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, ts,
+    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS version
+  FROM ordered
+)
+SELECT user_id, CAST(version AS INT) AS version, event_type,
+  MIN(ts) AS valid_from, MAX(ts) AS valid_to, COUNT(*) AS n_rows
+FROM runs
+GROUP BY user_id, version, event_type
+"""
+
+
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators/spans.apply_changelog): events map to
+    insert/update/delete ops (signup→I, error→D, else U); latest-wins per
+    user, deleted users vanish — the MERGE INTO / upsert compaction every
+    lakehouse ingestion runs, as one window pass + filter."""
+    from scripts_toolkit_spark.operators.spans import apply_changelog
+
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("I"))
+        .when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    st = apply_changelog(ev, "user_id", op, ["ts", "event_id"])
+    return st.select(
+        "user_id",
+        "last_op",
+        F.col("event_type").alias("last_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        "n_ops",
+    )
+
+
+CDC_LATEST_STATE_SQL = """
+WITH oplog AS (
+  SELECT *,
+    CASE WHEN event_type = 'signup' THEN 'I'
+         WHEN event_type = 'error' THEN 'D'
+         ELSE 'U' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT user_id, op, event_type, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM oplog
+)
+SELECT user_id, op AS last_op, event_type AS last_type, ts AS last_ts,
+  value AS last_value, n_ops
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+"""

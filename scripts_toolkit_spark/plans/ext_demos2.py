@@ -652,3 +652,59 @@ FROM (
 )
 WHERE rnk <= 20
 """
+
+
+def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (ext/similarity.semantic_dedup):
+    coarse-cluster the dup-augmented embedding corpus into √N cells
+    (deterministic md5-prefix centroids), then drop every vector with a
+    cosine-≥-0.9 lower-id clustermate. Candidate volume ~N^1.5 via the
+    cell equi-join — never all-pairs. The oracle replays the centroid
+    pick, nearest-cell assignment and in-cell verify in SQL."""
+    corpus = _embeddings_with_dups(spark, sf_dir)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    return SIM.semantic_dedup(corpus, n_cells=None, tau=_EMB_TAU, vec_col="v")
+
+
+SEMANTIC_DEDUP_DROPS_SQL = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  FROM corpus
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM corpus
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT n FROM nc)
+),
+centv AS (
+  SELECT cell_id, v AS centroid FROM cents JOIN corpus USING (vec_id)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.centroid[i]),
+      (x, y) -> x + y) AS aff
+  FROM corpus e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id
+  FROM aff
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) = 1
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.cell_id AS cell_id, a.vec_id AS keeper_id
+  FROM assigned a
+  JOIN assigned b USING (cell_id)
+  JOIN corpus va ON va.vec_id = a.vec_id
+  JOIN corpus vb ON vb.vec_id = b.vec_id
+  WHERE a.vec_id < b.vec_id
+    AND list_reduce(list_transform(range(1, 65), i -> va.v[i] * vb.v[i]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(range(1, 65), i -> va.v[i] * va.v[i]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, 65), i -> vb.v[i] * vb.v[i]), (x, y) -> x + y)))
+        >= {_EMB_TAU}
+)
+SELECT vec_id, cell_id, MIN(keeper_id) AS keeper_id
+FROM pairs
+GROUP BY vec_id, cell_id
+"""

@@ -1,0 +1,201 @@
+"""Sparse retrieval + record-linkage + weighted-sampling demonstrations
+(SURVEY.md §2.12 [extension]): BM25 ranking, inverted-index posting lists,
+blocked edit-distance entity matching, and weighted sampling without
+replacement — four operations a training-data/eval pipeline runs beside
+dedup, none expressible in the reference's exact-equality toolkit.
+
+Determinism contract (README Design rules #6): ln is rounded to 6 dp the
+moment it is computed; cross-term reductions go through DECIMAL; ranking
+keys are either exact ints/decimals or ordered with an id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scripts_toolkit_spark.ext import retrieval as R
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.operators.linkage import blocked_levenshtein_join
+
+# Mid-frequency corpus terms (the synthetic vocabulary is closed, so these
+# exist at every SF).
+BM25_TERMS = ["spark", "vector", "hash"]
+
+
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a 3-term query (ext/retrieval.bm25_scores):
+    one filtered explode → tf, query-term-sized df/idf, per-row saturation,
+    DECIMAL cross-term sum; ranked with a doc_id tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = R.bm25_scores(d, BM25_TERMS)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+BM25_TOP_DOCS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+dl AS (
+  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl FROM documents
+),
+consts AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token IN ('spark', 'vector', 'hash')
+  GROUP BY doc_id, token
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+idf AS (
+  SELECT token,
+    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                   / (CAST(df AS DOUBLE) + 0.5)), 6) AS idf,
+    avgdl
+  FROM dfreq, consts
+),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(round(idf * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)), 6)
+         AS DECIMAL(18,6)) AS contrib
+  FROM tf JOIN idf USING (token) JOIN dl USING (doc_id)
+),
+summed AS (
+  SELECT doc_id, CAST(CAST(SUM(contrib) AS DECIMAL(28,6)) AS DOUBLE) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM summed
+)
+WHERE rank <= 20
+"""
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction (ext/retrieval.inverted_index): per token
+    df, total tf, and the first 20 doc ids comma-joined — the one-scan
+    explode → two-level hash aggregate that builds a search index shard at
+    any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return R.inverted_index(d)
+
+
+INVERTED_INDEX_POSTINGS_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM tok GROUP BY token, doc_id
+)
+SELECT token,
+  COUNT(*) AS doc_freq,
+  CAST(SUM(tf) AS BIGINT) AS total_tf,
+  array_to_string(
+    list_transform((list(doc_id ORDER BY doc_id))[1:20], x -> CAST(x AS VARCHAR)),
+    ',') AS postings_prefix
+FROM per_doc
+GROUP BY token
+"""
+
+
+def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage over part names (operators/linkage): block on the
+    name's second token, prune by length band, verify with native
+    levenshtein ≤ 2 — typo-tolerant matching with zero cartesian product.
+    Matches surface pairs like 'cold widget' ↔ 'old widget' (distance 1)
+    with per-name row counts as linkage weights."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("noun", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a"), F.col("noun").alias("noun_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b"), F.col("noun").alias("noun_b")
+    )
+    return (
+        blocked_levenshtein_join(
+            a, b, "name_a", "name_b", [(F.col("noun_a"), F.col("noun_b"))], max_dist=2
+        )
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", F.col("lev_dist").cast("int").alias("lev_dist"), "cnt_a", "cnt_b")
+    )
+
+
+FUZZY_NAME_MATCHES_SQL = """
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS noun, COUNT(*) AS cnt
+  FROM part GROUP BY p_name
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS lev_dist,
+  a.cnt AS cnt_a, b.cnt AS cnt_b
+FROM names a JOIN names b ON a.noun = b.noun
+WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 2
+  AND a.p_name < b.p_name
+"""
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, top-50 by n_chars weight —
+    the A-ES scheme (Efraimidis-Spirakis, public): each row draws an
+    md5-uniform u ∈ (0,1] and ranks by ln(u)/weight (the monotone image of
+    u^(1/w)); the global top-k under that key IS a weighted sample without
+    replacement. Deterministic under reruns/repartitioning; the ranking
+    key never leaves the plan (only ids and exact ints are output), so
+    last-ulp ln wobble has no hashable surface and order flips would need
+    two keys within ~1e-16 — not observable at these row counts.
+
+    Scale shape: one narrow projection + a global top-k; at 100 TB the
+    global window becomes a per-partition partial top-k + tiny final merge
+    (the token_frequencies note); candidate volume is k per partition."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 32))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    w = Window.orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 50)
+        .select("doc_id", "source", "n_chars", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    ln((CAST(('0x' || substr(md5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+       / 4294967296.0) / CAST(n_chars AS DOUBLE) AS k
+  FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rank AS INT) AS rank
+FROM (
+  SELECT doc_id, source, n_chars,
+    row_number() OVER (ORDER BY k DESC, doc_id ASC) AS rank
+  FROM keyed
+)
+WHERE rank <= 50
+"""

@@ -8,7 +8,9 @@ registered queries in registration order. Every query that is NEW or
 MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it). Round 5 therefore leads with
-TIER 1 = the round-5 new/changed queries (16 by round close), then
+TIER 1 = the round-5 new/changed queries (24 by round close: 8 wave-2
+newcomers — retrieval, linkage, SCD2/CDC, data-quality, semantic dedup —
+ahead of the 16 wave-1 rows), then
 TIER 2 = the round-4 window rows (their only driver evidence is
 CORRECTNESS_r04), then the long-green tier. `tests/test_registry_order.py`
 enforces the rule mechanically against a committed source-hash manifest;
@@ -26,6 +28,32 @@ from scripts_toolkit_spark.plans import analytics
 # ============================================================================
 from scripts_toolkit_spark.plans import corpus_demos as cd
 from scripts_toolkit_spark.plans import ext_demos as xd
+
+# NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
+# inverted-index posting lists; blocked edit-distance record linkage
+# (operators/linkage.py); A-ES weighted sampling without replacement
+from scripts_toolkit_spark.plans import retrieval_demos as rv
+
+register("bm25_top_docs", rv.bm25_top_docs, rv.BM25_TOP_DOCS_SQL)
+register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDEX_POSTINGS_SQL)
+register("fuzzy_name_matches", rv.fuzzy_name_matches, rv.FUZZY_NAME_MATCHES_SQL)
+register("weighted_sample_docs", rv.weighted_sample_docs, rv.WEIGHTED_SAMPLE_DOCS_SQL)
+# NEW (r5 wave 2): temporal/CDC shapes (operators/spans.py) — SCD2 interval
+# build + changelog latest-wins apply (the MERGE INTO plan)
+from scripts_toolkit_spark.plans import events_demos as ed
+
+register(
+    "scd2_event_type_intervals", ed.scd2_event_type_intervals, ed.SCD2_EVENT_TYPE_INTERVALS_SQL
+)
+register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
+# NEW (r5 wave 2): Deequ-style one-scan constraint suite (operators/checks.py)
+from scripts_toolkit_spark.plans import dq_demos as dq
+
+register("data_quality_report", dq.data_quality_report, dq.DATA_QUALITY_REPORT_SQL)
+# NEW (r5 wave 2): SemDeDup-style semantic dedup over √N IVF cells
+from scripts_toolkit_spark.plans import ext_demos2 as _x2sem
+
+register("semantic_dedup_drops", _x2sem.semantic_dedup_drops, _x2sem.SEMANTIC_DEDUP_DROPS_SQL)
 
 # NEW: BPE subword tokenization (ext/bpe.py) — merge-table training +
 # subword-chunked twin of document_chunks

@@ -150,6 +150,7 @@ _BNLJ_ALLOWLIST = {
     "value_band_join": "broadcast band table, tiny by construction",
     "ann_topk_cosine": "exact baseline, absolute SF-independent query cap",
     "ann_topk_int8": "int8 exact-search demo, absolute query cap",
+    "bm25_top_docs": "scalar (n_docs, avgdl) corpus-constants attach (one row)",
 }
 
 

@@ -1,0 +1,170 @@
+"""Unit tests for the r5 wave-2 operators: sparse retrieval (BM25,
+inverted index), blocked fuzzy linkage, SCD2/CDC temporal ops, the
+data-quality report, and semantic dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.ext import retrieval as R
+from scripts_toolkit_spark.ext import similarity as SIM
+from scripts_toolkit_spark.operators.checks import completeness, quality_report, uniqueness
+from scripts_toolkit_spark.operators.linkage import blocked_levenshtein_join
+from scripts_toolkit_spark.operators.spans import apply_changelog, scd2_intervals
+
+
+# ----------------------------------------------------------------- retrieval
+def test_bm25_ranks_denser_match_higher(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark filler filler"),
+            (2, "spark filler filler filler filler"),
+            (3, "filler filler filler filler filler"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, ["spark"]).collect()}
+    assert 3 not in rows  # no query term, no score row
+    assert rows[1] > rows[2] > 0.0
+
+
+def test_bm25_idf_favors_rarer_term(spark):
+    docs = spark.createDataFrame(
+        [(1, "rare common"), (2, "common x"), (3, "common y"), (4, "z common")],
+        "doc_id bigint, text string",
+    )
+    scores = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, ["rare", "common"]).collect()}
+    # doc 1 holds the rare term (plus common) → strictly highest
+    assert scores[1] > max(v for k, v in scores.items() if k != 1)
+
+
+def test_bm25_length_normalization(spark):
+    # same tf, longer doc → lower score (b > 0)
+    docs = spark.createDataFrame(
+        [(1, "spark a"), (2, "spark " + " ".join(["pad"] * 30))],
+        "doc_id bigint, text string",
+    )
+    scores = {r["doc_id"]: r["score"] for r in R.bm25_scores(docs, ["spark"]).collect()}
+    assert scores[1] > scores[2]
+
+
+def test_inverted_index_postings_exact(spark):
+    docs = spark.createDataFrame(
+        [(10, "a b a"), (2, "a c"), (7, "b b")], "doc_id bigint, text string"
+    )
+    out = {r["token"]: r for r in R.inverted_index(docs, postings_cap=2).collect()}
+    assert out["a"]["doc_freq"] == 2 and out["a"]["total_tf"] == 3
+    assert out["a"]["postings_prefix"] == "2,10"  # sorted ascending
+    assert out["b"]["doc_freq"] == 2 and out["b"]["total_tf"] == 3
+    assert out["c"]["postings_prefix"] == "2"
+
+
+# ------------------------------------------------------------------- linkage
+def test_blocked_levenshtein_join_finds_typo_and_stays_equi(spark):
+    left = spark.createDataFrame(
+        [("acme corp", "corp"), ("zeta ltd", "ltd")], "name_a string, blk_a string"
+    )
+    right = spark.createDataFrame(
+        [("acme! corp", "corp"), ("beta ltd", "ltd"), ("acme corpXXXX", "corp")],
+        "name_b string, blk_b string",
+    )
+    out = blocked_levenshtein_join(
+        left, right, "name_a", "name_b", [(F.col("blk_a"), F.col("blk_b"))], max_dist=2
+    )
+    got = {(r["name_a"], r["name_b"], r["lev_dist"]) for r in out.collect()}
+    # typo caught at distance 1; length-band pruned the 4-char-longer name;
+    # cross-block 'beta ltd' vs 'zeta ltd' IS within the same block (ltd)
+    # at distance 1 — included by design
+    assert ("acme corp", "acme! corp", 1) in got
+    assert all(n != "acme corpXXXX" for _, n, _d in got)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------------ temporal
+def test_scd2_intervals_runs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "A"), (1, 2, "A"), (1, 3, "B"), (1, 4, "A"),
+            (2, 1, "X"),
+        ],
+        "k bigint, t bigint, v string",
+    )
+    out = {
+        (r["k"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+        for r in scd2_intervals(df, "k", F.col("v"), ["t"], "t").collect()
+    }
+    assert out[(1, 1)] == ("A", 1, 2, 2)
+    assert out[(1, 2)] == ("B", 3, 3, 1)
+    assert out[(1, 3)] == ("A", 4, 4, 1)  # value returning opens a NEW run
+    assert out[(2, 1)] == ("X", 1, 1, 1)
+
+
+def test_apply_changelog_latest_wins_and_delete(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "I", 10.0), (1, 2, "U", 20.0),          # survives with v=20
+            (2, 1, "I", 1.0), (2, 2, "D", 0.0),            # deleted
+            (3, 1, "D", 0.0), (3, 2, "I", 5.0),            # re-inserted after delete
+        ],
+        "k bigint, t bigint, o string, v double",
+    )
+    out = {r["k"]: (r["last_op"], r["v"], r["n_ops"]) for r in
+           apply_changelog(df, "k", F.col("o"), ["t"]).collect()}
+    assert out[1] == ("U", 20.0, 2)
+    assert 2 not in out
+    assert out[3] == ("I", 5.0, 2)
+
+
+# ------------------------------------------------------------- quality report
+def test_quality_report_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (2, "y"), (4, "z")], "id bigint, s string"
+    )
+    rep = {
+        r["check_name"]: (r["metric"], r["passed"])
+        for r in quality_report(
+            df,
+            "t",
+            [
+                ("rows", F.count(F.lit(1)), lambda m: m == 4.0),
+                ("id_unique", uniqueness("id"), lambda m: m == 1.0),
+                ("s_complete", completeness("s"), lambda m: m == 1.0),
+            ],
+        ).collect()
+    }
+    assert rep["rows"] == (4.0, True)
+    assert rep["id_unique"] == (0.75, False)  # 3 distinct / 4 rows
+    assert rep["s_complete"] == (0.75, False)
+
+
+def test_quality_report_is_single_scan(spark):
+    df = spark.range(10).withColumn("s", F.col("id").cast("string"))
+    rep = quality_report(df, "t", [("rows", F.count(F.lit(1)), lambda m: m > 0),
+                                   ("u", uniqueness("s"), lambda m: m == 1.0)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # one aggregate chain, no join of per-check subplans
+    assert "Join" not in plan
+
+
+# ------------------------------------------------------------- semantic dedup
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    import random
+
+    rng = random.Random(7)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    # plant exact duplicates of vectors 0..4 with higher ids
+    dups = [(100 + i, list(base[i][1])) for i in range(5)]
+    vecs = spark.createDataFrame(base + dups, "vec_id bigint, embedding array<double>")
+    dropped = SIM.semantic_dedup(vecs, n_cells=4, tau=0.999)
+    got = {r["vec_id"]: r["keeper_id"] for r in dropped.collect()}
+    # every planted dup must be dropped in favor of its lower-id original
+    # (an exact copy always lands in the same nearest cell)
+    for i in range(5):
+        assert got.get(100 + i) == i
+    # originals never appear as drops of their own copies (keeper < dropped)
+    assert all(k < d for d, k in got.items())
+    plan = dropped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,243 @@
+"""Sixth analytics wave: scalable order statistics and one-pass
+sufficient-statistics analytics — global top-k WITHOUT a whole-input
+single-partition window (operators/topk), per-group OLS trend fitting,
+MAD-based robust outlier detection, and a pairwise correlation matrix —
+the statistical-profiling layer a 100 TB warehouse runs beside the type
+profiler.
+
+Determinism contract: every cross-row reduction is an exact DECIMAL (or
+integer) sum of decimal-cast inputs (the money columns are 2-dp by
+construction — the repo-wide `_dec` discipline); closed forms are then
+evaluated per-row in IEEE double from identical inputs and rounded to
+6 dp. The only interpolating aggregate (exact percentile) is rounded to
+6 dp before reuse, per the repo float rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.operators.topk import global_topk
+
+# 2024-01-01 00:00:00 UTC in microseconds — fixed literal origin so the
+# regression abscissa stays small enough for exact decimal squares.
+_X_ORIGIN_US = 1704067200000000
+
+
+def top_events_by_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 events by value (operators/topk.global_topk): partial
+    top-k inside each input partition (narrow, no shuffle), final ranking
+    over the ≤ k·P survivors — the whole-input single-partition sort a
+    naive Window.orderBy would plan never happens."""
+    ev = load_table(spark, sf_dir, "events")
+    out = global_topk(
+        ev.select("event_id", "event_type", "value"),
+        [F.desc("value"), F.asc("event_id")],
+        k=100,
+    )
+    return out.select("event_id", "event_type", "value", F.col("rank").cast("int").alias("rank"))
+
+
+TOP_EVENTS_BY_VALUE_SQL = """
+SELECT event_id, event_type, value, CAST(rank AS INT) AS rank
+FROM (
+  SELECT event_id, event_type, value,
+    row_number() OVER (ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+WHERE rank <= 100
+"""
+
+
+def _trend_sums(x_us: Column, y: Column) -> list[Column]:
+    """Exact sufficient statistics for OLS: n, Σx, Σy, Σxy, Σx² — integer
+    microsecond abscissa and 2-dp decimal ordinate, all sums exact."""
+    xd = x_us.cast("decimal(19,0)")
+    yd = y.cast("decimal(12,2)")
+    return [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    ]
+
+
+def value_trend_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (value vs time): slope/intercept from exact
+    decimal sufficient statistics in ONE map-side-combinable aggregate
+    pass — regression at warehouse scale is a groupBy, not a solver.
+    Slope is reported per hour; intercept is the fit at the 2024-01-01
+    origin."""
+    ev = load_table(spark, sf_dir, "events")
+    # ts loads as TIMESTAMP_NTZ; the session is UTC-pinned, so the cast
+    # reinterprets the same wall clock as the same instant (CLAUDE.md)
+    x_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.lit(_X_ORIGIN_US)
+    sums = ev.groupBy("event_type").agg(*_trend_sums(x_us, F.col("value")))
+    n = F.col("n").cast("double")
+    slope_us = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope_us * F.col("sx")) / n
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope_us * F.lit(3600000000.0), 6).alias("slope_per_hour"),
+        F.round(intercept, 6).alias("intercept"),
+    )
+
+
+VALUE_TREND_BY_EVENT_TYPE_SQL = """
+WITH sums AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(19,0))
+             * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+    CAST(SUM(CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(19,0))
+             * CAST(epoch_us(ts) - 1704067200000000 AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n,
+  round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+         / (CAST(n AS DOUBLE) * sxx - sx * sx)) * 3600000000.0, 6) AS slope_per_hour,
+  round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE), 6)
+    AS intercept
+FROM sums
+"""
+
+
+def mad_outliers_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation), then count values beyond 3·MAD — the z-score's
+    heavy-tail-safe cousin. Exact percentiles (sort-based); each median is
+    rounded to 6 dp before reuse so every downstream comparison sees the
+    same bits in both engines. Three grouped passes over a 5-group frame;
+    the joins are group-key equi-joins AQE broadcasts (no hints: lineage
+    is SF-linear, CLAUDE.md rule)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn("adev", F.abs(F.col("value") - F.col("med")))
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    flagged = (
+        dev.drop("med")
+        .join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum((F.col("adev") > F.lit(3.0) * F.col("mad")).cast("bigint")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return flagged
+
+
+MAD_OUTLIERS_BY_EVENT_TYPE_SQL = """
+WITH med AS (
+  SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad, any_value(med) AS med
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  any_value(m.med) AS med,
+  any_value(m.mad) AS mad,
+  CAST(SUM(CASE WHEN d.adev > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+  COUNT(*) AS n
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of (quantity, extendedprice, discount)
+    in ONE aggregate pass: all nine sufficient sums ride the same
+    map-side-combinable hash aggregate (one fact scan for the whole
+    matrix), the closed form is per-row double math on the one-row result,
+    unpivoted via a literal struct-array explode."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount"}
+    dec = {k: F.col(v).cast("decimal(12,2)") for k, v in cols.items()}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k, c in dec.items():
+        aggs.append(F.sum(c).cast("double").alias(f"s_{k}"))
+        aggs.append(F.sum(c * c).cast("double").alias(f"s_{k}{k}"))
+    for a, b in (("q", "p"), ("q", "d"), ("p", "d")):
+        aggs.append(F.sum(dec[a] * dec[b]).cast("double").alias(f"s_{a}{b}"))
+    row = li.agg(*aggs)
+
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str) -> Column:
+        num = n * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = n * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        db = n * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        return F.round(num / (F.sqrt(da) * F.sqrt(db)), 6)
+
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(cols[a]).alias("col_x"),
+                F.lit(cols[b]).alias("col_y"),
+                corr(a, b).alias("corr"),
+            )
+            for a, b in (("q", "p"), ("q", "d"), ("p", "d"))
+        ]
+    )
+    return row.select("n", F.explode(pairs).alias("c")).select(
+        "c.col_x", "c.col_y", "c.corr", "n"
+    )
+
+
+CORR_MATRIX_LINEITEM_SQL = """
+WITH sums AS (
+  SELECT COUNT(*) AS n,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_q,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s_qq,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_p,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_pp,
+    CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s_d,
+    CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s_dd,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s_qp,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s_qd,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s_pd
+  FROM lineitem
+)
+SELECT col_x, col_y, corr, n FROM (
+  SELECT n,
+    'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+    round((CAST(n AS DOUBLE) * s_qp - s_q * s_p)
+          / (sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)
+           * sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)), 6) AS corr
+  FROM sums
+  UNION ALL
+  SELECT n, 'l_quantity', 'l_discount',
+    round((CAST(n AS DOUBLE) * s_qd - s_q * s_d)
+          / (sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)
+           * sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)), 6)
+  FROM sums
+  UNION ALL
+  SELECT n, 'l_extendedprice', 'l_discount',
+    round((CAST(n AS DOUBLE) * s_pd - s_p * s_d)
+          / (sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)
+           * sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)), 6)
+  FROM sums
+)
+"""

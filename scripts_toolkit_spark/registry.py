@@ -29,6 +29,19 @@ from scripts_toolkit_spark.plans import analytics
 from scripts_toolkit_spark.plans import corpus_demos as cd
 from scripts_toolkit_spark.plans import ext_demos as xd
 
+# NEW (r5 wave 3): scalable statistics (plans/analytics6.py) — partial
+# top-k (operators/topk.py), one-pass OLS trend / correlation matrix from
+# exact decimal sufficient statistics, MAD robust outliers
+from scripts_toolkit_spark.plans import analytics6 as a6
+
+register("top_events_by_value", a6.top_events_by_value, a6.TOP_EVENTS_BY_VALUE_SQL)
+register(
+    "value_trend_by_event_type", a6.value_trend_by_event_type, a6.VALUE_TREND_BY_EVENT_TYPE_SQL
+)
+register(
+    "mad_outliers_by_event_type", a6.mad_outliers_by_event_type, a6.MAD_OUTLIERS_BY_EVENT_TYPE_SQL
+)
+register("corr_matrix_lineitem", a6.corr_matrix_lineitem, a6.CORR_MATRIX_LINEITEM_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -241,3 +241,140 @@ SELECT col_x, col_y, corr, n FROM (
   FROM sums
 )
 """
+
+
+def resampled_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: per event type, a DENSE daily
+    grid (sequence-explode between that type's first and last day — no
+    cross join, the grid derives from the same grouped aggregate), daily
+    counts/sums zero-filled via a left equi-join, and a trailing 7-day
+    moving average over the gap-filled series. The window partitions by
+    event_type — never a global sort; decimal day-sums keep the moving
+    average order-independent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    grid = (
+        ev.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0).cast("decimal(12,2)")).alias("sv0"),
+    )
+    from pyspark.sql.window import Window
+
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    return filled.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.col("sv0").cast("double").alias("day_value"),
+        F.round(
+            F.sum("sv0").over(w7).cast("double") / F.count(F.lit(1)).over(w7).cast("double"), 6
+        ).alias("ma7_value"),
+    )
+
+
+RESAMPLED_EVENT_TIMELINE_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+),
+grid AS (
+  SELECT event_type, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM ev GROUP BY event_type)
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS n, SUM(v) AS sv FROM ev GROUP BY event_type, day
+),
+filled AS (
+  SELECT g.event_type, g.day,
+    COALESCE(d.n, 0) AS n_events,
+    COALESCE(d.sv, CAST(0 AS DECIMAL(12,2))) AS sv0
+  FROM grid g LEFT JOIN daily d ON g.event_type = d.event_type AND g.day = d.day
+)
+SELECT event_type, day, n_events,
+  CAST(sv0 AS DOUBLE) AS day_value,
+  round(CAST(SUM(sv0) OVER w7 AS DOUBLE)
+        / CAST(COUNT(*) OVER w7 AS DOUBLE), 6) AS ma7_value
+FROM filled
+WINDOW w7 AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the token frequency spectrum: rank the top-200
+    tokens by count, regress ln(count) on ln(rank) with the same exact
+    decimal sufficient-statistics OLS as `value_trend_by_event_type` —
+    a slope near −1 is the classic natural-corpus signature, and a
+    composition proof that the trend operator runs on DERIVED frames.
+    lns are rounded to 6 dp before the decimal sums (repo rule); the
+    ranking window runs on the vocabulary-sized aggregate (benign)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    stats = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = stats.withColumn("r", F.row_number().over(wr)).where(F.col("r") <= 200)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(12,6)").alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(12,6)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n = F.col("n_tokens").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return sums.select(
+        "n_tokens",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+ZIPF_FIT_TOKENS_SQL = """
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+),
+stats AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r FROM stats
+  QUALIFY r <= 200
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y
+  FROM ranked
+),
+sums AS (
+  SELECT COUNT(*) AS n_tokens,
+    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+    CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n_tokens,
+  round((CAST(n_tokens AS DOUBLE) * sxy - sx * sy)
+        / (CAST(n_tokens AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+  round((sy - ((CAST(n_tokens AS DOUBLE) * sxy - sx * sy)
+               / (CAST(n_tokens AS DOUBLE) * sxx - sx * sx)) * sx)
+        / CAST(n_tokens AS DOUBLE), 6) AS zipf_intercept
+FROM sums
+"""

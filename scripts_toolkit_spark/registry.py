@@ -42,6 +42,12 @@ register(
     "mad_outliers_by_event_type", a6.mad_outliers_by_event_type, a6.MAD_OUTLIERS_BY_EVENT_TYPE_SQL
 )
 register("corr_matrix_lineitem", a6.corr_matrix_lineitem, a6.CORR_MATRIX_LINEITEM_SQL)
+# NEW (r5 wave 4): gap-filled time-series resampling + Zipf spectrum fit;
+# streaming CDC upsert store lives in streaming/upsert_stream.py (pytest)
+register(
+    "resampled_event_timeline", a6.resampled_event_timeline, a6.RESAMPLED_EVENT_TIMELINE_SQL
+)
+register("zipf_fit_tokens", a6.zipf_fit_tokens, a6.ZIPF_FIT_TOKENS_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -708,3 +708,85 @@ SELECT vec_id, cell_id, MIN(keeper_id) AS keeper_id
 FROM pairs
 GROUP BY vec_id, cell_id
 """
+
+
+def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: each (dup-augmented) embedding renders as an
+    8×8 grayscale image (the image_decode_stats codec path — PGM encode →
+    pure-stdlib decode), the DECODED pixels produce a 64-bit dHash
+    (bit i = gray[i] > gray[(i+1) mod 64], scale-invariant by
+    construction), and near-duplicate images pair via the SAME multi-block
+    combination machinery as text SimHash (`ext/dedup.simhash64_candidates`,
+    recall 1.0 for Hamming ≤ 6 by pigeonhole) + exact Hamming verify.
+
+    The planted perturbed copies (+0.3 on one element) shift the
+    quantization scale, which moves EVERY pixel — but dHash compares
+    neighboring pixels under the same scale, so the fingerprint moves ≤ 3
+    bits (measured) while unrelated images stay ~32 bits apart. The
+    oracle replays quantization + dHash straight from the embeddings and
+    pairs by brute-force XOR popcount; the Spark plan's candidate
+    generation is the equi-keyed combination join — never all-pairs."""
+    corpus = _embeddings_with_dups(spark, sf_dir)
+    qt = SIM.quantize_embeddings(corpus, vec_col="v")
+    pix = (
+        qt.select("vec_id", F.transform("q", lambda x: x + F.lit(127)).alias("pix"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def _hash(pdf_iter):
+        import pandas as pd
+
+        from scripts_toolkit_spark.ext import imagecodec as IC
+
+        for pdf in pdf_iter:
+            out = {"vec_id": [], "fp_hi": [], "fp_lo": []}
+            for vid, pixlist in zip(pdf["vec_id"], pdf["pix"]):
+                blob = IC.encode_pgm(8, 8, bytes(int(p) for p in pixlist))
+                _w, _h, rgb = IC.decode_image(blob)
+                gray = rgb[0::3]
+                bits = [1 if gray[i] > gray[(i + 1) % 64] else 0 for i in range(64)]
+                out["vec_id"].append(vid)
+                out["fp_lo"].append(sum(b << i for i, b in enumerate(bits[:32])))
+                out["fp_hi"].append(sum(b << i for i, b in enumerate(bits[32:])))
+            yield pd.DataFrame(out)
+
+    fp = pix.mapInPandas(_hash, "vec_id bigint, fp_hi bigint, fp_lo bigint").localCheckpoint()
+    cand = DD.simhash64_candidates(fp, id_col="vec_id", max_hamming=6)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+IMAGE_DHASH_NEAR_DUPS_SQL = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+s AS (
+  SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+  FROM corpus
+),
+p AS (
+  SELECT vec_id,
+    list_transform(v, x -> CAST(round(x / scale) AS BIGINT) + 127) AS pix
+  FROM s
+),
+fp AS (
+  SELECT vec_id,
+    list_reduce(list_transform(range(0, 32),
+      i -> CASE WHEN pix[i + 1] > pix[((i + 1) % 64) + 1]
+                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END),
+      (x, y) -> x + y) AS fp_lo,
+    list_reduce(list_transform(range(32, 64),
+      i -> CASE WHEN pix[i + 1] > pix[((i + 1) % 64) + 1]
+                THEN CAST(1 AS BIGINT) << (i - 32) ELSE CAST(0 AS BIGINT) END),
+      (x, y) -> x + y) AS fp_hi
+  FROM p
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
+"""

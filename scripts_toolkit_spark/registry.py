@@ -48,6 +48,13 @@ register(
     "resampled_event_timeline", a6.resampled_event_timeline, a6.RESAMPLED_EVENT_TIMELINE_SQL
 )
 register("zipf_fit_tokens", a6.zipf_fit_tokens, a6.ZIPF_FIT_TOKENS_SQL)
+# NEW (r5 wave 4): perceptual image dedup — decoded-pixel dHash paired via
+# the simhash64 multi-block combination machinery
+from scripts_toolkit_spark.plans import ext_demos2 as _x2img
+
+register(
+    "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
+)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -168,3 +168,27 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert all(k < d for d, k in got.items())
     plan = dropped._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_image_dhash_pairs_cover_planted_dups_no_cartesian(spark, sf_dir):
+    from scripts_toolkit_spark.plans.ext_demos2 import image_dhash_near_dups
+
+    out = image_dhash_near_dups(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    # every planted (base, base+1e6) perceptual dup must be recovered:
+    # measured dHash drift <= 3 bits, pairing verifies Hamming <= 6 with
+    # recall 1.0 by the multi-block pigeonhole
+    from scripts_toolkit_spark.io.catalog import load_table
+    from pyspark.sql import functions as F
+
+    base_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    expected_planted = {(i, i + 1000000) for i in base_ids}
+    assert expected_planted <= pairs

@@ -125,9 +125,14 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """J7 (as-of): for each left row, the most recent right row with
-    right.ts <= left.ts for the same key.
+    right.ts <= left.ts for the same key (`direction="backward"`, the
+    default), or the EARLIEST right row with right.ts >= left.ts
+    (`direction="forward"` — next-event attribution). Forward is the same
+    sort-based union-scan run in reverse time order; ties still match and
+    `tolerance` bounds the look-AHEAD instead of the staleness.
 
     Implementation is the SORT-BASED union-scan, not a join: tag both
     inputs, union, and fill the right-side values forward over a window
@@ -145,6 +150,9 @@ def asof_join(
     Same plan — the filled payload carries the matched timestamp, and one
     more comparison gates it; no extra shuffle or join.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
     lcols = left.columns
     rvals = list(right_cols) or [c for c in right.columns if c not in (key, right_ts)]
@@ -167,7 +175,7 @@ def asof_join(
 
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__side"))
+        .orderBy(F.desc("__t") if fwd else F.col("__t"), F.col("__side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # fill ONE struct payload (non-null exactly on right rows): a right row
@@ -183,7 +191,12 @@ def asof_join(
     )
     matched = F.last(payload, ignorenulls=True).over(w)
     if tol is not None:
-        matched = F.when(matched.getField("__rt") >= F.col("__t") - tol, matched)
+        gate = (
+            matched.getField("__rt") <= F.col("__t") + tol
+            if fwd
+            else matched.getField("__rt") >= F.col("__t") - tol
+        )
+        matched = F.when(gate, matched)
     filled = unioned.select("*", matched.alias("__m"))
     return filled.where(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],

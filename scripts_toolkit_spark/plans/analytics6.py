@@ -378,3 +378,36 @@ SELECT n_tokens,
         / CAST(n_tokens AS DOUBLE), 6) AS zipf_intercept
 FROM sums
 """
+
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (§2.10 breadth beyond
+    rank/lag/lead): ntile deciles, percent_rank and cume_dist of order
+    value WITHIN each priority class. All three are exact integer-count
+    formulas over a totally ordered partition ((price, key) tiebreak), so
+    the doubles match bit-for-bit across engines; windows partition by
+    priority — never a global sort."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+ORDER_VALUE_DECILES_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+  CAST(ntile(10) OVER w AS INT) AS decile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""

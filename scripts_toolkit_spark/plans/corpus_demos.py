@@ -1263,3 +1263,91 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM docs LEFT JOIN pred USING (doc_id)
 GROUP BY lang
 """
+
+
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, top-40 — PMI = ln(N_bi · c_xy / (c_x · c_y)) over bigram and
+    unigram counts from ONE tokenized pass (bigrams via a zip of the token
+    array with its tail — no self-join). All counts are exact integers;
+    the single ln is rounded to 6 dp (repo rule) and ranking tiebreaks on
+    the pair text. Filters c_xy ≥ 5 so the spectrum is stable at every
+    SF."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("w"))
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda x, y: F.concat_ws(" ", x, y),
+            )
+        ).alias("bg")
+    )
+    uni = (
+        toks.select(F.explode("w").alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    nbi = bi.agg(F.sum("c2").alias("n_bi"))
+    scored = (
+        bi.withColumn("x", F.split("bg", " ").getItem(0))
+        .withColumn("y", F.split("bg", " ").getItem(1))
+        .join(uni.withColumnsRenamed({"t": "x", "c1": "cx"}), "x")
+        .join(uni.withColumnsRenamed({"t": "y", "c1": "cy"}), "y")
+        .crossJoin(nbi)
+        .where(F.col("c2") >= 5)
+        .select(
+            "bg",
+            "c2",
+            F.round(
+                F.log(
+                    F.col("n_bi").cast("double")
+                    * F.col("c2").cast("double")
+                    / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 40)
+        .select("bg", "c2", "pmi", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+BIGRAM_PMI_COLLOCATIONS_SQL = """
+WITH toks AS (
+  SELECT string_split(lower(text), ' ') AS w FROM documents
+),
+bigrams AS (
+  SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM toks
+),
+uni AS (
+  SELECT t, COUNT(*) AS c1 FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t
+),
+bi AS (
+  SELECT bg, COUNT(*) AS c2 FROM bigrams GROUP BY bg
+),
+nbi AS (SELECT CAST(SUM(c2) AS BIGINT) AS n_bi FROM bi),
+scored AS (
+  SELECT bg, c2,
+    round(ln(CAST(n_bi AS DOUBLE) * CAST(c2 AS DOUBLE)
+             / (CAST(cx.c1 AS DOUBLE) * CAST(cy.c1 AS DOUBLE))), 6) AS pmi
+  FROM bi
+  JOIN uni cx ON cx.t = split_part(bg, ' ', 1)
+  JOIN uni cy ON cy.t = split_part(bg, ' ', 2)
+  CROSS JOIN nbi
+  WHERE c2 >= 5
+)
+SELECT bg, c2, pmi, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY pmi DESC, bg ASC) AS rank FROM scored
+)
+WHERE rank <= 40
+"""

@@ -202,3 +202,39 @@ SELECT word, word_code, COUNT(*) AS n_parts, CAST(SUM(p_size) AS BIGINT) AS tota
 FROM part JOIN dim ON string_split(p_name, ' ')[1] = word
 GROUP BY word, word_code
 """
+
+
+def purchase_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 as-of, FORWARD direction: each purchase matched to the user's
+    NEXT click at or after the purchase — next-event attribution. Same
+    sort-based union-scan as the backward form, run in reverse time order
+    (operators/joins.asof_join(direction="forward")); no candidate-pair
+    explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value", "event_id")
+    out = J.asof_join(
+        purchases,
+        clicks.withColumnsRenamed({"value": "click_value", "event_id": "click_event_id"}),
+        key="user_id",
+        right_cols=("click_value", "click_event_id"),
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_value_asof").alias("next_click_value"),
+        F.col("click_event_id_asof").alias("next_click_event_id"),
+    )
+
+
+PURCHASE_ASOF_NEXT_CLICK_SQL = """
+SELECT p.event_id, p.user_id,
+       c.value AS next_click_value,
+       c.event_id AS next_click_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+"""

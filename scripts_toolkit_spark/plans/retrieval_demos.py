@@ -199,3 +199,91 @@ FROM (
 )
 WHERE rank <= 50
 """
+
+
+def entity_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution capstone: fuzzy pairs (the blocked levenshtein
+    join) → connected components (operators/graph — min-label propagation
+    with pointer halving, O(log diameter) rounds) → one GOLDEN RECORD per
+    entity cluster (highest row count, name tiebreak). The full
+    dedupe-and-survive pipeline a master-data system runs, with every
+    pairing equi-keyed; the oracle replays clustering as a recursive
+    transitive closure."""
+    from pyspark.sql.window import Window
+
+    from scripts_toolkit_spark.operators.graph import connected_components
+
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("noun", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b")
+    )
+    pairs = (
+        blocked_levenshtein_join(
+            a, b, "name_a", "name_b", [(F.col("noun_a"), F.col("noun_b"))], max_dist=2
+        )
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+    )
+    comp = connected_components(pairs, "name_a", "name_b")
+    mem = comp.join(names.withColumnRenamed("p_name", "node"), "node").select(
+        "node", "component", "cnt"
+    )
+    wg = Window.partitionBy("component").orderBy(F.desc("cnt"), F.asc("node"))
+    golden = (
+        mem.withColumn("rn", F.row_number().over(wg))
+        .where(F.col("rn") == 1)
+        .select("component", F.col("node").alias("golden_name"))
+    )
+    stats = mem.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"), F.sum("cnt").alias("total_rows")
+    )
+    return (
+        stats.join(golden, "component")
+        .select(F.col("component").alias("cluster_id"), "size", "golden_name", "total_rows")
+    )
+
+
+ENTITY_GOLDEN_RECORDS_SQL = """
+WITH RECURSIVE names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS noun, COUNT(*) AS cnt
+  FROM part GROUP BY p_name
+),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b ON a.noun = b.noun
+  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2
+    AND a.p_name < b.p_name
+),
+und AS (
+  SELECT name_a AS u, name_b AS v FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u
+),
+comp AS (SELECT src AS node, MIN(dst) AS component FROM reach GROUP BY src),
+mem AS (
+  SELECT c.node, c.component, n.cnt FROM comp c JOIN names n ON c.node = n.p_name
+),
+golden AS (
+  SELECT component, node AS golden_name FROM mem
+  QUALIFY row_number() OVER (PARTITION BY component ORDER BY cnt DESC, node ASC) = 1
+)
+SELECT m.component AS cluster_id, COUNT(*) AS size,
+  any_value(g.golden_name) AS golden_name,
+  CAST(SUM(m.cnt) AS BIGINT) AS total_rows
+FROM mem m JOIN golden g ON m.component = g.component
+GROUP BY m.component
+"""

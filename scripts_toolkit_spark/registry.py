@@ -55,6 +55,21 @@ from scripts_toolkit_spark.plans import ext_demos2 as _x2img
 register(
     "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
 )
+# NEW (r5 wave 4): entity-resolution capstone (fuzzy pairs → components →
+# golden record) + distribution window functions (ntile/percent_rank/cume)
+from scripts_toolkit_spark.plans import retrieval_demos as rv
+
+register("entity_golden_records", rv.entity_golden_records, rv.ENTITY_GOLDEN_RECORDS_SQL)
+register("order_value_deciles", a6.order_value_deciles, a6.ORDER_VALUE_DECILES_SQL)
+# NEW (r5 wave 4): forward as-of (next-event attribution) + PMI collocations
+from scripts_toolkit_spark.plans import join_demos as _jd5
+
+register(
+    "purchase_asof_next_click", _jd5.purchase_asof_next_click, _jd5.PURCHASE_ASOF_NEXT_CLICK_SQL
+)
+register(
+    "bigram_pmi_collocations", cd.bigram_pmi_collocations, cd.BIGRAM_PMI_COLLOCATIONS_SQL
+)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -151,6 +151,7 @@ _BNLJ_ALLOWLIST = {
     "ann_topk_cosine": "exact baseline, absolute SF-independent query cap",
     "ann_topk_int8": "int8 exact-search demo, absolute query cap",
     "bm25_top_docs": "scalar (n_docs, avgdl) corpus-constants attach (one row)",
+    "bigram_pmi_collocations": "scalar bigram-total attach (one row)",
 }
 
 

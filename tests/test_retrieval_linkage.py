@@ -192,3 +192,31 @@ def test_image_dhash_pairs_cover_planted_dups_no_cartesian(spark, sf_dir):
     }
     expected_planted = {(i, i + 1000000) for i in base_ids}
     assert expected_planted <= pairs
+
+
+def test_asof_forward_direction(spark):
+    from scripts_toolkit_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], "k bigint, ts bigint")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 1, "z")], "k bigint, ts bigint, v string"
+    )
+    out = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in asof_join(left, right, key="k", right_cols=("v",), direction="forward").collect()
+    }
+    # ties match (ts=10 → 'a'); next-at-or-after otherwise; none after → NULL
+    assert out == {(1, 10): "a", (1, 25): "c", (2, 5): None}
+    # bounded look-ahead: tolerance discards a match too far in the future
+    out2 = {
+        (r["k"], r["ts"]): r["v_asof"]
+        for r in asof_join(
+            left.withColumn("ts", F.timestamp_micros(F.col("ts") * 1000000)),
+            right.withColumn("ts", F.timestamp_micros(F.col("ts") * 1000000)),
+            key="k",
+            right_cols=("v",),
+            direction="forward",
+            tolerance="3 SECONDS",
+        ).collect()
+    }
+    assert [v for (_k, _t), v in sorted(out2.items())] == ["a", None, None]

@@ -58,6 +58,12 @@ EXTRA_DEFAULT = (
     "ann_topk_ivf",
     "document_chunks_bpe",
     "winnow_overlap_pairs",
+    # Round-5 wave 2-4: retrieval, semantic dedup, perceptual image dedup,
+    # entity resolution
+    "bm25_top_docs",
+    "semantic_dedup_drops",
+    "image_dhash_near_dups",
+    "entity_golden_records",
 )
 
 

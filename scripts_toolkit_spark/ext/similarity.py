@@ -117,56 +117,75 @@ def ivf_assign(
     boundary still meets its neighbors.
 
     Centroids are KB-scale control plane; up to `_IVF_LITERAL_MAX_DOUBLES`
-    they ride along as a LITERAL array and the whole assignment is one
-    projection — score every cell, array_sort with an (aff desc, cell_id
-    asc) comparator, slice n_probe, posexplode. The previous crossJoin +
-    row_number window moved |vectors|·n_cells rows through a shuffle and
-    sort for the same result. Beyond the cap (√N-scaled cell counts at
-    corpus scale) it falls back to the broadcast cross join + window.
-    Ordering parity: comparator ties on aff (−0.0 == 0.0, no NaN for
-    finite inputs) break on the lower cell_id, exactly the window's
-    orderBy(aff desc, cell_id asc)."""
+    they ship in the task closure and assignment is ONE shuffle-free
+    Arrow `mapInPandas` pass — the full |batch|×cells affinity matrix is
+    vectorized numpy with the SAME sequential i-ascending accumulation as
+    `_dot` (bit-identical; see the kernel comment). Two earlier shapes,
+    both slower: a crossJoin + row_number window (|vectors|·n_cells rows
+    through a shuffle and sort) and a literal-array Catalyst projection
+    (interpreted higher-order fold, ~cells·dim lambda steps per row).
+    Beyond the cap (√N-scaled cell counts at corpus scale) it falls back
+    to the broadcast cross join + window. Ordering parity: ties on aff
+    (−0.0 == 0.0, no NaN for finite inputs) break on the lower cell_id,
+    exactly the window's orderBy(aff desc, cell_id asc)."""
     rows = sorted(
         (int(r["cell_id"]), list(r["centroid"]))
         for r in centroids.select("cell_id", "centroid").collect()
     )
     dim = len(rows[0][1]) if rows else 0
     if rows and len(rows) * dim <= _IVF_LITERAL_MAX_DOUBLES:
-        cl = F.array(
-            *[
-                F.struct(
-                    F.lit(cid).alias("cell_id"),
-                    F.array(*[F.lit(float(v)) for v in cent]).alias("centroid"),
-                )
-                for cid, cent in rows
+        # Arrow-vectorized kernel (decoder-class batch Python, §2.11): the
+        # former expression form scored every cell with an INTERPRETED
+        # higher-order fold (~cells·dim lambda steps per row — measured
+        # ~3.5 s for 44 cells × 2 k vectors at sf0.1); numpy runs the same
+        # arithmetic vectorized in ~ms. BIT-IDENTICAL by construction:
+        # per-element products are the same float64 IEEE multiplies, the
+        # accumulation loops i-ascending exactly like `_dot`'s sequential
+        # fold (acc = p0 ≡ 0.0 + p0; acc = acc + p_i), and the stable
+        # argsort over (−aff) reproduces the (aff desc, cell_id asc)
+        # comparator — columns are cell_id-ascending, so stability breaks
+        # ties low, and −0.0 == 0.0 under IEEE compare just as in the
+        # comparator.
+        import numpy as np
+
+        from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+        cents_np = np.asarray([c for _cid, c in rows], dtype=np.float64)
+        cell_ids_np = np.asarray([cid for cid, _ in rows], dtype=np.int32)
+        k_eff = min(n_probe, len(rows))
+        id_field = vectors.schema[id_col]
+        vec_field = vectors.schema[vec_col]
+        out_schema = StructType(
+            [
+                StructField(id_col, id_field.dataType, id_field.nullable),
+                StructField(vec_col, vec_field.dataType, vec_field.nullable),
+                StructField("cell_id", IntegerType(), False),
+                StructField("is_home", BooleanType(), False),
             ]
         )
-        scored = F.transform(
-            cl,
-            lambda c: F.struct(
-                _dot(F.col(vec_col), c["centroid"]).alias("aff"),
-                c["cell_id"].alias("cell_id"),
-            ),
-        )
 
-        def _cmp(left: Column, right: Column) -> Column:
-            return (
-                F.when(left["aff"] > right["aff"], F.lit(-1))
-                .when(left["aff"] < right["aff"], F.lit(1))
-                .when(left["cell_id"] < right["cell_id"], F.lit(-1))
-                .when(left["cell_id"] > right["cell_id"], F.lit(1))
-                .otherwise(F.lit(0))
-            )
+        def _assign(pdf_iter):
+            import pandas as pd
 
-        top = F.slice(F.array_sort(scored, _cmp), 1, n_probe)
-        return vectors.select(
-            F.col(id_col), F.col(vec_col), F.posexplode(top).alias("pos", "pc")
-        ).select(
-            id_col,
-            vec_col,
-            F.col("pc.cell_id").alias("cell_id"),
-            (F.col("pos") == 0).alias("is_home"),
-        )
+            for pdf in pdf_iter:
+                n = len(pdf)
+                if n == 0:
+                    continue
+                X = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                acc = X[:, 0][:, None] * cents_np[None, :, 0]
+                for i in range(1, cents_np.shape[1]):
+                    acc = acc + X[:, i][:, None] * cents_np[None, :, i]
+                order = np.argsort(-acc, axis=1, kind="stable")[:, :k_eff]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy().repeat(k_eff),
+                        vec_col: pdf[vec_col].to_numpy().repeat(k_eff),
+                        "cell_id": cell_ids_np[order].reshape(-1),
+                        "is_home": np.tile(np.arange(k_eff) == 0, n),
+                    }
+                )
+
+        return vectors.select(id_col, vec_col).mapInPandas(_assign, out_schema)
     c = F.broadcast(centroids.select("cell_id", F.col("centroid")))
     scored_df = vectors.crossJoin(c).select(
         id_col,
@@ -626,44 +645,57 @@ def ivfpq_topk(
     # a tiny corpus yields fewer centroids than requested: the stride of
     # the LUT below is the ACTUAL contiguous per-subspace code count
     n_codes = len(cb_rows) // m
-    # FLAT s-major literal (entry j = s·n_codes + code occupies doubles
-    # j·sub_dim .. j·sub_dim+sub_dim−1) + pure index arithmetic in the
-    # fold: no per-element slice/zip allocations (a struct-literal +
-    # sliced-subvector variant allocated 4 subvector copies per codebook
-    # entry per row — measured 3-5× slower). The fold adds the same
-    # (x−y)² terms in the same i-ascending order as _l2sq → bit-identical.
-    cb_flat = F.array(
-        *[F.lit(float(v)) for _s, _code, csub in cb_rows for v in csub]
+    # LUT entry j = s·n_codes + code (s-major), the same layout the ADC
+    # lookups below index. Computed in an Arrow-vectorized pass (same
+    # §2.11 class as the assignment kernel): the former literal-array
+    # Catalyst fold ran m·n_codes·sub_dim INTERPRETED lambda steps per
+    # home row (~4096 × rows — the dominant ivfpq cost at sf0.1); numpy
+    # evaluates the identical arithmetic — (x−y)·(x−y) per element
+    # (Spark's (x−y)**2 and DuckDB's explicit multiply agree on these
+    # values, as the green oracle rows prove), accumulated i-ascending
+    # exactly like `_l2sq`'s sequential fold — in milliseconds,
+    # chunked so the (rows × m·n_codes × sub_dim) tensor stays ~30 MB.
+    # The LUT still fuses INTO the assignment materialization, computed
+    # only on home rows, so ONE checkpoint serves the corpus codes, the
+    # query LUT, and the cell assignment.
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cb_np = np.asarray([csub for _s, _code, csub in cb_rows], dtype=np.float64)
+    assigned0 = ivf_assign(normed, cents, n_probe, id_col, vec_col)
+    lut_schema = StructType(
+        list(assigned0.schema.fields) + [StructField("lut", ArrayType(DoubleType()), True)]
     )
-    lut_expr = F.transform(
-        F.sequence(F.lit(0), F.lit(m * n_codes - 1)),
-        lambda j: F.aggregate(
-            F.sequence(F.lit(0), F.lit(sub_dim - 1)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + (
-                F.get(
-                    vec_col,
-                    (j / F.lit(n_codes)).cast("int") * F.lit(sub_dim) + i,
-                ).cast("double")
-                - F.get(cb_flat, j * F.lit(sub_dim) + i).cast("double")
-            )
-            ** F.lit(2),
-        ),
-    )
-    # The LUT fuses INTO the assignment checkpoint, computed only on the
-    # home row (one per vector — a when() guard keeps the 256-entry fold
-    # from running once per probe row), so ONE materialization serves the
-    # corpus codes, the query LUT, and the cell assignment, and the
-    # candidate join carries the m-code array directly — no separate
-    # per-vector frame, no extra candidates×codes shuffle. `codes` derive
-    # from the MATERIALIZED lut column (deriving them in the same
-    # projection would re-inline the 256-fold once per reference).
-    assigned = (
-        ivf_assign(normed, cents, n_probe, id_col, vec_col)
-        .withColumn("lut", F.when(F.col("is_home"), lut_expr))
-        .localCheckpoint()
-    )
+    _m, _nc, _sd = m, n_codes, sub_dim
+
+    def _lut(pdf_iter):
+        import pandas as pd
+
+        CB = cb_np.reshape(_m, _nc, _sd)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            luts = [None] * len(pdf)
+            idx = np.nonzero(pdf["is_home"].to_numpy())[0]
+            for lo in range(0, len(idx), 1024):
+                chunk = idx[lo : lo + 1024]
+                V = np.asarray(
+                    [np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in chunk]
+                ).reshape(len(chunk), _m, _sd)
+                diff = V[:, :, None, :] - CB[None, :, :, :]
+                sq = diff * diff
+                acc = sq[..., 0]
+                for i in range(1, _sd):
+                    acc = acc + sq[..., i]
+                flat = acc.reshape(len(chunk), _m * _nc)
+                for row_i, j_loc in enumerate(chunk):
+                    luts[j_loc] = flat[row_i]
+            out = pdf.copy()
+            out["lut"] = luts
+            yield out
+
+    assigned = assigned0.mapInPandas(_lut, lut_schema).localCheckpoint()
     codes_expr = F.array(
         *[
             F.array_min(

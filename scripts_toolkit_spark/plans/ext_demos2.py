@@ -790,3 +790,91 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM fp a JOIN fp b ON a.vec_id < b.vec_id
 WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
 """
+
+
+def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup (the WAV sibling of image_dhash_near_dups):
+    each dup-augmented embedding becomes a 64-sample PCM16 WAV
+    (audio_decode_stats codec path — struct-assembled RIFF, stdlib `wave`
+    decode), the DECODED samples produce a 64-bit energy-contour
+    fingerprint (sliding 4-sample energies, bit i = E[i] > E[(i+1) mod 64]
+    — exact integer comparisons, drift ≤ 3 bits under the planted
+    perturbation), and near-duplicates pair via the multi-block
+    combination equi-join + exact Hamming verify. Oracle replays
+    quantization → energies → bits from the embeddings, brute-force
+    XOR-popcount pairing."""
+    corpus = _embeddings_with_dups(spark, sf_dir)
+    qt = SIM.quantize_embeddings(corpus, vec_col="v").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _hash(pdf_iter):
+        import pandas as pd
+
+        from scripts_toolkit_spark.ext import audiocodec as AC
+
+        for pdf in pdf_iter:
+            out = {"vec_id": [], "fp_hi": [], "fp_lo": []}
+            for vid, q in zip(pdf["vec_id"], pdf["q"]):
+                blob = AC.encode_wav([int(s) for s in q], sample_rate=8000)
+                _ch, _rate, samples = AC.decode_wav(blob)
+                e = [
+                    sum(samples[(i + j) % 64] ** 2 for j in range(4))
+                    for i in range(64)
+                ]
+                bits = [1 if e[i] > e[(i + 1) % 64] else 0 for i in range(64)]
+                out["vec_id"].append(vid)
+                out["fp_lo"].append(sum(b << i for i, b in enumerate(bits[:32])))
+                out["fp_hi"].append(sum(b << i for i, b in enumerate(bits[32:])))
+            yield pd.DataFrame(out)
+
+    fp = qt.select("vec_id", "q").mapInPandas(
+        _hash, "vec_id bigint, fp_hi bigint, fp_lo bigint"
+    ).localCheckpoint()
+    cand = DD.simhash64_candidates(fp, id_col="vec_id", max_hamming=6)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
+        F.col("la").bitwiseXOR(F.col("lb"))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+AUDIO_FINGERPRINT_NEAR_DUPS_SQL = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+s AS (
+  SELECT vec_id, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale, v
+  FROM corpus
+),
+q AS (
+  SELECT vec_id, list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS q
+  FROM s
+),
+en AS (
+  SELECT vec_id,
+    list_transform(range(0, 64),
+      i -> q[(i % 64) + 1] * q[(i % 64) + 1]
+         + q[((i + 1) % 64) + 1] * q[((i + 1) % 64) + 1]
+         + q[((i + 2) % 64) + 1] * q[((i + 2) % 64) + 1]
+         + q[((i + 3) % 64) + 1] * q[((i + 3) % 64) + 1]) AS e
+  FROM q
+),
+fp AS (
+  SELECT vec_id,
+    list_reduce(list_transform(range(0, 32),
+      i -> CASE WHEN e[i + 1] > e[((i + 1) % 64) + 1]
+                THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END),
+      (x, y) -> x + y) AS fp_lo,
+    list_reduce(list_transform(range(32, 64),
+      i -> CASE WHEN e[i + 1] > e[((i + 1) % 64) + 1]
+                THEN CAST(1 AS BIGINT) << (i - 32) ELSE CAST(0 AS BIGINT) END),
+      (x, y) -> x + y) AS fp_hi
+  FROM en
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  CAST(bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
+"""

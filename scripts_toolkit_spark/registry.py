@@ -55,6 +55,11 @@ from scripts_toolkit_spark.plans import ext_demos2 as _x2img
 register(
     "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
 )
+register(
+    "audio_fingerprint_near_dups",
+    _x2img.audio_fingerprint_near_dups,
+    _x2img.AUDIO_FINGERPRINT_NEAR_DUPS_SQL,
+)
 # NEW (r5 wave 4): entity-resolution capstone (fuzzy pairs → components →
 # golden record) + distribution window functions (ntile/percent_rank/cume)
 from scripts_toolkit_spark.plans import retrieval_demos as rv

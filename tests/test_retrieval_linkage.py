@@ -220,3 +220,21 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert [v for (_k, _t), v in sorted(out2.items())] == ["a", None, None]
+
+
+def test_audio_fingerprint_pairs_cover_planted_dups(spark, sf_dir):
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.plans.ext_demos2 import audio_fingerprint_near_dups
+
+    out = audio_fingerprint_near_dups(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    base_ids = {
+        r["vec_id"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") % 5 == 0)
+        .select("vec_id")
+        .collect()
+    }
+    assert {(i, i + 1000000) for i in base_ids} <= pairs

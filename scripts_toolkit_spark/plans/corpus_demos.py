@@ -1351,3 +1351,64 @@ FROM (
 )
 WHERE rank <= 40
 """
+
+
+def trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shift detection between two corpus slices (the check a
+    training pipeline runs when a new crawl lands): token frequencies in
+    slice A (even doc_id) vs slice B (odd), add-one-smoothed log-ratio
+    score, top-20 A-trending tokens. One tokenized pass, per-slice counts
+    via conditional sums in the SAME aggregate; ln rounded 6 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.col("doc_id") % 2 == 0).alias("in_a"),
+        F.explode(F.split(F.lower("text"), " ")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cb"),
+    )
+    scored = counts.where(F.col("ca") + F.col("cb") >= 20).select(
+        "token",
+        "ca",
+        "cb",
+        F.round(
+            F.log(
+                (F.col("ca").cast("double") + F.lit(1.0))
+                / (F.col("cb").cast("double") + F.lit(1.0))
+            ),
+            6,
+        ).alias("shift_score"),
+    )
+    w = Window.orderBy(F.desc("shift_score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("token", F.col("ca").cast("bigint").alias("ca"),
+                F.col("cb").cast("bigint").alias("cb"), "shift_score",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
+TRENDING_TOKENS_SQL = """
+WITH tok AS (
+  SELECT doc_id % 2 = 0 AS in_a, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token,
+    SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS cb
+  FROM tok GROUP BY token
+),
+scored AS (
+  SELECT token, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+    round(ln((CAST(ca AS DOUBLE) + 1.0) / (CAST(cb AS DOUBLE) + 1.0)), 6) AS shift_score
+  FROM counts WHERE ca + cb >= 20
+)
+SELECT token, ca, cb, shift_score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY shift_score DESC, token ASC) AS rank FROM scored
+)
+WHERE rank <= 20
+"""

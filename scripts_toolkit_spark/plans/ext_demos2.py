@@ -878,3 +878,107 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM fp a JOIN fp b ON a.vec_id < b.vec_id
 WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 6
 """
+
+
+def hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched SET OPERATIONS on user populations: deterministic-HLL
+    register vectors for click-users and purchase-users built in ONE scan
+    (per-side conditional MAX over the same md5 registers), union by
+    register-wise MAX (the merge that makes HLL mergeable across
+    partitions/streams), intersection by inclusion-exclusion — all
+    reported beside the exact counts. The raw estimate is the
+    deterministic contract (same formula as `hll_distinct_users`)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.md5(F.col("user_id").cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % _HLL_M
+    w = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    rho = F.when(w > 0, F.lit(49) - F.length(F.bin(w))).otherwise(F.lit(49))
+    regs = (
+        ev.select("event_type", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("reg")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", F.col("rho"))).alias("ra"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("rho"))).alias("rb"),
+        )
+    )
+    m = float(_HLL_M)
+
+    def est(s_col: F.Column, n_col: F.Column) -> F.Column:
+        return F.lit(_HLL_ALPHA * m * m) / (s_col + (F.lit(m) - n_col))
+
+    sk = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("ra"))).alias("sa"),
+        F.count("ra").alias("na"),
+        F.sum(F.pow(F.lit(2.0), -F.col("rb"))).alias("sb"),
+        F.count("rb").alias("nb"),
+        F.sum(F.pow(F.lit(2.0), -F.greatest("ra", "rb"))).alias("su"),
+        F.count(F.greatest("ra", "rb")).alias("nu"),
+    )
+    exact = ev.agg(
+        F.count_distinct(F.when(F.col("event_type") == "click", F.col("user_id"))).alias(
+            "exact_click"
+        ),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("exact_purchase"),
+        F.count_distinct("user_id").alias("exact_union"),
+    )
+    eu = est(F.col("su"), F.col("nu").cast("double"))
+    ea = est(F.col("sa"), F.col("na").cast("double"))
+    eb = est(F.col("sb"), F.col("nb").cast("double"))
+    return exact.crossJoin(sk).select(
+        "exact_click",
+        "exact_purchase",
+        "exact_union",
+        (F.col("exact_click") + F.col("exact_purchase") - F.col("exact_union")).alias(
+            "exact_intersection"
+        ),
+        F.round(ea, 6).alias("est_click"),
+        F.round(eb, 6).alias("est_purchase"),
+        F.round(eu, 6).alias("est_union"),
+        F.round(ea + eb - eu, 6).alias("est_intersection"),
+    )
+
+
+HLL_SET_OPS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, user_id,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS INT) % {_HLL_M} AS reg,
+    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12)) AS BIGINT) AS w
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+r AS (
+  SELECT event_type, reg,
+    CASE WHEN w > 0 THEN 49 - length(bin(w)) ELSE 49 END AS rho
+  FROM ev
+),
+regs AS (
+  SELECT reg,
+    MAX(CASE WHEN event_type = 'click' THEN rho END) AS ra,
+    MAX(CASE WHEN event_type = 'purchase' THEN rho END) AS rb
+  FROM r GROUP BY reg
+),
+sk AS (
+  SELECT SUM(power(2.0, -ra)) AS sa, COUNT(ra) AS na,
+         SUM(power(2.0, -rb)) AS sb, COUNT(rb) AS nb,
+         SUM(power(2.0, -greatest(ra, rb))) AS su, COUNT(greatest(ra, rb)) AS nu
+  FROM regs
+),
+exact AS (
+  SELECT COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_click,
+         COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_purchase,
+         COUNT(DISTINCT user_id) AS exact_union
+  FROM ev
+)
+SELECT exact_click, exact_purchase, exact_union,
+  exact_click + exact_purchase - exact_union AS exact_intersection,
+  round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (sa + ({_HLL_M} - CAST(na AS DOUBLE))), 6) AS est_click,
+  round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (sb + ({_HLL_M} - CAST(nb AS DOUBLE))), 6) AS est_purchase,
+  round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (su + ({_HLL_M} - CAST(nu AS DOUBLE))), 6) AS est_union,
+  round({_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (sa + ({_HLL_M} - CAST(na AS DOUBLE)))
+      + {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (sb + ({_HLL_M} - CAST(nb AS DOUBLE)))
+      - {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / (su + ({_HLL_M} - CAST(nu AS DOUBLE))), 6) AS est_intersection
+FROM exact, sk
+"""

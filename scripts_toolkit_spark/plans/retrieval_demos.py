@@ -287,3 +287,54 @@ SELECT m.component AS cluster_id, COUNT(*) AS size,
 FROM mem m JOIN golden g ON m.component = g.component
 GROUP BY m.component
 """
+
+
+def name_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the fuzzy-name similarity graph — the
+    oriented edge-join pattern (each edge stored once as a < b; triangles
+    found by joining (a,b)⋈(b,c) then closing with (a,c)), the shape that
+    makes triangle counting a pair of equi-joins instead of a cubic scan.
+    Uses distance ≤ 3 so the 8×8 adjective grid actually closes
+    triangles; a structural-graph demo, not a linkage threshold."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("noun", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), F.col("noun").alias("noun_a"))
+    b = names.select(F.col("p_name").alias("name_b"), F.col("noun").alias("noun_b"))
+    edges = (
+        blocked_levenshtein_join(
+            a, b, "name_a", "name_b", [(F.col("noun_a"), F.col("noun_b"))], max_dist=3
+        )
+        .where(F.col("name_a") < F.col("name_b"))
+        .select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select("a", "b", "c")
+    )
+
+
+NAME_GRAPH_TRIANGLES_SQL = """
+WITH names AS (
+  SELECT p_name, split_part(p_name, ' ', 2) AS noun FROM part GROUP BY p_name
+),
+edges AS (
+  SELECT a.p_name AS u, b.p_name AS v
+  FROM names a JOIN names b ON a.noun = b.noun
+  WHERE abs(len(a.p_name) - len(b.p_name)) <= 3
+    AND levenshtein(a.p_name, b.p_name) <= 3
+    AND a.p_name < b.p_name
+)
+SELECT e1.u AS a, e1.v AS b, e2.v AS c
+FROM edges e1
+JOIN edges e2 ON e1.v = e2.u
+JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+"""

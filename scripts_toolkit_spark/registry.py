@@ -75,6 +75,11 @@ register(
 register(
     "bigram_pmi_collocations", cd.bigram_pmi_collocations, cd.BIGRAM_PMI_COLLOCATIONS_SQL
 )
+# NEW (r5 wave 5): HLL set operations, corpus drift detection, triangle
+# enumeration on the similarity graph
+register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
+register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
+register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLES_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -177,3 +177,89 @@ SELECT user_id, op AS last_op, event_type AS last_type, ts AS last_ts,
 FROM ranked
 WHERE rn = 1 AND op <> 'D'
 """
+
+
+def event_pattern_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (the SQL:2016 row-pattern feature Spark
+    lacks): encode each user's ordered event stream as a symbol string
+    (one char per event), then count row patterns with ordinary regexes —
+    'c+p' (one-or-more clicks immediately followed by a purchase) and
+    'ep' (purchase right after an error). One shuffle on user_id, the
+    per-user sequence built by sorting collected (ts, event_id) structs
+    (deterministic total order); regex scanning is per-row native. Keeps
+    users with ≥ 1 click-run conversion so the result is non-degenerate
+    at every SF."""
+    ev = load_table(spark, sf_dir, "events")
+    sym = F.substring("event_type", 1, 1)  # s/c/e/v/p — initials are unique
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", sym.alias("sym")).alias("r"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("r")), lambda s: s["sym"]), ""
+            ).alias("seq")
+        )
+    )
+    out = seq.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.regexp_count("seq", F.lit("c+p")).alias("click_runs_to_purchase"),
+        F.regexp_count("seq", F.lit("ep")).alias("purchase_after_error"),
+    )
+    return out.where(F.col("click_runs_to_purchase") >= 1)
+
+
+EVENT_PATTERN_MATCHES_SQL = """
+WITH seq AS (
+  SELECT user_id,
+    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+  CAST(len(seq) AS INT) AS seq_len,
+  CAST(len(regexp_extract_all(seq, 'c+p')) AS INT) AS click_runs_to_purchase,
+  CAST(len(regexp_extract_all(seq, 'ep')) AS INT) AS purchase_after_error
+FROM seq
+WHERE len(regexp_extract_all(seq, 'c+p')) >= 1
+"""
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    consecutive (current → next) pairs via lag over the per-user order
+    window, transition counts, and P(next | current) as an exact-count
+    division rounded 6 dp — the behavioral-model summary a product
+    pipeline feeds into simulation or anomaly scoring. One shuffle + one
+    sort, then a 25-row aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("cur"), F.col("event_type").alias("nxt")
+    ).where(F.col("cur").isNotNull())
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return counts.join(totals, "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_cur").cast("double"), 6).alias("p"),
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cur,
+         event_type AS nxt
+  FROM events
+),
+counts AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM pairs WHERE cur IS NOT NULL GROUP BY cur, nxt
+),
+totals AS (
+  SELECT cur, CAST(SUM(n) AS BIGINT) AS n_cur FROM counts GROUP BY cur
+)
+SELECT c.cur, c.nxt, c.n, round(CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE), 6) AS p
+FROM counts c JOIN totals t ON c.cur = t.cur
+"""

@@ -80,6 +80,11 @@ register(
 register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
 register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLES_SQL)
+# NEW (r5 wave 5): MATCH_RECOGNIZE-lite row patterns + Markov transitions
+from scripts_toolkit_spark.plans import events_demos as ed
+
+register("event_pattern_matches", ed.event_pattern_matches, ed.EVENT_PATTERN_MATCHES_SQL)
+register("markov_transitions", ed.markov_transitions, ed.MARKOV_TRANSITIONS_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

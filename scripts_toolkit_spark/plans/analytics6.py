@@ -411,3 +411,57 @@ SELECT o_orderkey, o_orderpriority, o_totalprice,
 FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 """
+
+
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-group statistics (the robust-preprocessing step
+    before training on heavy-tailed features): exact p05/p95 per
+    event_type (6-dp-rounded before reuse), values CLAMPED into the band,
+    then exact decimal means of raw vs winsorized values plus the clamp
+    counts. Two grouped passes (percentiles, then the clamped aggregate
+    through an AQE-broadcast group-key join)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    clamped = ev.join(bounds, "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        F.sum((F.col("value") < F.col("lo")).cast("bigint")).alias("n_clamped_low"),
+        F.sum((F.col("value") > F.col("hi")).cast("bigint")).alias("n_clamped_high"),
+        (F.sum(F.col("value").cast("decimal(12,2)")).cast("double") / F.count(F.lit(1)))
+        .alias("raw_mean"),
+        F.round(
+            F.sum(F.col("wv").cast("decimal(18,6)")).cast("decimal(28,6)").cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    )
+
+
+WINSORIZED_VALUE_STATS_SQL = """
+WITH bounds AS (
+  SELECT event_type,
+    round(quantile_cont(value, 0.05), 6) AS lo,
+    round(quantile_cont(value, 0.95), 6) AS hi
+  FROM events GROUP BY event_type
+),
+clamped AS (
+  SELECT e.event_type, e.value, b.lo, b.hi,
+    least(greatest(e.value, b.lo), b.hi) AS wv
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+  any_value(lo) AS lo, any_value(hi) AS hi,
+  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_low,
+  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_high,
+  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS raw_mean,
+  round(CAST(CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*), 6)
+    AS winsorized_mean
+FROM clamped
+GROUP BY event_type
+"""

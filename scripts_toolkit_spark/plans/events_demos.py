@@ -263,3 +263,82 @@ totals AS (
 SELECT c.cur, c.nxt, c.n, round(CAST(c.n AS DOUBLE) / CAST(t.n_cur AS DOUBLE), 6) AS p
 FROM counts c JOIN totals t ON c.cur = t.cur
 """
+
+
+def time_to_first_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event analytics: per signup, the NEXT purchase by the same
+    user (the forward as-of join), then conversion-latency summary —
+    conversion rate and exact latency percentiles (seconds, 6-dp-rounded
+    before output). The same union-scan as-of machinery that answers
+    backward attribution answers survival-style questions run forward."""
+    from scripts_toolkit_spark.operators import joins as J
+
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.where(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("p_event_id")
+    )
+    matched = J.asof_join(
+        signups,
+        purchases,
+        key="user_id",
+        right_cols=("p_event_id",),
+        direction="forward",
+    )
+    # the matched timestamp itself is not emitted by asof_join; recover the
+    # latency by joining the purchase row back on its id (skinny equi-join)
+    lat = (
+        matched.where(F.col("p_event_id_asof").isNotNull())
+        .join(
+            purchases.select(
+                F.col("p_event_id").alias("p_event_id_asof"), F.col("ts").alias("p_ts")
+            ),
+            "p_event_id_asof",
+        )
+        .select(
+            (
+                F.unix_micros(F.col("p_ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("lat_us")
+        )
+    )
+    n_signups = signups.count()
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.lit(n_signups).cast("long").alias("n_signups"),
+        F.round(F.count(F.lit(1)).cast("double") / F.lit(float(n_signups)), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.percentile(F.col("lat_us").cast("double") / F.lit(1000000.0), F.lit(0.5)), 6).alias(
+            "p50_seconds"
+        ),
+        F.round(F.percentile(F.col("lat_us").cast("double") / F.lit(1000000.0), F.lit(0.9)), 6).alias(
+            "p90_seconds"
+        ),
+    )
+
+
+TIME_TO_FIRST_PURCHASE_SQL = """
+WITH signups AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup'
+),
+purchases AS (
+  SELECT user_id, ts, event_id AS p_event_id FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT s.event_id, s.ts AS s_ts, p.ts AS p_ts
+  FROM signups s
+  ASOF LEFT JOIN purchases p ON s.user_id = p.user_id AND s.ts <= p.ts
+),
+lat AS (
+  SELECT (epoch_us(p_ts) - epoch_us(s_ts)) / 1000000.0 AS lat_s
+  FROM matched WHERE p_ts IS NOT NULL
+)
+SELECT COUNT(*) AS n_converted,
+  (SELECT COUNT(*) FROM signups) AS n_signups,
+  round(CAST(COUNT(*) AS DOUBLE) / CAST((SELECT COUNT(*) FROM signups) AS DOUBLE), 6)
+    AS conversion_rate,
+  round(quantile_cont(lat_s, 0.5), 6) AS p50_seconds,
+  round(quantile_cont(lat_s, 0.9), 6) AS p90_seconds
+FROM lat
+"""

@@ -85,6 +85,9 @@ from scripts_toolkit_spark.plans import events_demos as ed
 
 register("event_pattern_matches", ed.event_pattern_matches, ed.EVENT_PATTERN_MATCHES_SQL)
 register("markov_transitions", ed.markov_transitions, ed.MARKOV_TRANSITIONS_SQL)
+# NEW (r5 wave 5): forward-as-of time-to-event summary + winsorized stats
+register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
+register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

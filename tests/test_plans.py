@@ -152,6 +152,7 @@ _BNLJ_ALLOWLIST = {
     "ann_topk_int8": "int8 exact-search demo, absolute query cap",
     "bm25_top_docs": "scalar (n_docs, avgdl) corpus-constants attach (one row)",
     "bigram_pmi_collocations": "scalar bigram-total attach (one row)",
+    "hll_set_ops": "one-row exact-counts x one-row sketch attach",
 }
 
 

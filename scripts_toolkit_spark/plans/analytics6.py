@@ -465,3 +465,133 @@ SELECT event_type,
 FROM clamped
 GROUP BY event_type
 """
+
+
+def ab_test_value_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: Welch's t statistic per event type
+    between md5-deterministic A/B user buckets — means and variances from
+    the SAME exact decimal sufficient statistics pass as the trend/corr
+    operators (Σx, Σx², n per arm in one grouped aggregate), the t formula
+    evaluated per-row in IEEE double and rounded 6 dp. The A/B split is
+    the hash_sample discipline: stable under reruns and repartitioning."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    bucket_a = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    yd = F.col("value").cast("decimal(12,2)")
+    sums = ev.groupBy("event_type").agg(
+        F.sum(F.when(bucket_a, 1).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(bucket_a, yd)).cast("double").alias("sa"),
+        F.sum(F.when(bucket_a, yd * yd)).cast("double").alias("qa"),
+        F.sum(F.when(~bucket_a, 1).otherwise(0)).cast("double").alias("nb"),
+        F.sum(F.when(~bucket_a, yd)).cast("double").alias("sb"),
+        F.sum(F.when(~bucket_a, yd * yd)).cast("double").alias("qb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    va = (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na")) / (F.col("na") - F.lit(1.0))
+    vb = (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb")) / (F.col("nb") - F.lit(1.0))
+    t = (ma - mb) / F.sqrt(va / F.col("na") + vb / F.col("nb"))
+    return sums.select(
+        "event_type",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
+AB_TEST_VALUE_TTEST_SQL = """
+WITH tagged AS (
+  SELECT event_type, value,
+    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 AS in_a
+  FROM events
+),
+sums AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+    CAST(SUM(CASE WHEN in_a THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS sa,
+    CAST(SUM(CASE WHEN in_a THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS qa,
+    CAST(SUM(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+    CAST(SUM(CASE WHEN NOT in_a THEN CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS sb,
+    CAST(SUM(CASE WHEN NOT in_a THEN CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2)) END) AS DOUBLE) AS qb
+  FROM tagged GROUP BY event_type
+)
+SELECT event_type,
+  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  round(sa / na, 6) AS mean_a,
+  round(sb / nb, 6) AS mean_b,
+  round((sa / na - sb / nb)
+        / sqrt(((qa - sa * sa / na) / (na - 1.0)) / na
+             + ((qb - sb * sb / nb) / (nb - 1.0)) / nb), 6) AS t_stat
+FROM sums
+"""
+
+
+def chisq_event_type_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test (event_type × A/B user bucket) from
+    exact contingency counts: observed per cell, expected =
+    row_total·col_total/grand_total, χ² = Σ (o−e)²/e summed as 6-dp
+    DECIMAL cell terms (order-independent). One grouped aggregate + tiny
+    broadcast margins."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2
+    ).cast("int")
+    cells = ev.select("event_type", bucket.alias("bucket")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("bucket").agg(F.sum("o").alias("ct"))
+    grand = cells.agg(F.sum("o").alias("gt"))
+    term = (
+        cells.join(rows_, "event_type")
+        .join(cols_, "bucket")
+        .crossJoin(grand)
+        .select(
+            F.round(
+                (
+                    F.col("o").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("gt").cast("double")
+                )
+                * (
+                    F.col("o").cast("double")
+                    - F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("gt").cast("double")
+                )
+                / (F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("gt").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term"),
+        )
+    )
+    return term.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("term").cast("decimal(28,6)").cast("double").alias("chi_square"),
+    )
+
+
+CHISQ_EVENT_TYPE_BUCKET_SQL = """
+WITH cells AS (
+  SELECT event_type,
+    CAST(CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 AS INT) AS bucket,
+    COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY event_type),
+cols_ AS (SELECT bucket, SUM(o) AS ct FROM cells GROUP BY bucket),
+grand AS (SELECT SUM(o) AS gt FROM cells),
+term AS (
+  SELECT CAST(round(
+    (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+    * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE))
+    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS term
+  FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (bucket) CROSS JOIN grand
+)
+SELECT COUNT(*) AS n_cells,
+  CAST(CAST(SUM(term) AS DECIMAL(28,6)) AS DOUBLE) AS chi_square
+FROM term
+"""

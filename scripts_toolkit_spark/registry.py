@@ -88,6 +88,10 @@ register("markov_transitions", ed.markov_transitions, ed.MARKOV_TRANSITIONS_SQL)
 # NEW (r5 wave 5): forward-as-of time-to-event summary + winsorized stats
 register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
+# NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
+# exact sufficient statistics / contingency counts
+register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
+register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -153,6 +153,7 @@ _BNLJ_ALLOWLIST = {
     "bm25_top_docs": "scalar (n_docs, avgdl) corpus-constants attach (one row)",
     "bigram_pmi_collocations": "scalar bigram-total attach (one row)",
     "hll_set_ops": "one-row exact-counts x one-row sketch attach",
+    "chisq_event_type_bucket": "scalar grand-total attach (one row)",
 }
 
 

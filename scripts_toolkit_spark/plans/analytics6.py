@@ -595,3 +595,74 @@ SELECT COUNT(*) AS n_cells,
   CAST(CAST(SUM(term) AS DECIMAL(28,6)) AS DOUBLE) AS chi_square
 FROM term
 """
+
+
+def ab_test_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic per event type between the
+    md5-deterministic A/B arms — the DISTRIBUTION-shift companion to the
+    Welch t (mean shift): per distinct value, cumulative arm fractions
+    over the per-type order window (one shuffle + sort — the minimum for
+    an ordered CDF), KS = max |F_a − F_b|, rounded 6 dp at the end. All
+    fractions are exact-count IEEE divisions, so the max is deterministic."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    in_a = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 == 0
+    )
+    cells = (
+        ev.select("event_type", "value", in_a.alias("in_a"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("cb"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    diff = F.abs(
+        F.sum("ca").over(wcum).cast("double") / F.sum("ca").over(wall).cast("double")
+        - F.sum("cb").over(wcum).cast("double") / F.sum("cb").over(wall).cast("double")
+    )
+    return (
+        cells.select(
+            "event_type",
+            F.sum("ca").over(wall).alias("n_a"),
+            F.sum("cb").over(wall).alias("n_b"),
+            diff.alias("d"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.round(F.max("d"), 6).alias("ks_stat"),
+        )
+    )
+
+
+AB_TEST_KS_STAT_SQL = """
+WITH cells AS (
+  SELECT event_type, value,
+    SUM(CASE WHEN CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+             THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+             THEN 0 ELSE 1 END) AS cb
+  FROM events GROUP BY event_type, value
+),
+cum AS (
+  SELECT event_type,
+    CAST(SUM(ca) OVER (PARTITION BY event_type) AS BIGINT) AS n_a,
+    CAST(SUM(cb) OVER (PARTITION BY event_type) AS BIGINT) AS n_b,
+    abs(CAST(SUM(ca) OVER w AS DOUBLE) / CAST(SUM(ca) OVER (PARTITION BY event_type) AS DOUBLE)
+      - CAST(SUM(cb) OVER w AS DOUBLE) / CAST(SUM(cb) OVER (PARTITION BY event_type) AS DOUBLE)) AS d
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type ORDER BY value ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b, round(MAX(d), 6) AS ks_stat
+FROM cum GROUP BY event_type
+"""

@@ -92,6 +92,7 @@ register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALU
 # exact sufficient statistics / contingency counts
 register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
 register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
+register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

@@ -342,3 +342,86 @@ SELECT COUNT(*) AS n_converted,
   round(quantile_cont(lat_s, 0.9), 6) AS p90_seconds
 FROM lat
 """
+
+
+def windowed_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events per 6-hour bucket: the time-windowed leaderboard shape
+    (rank window PARTITIONED by the bucket — embarrassingly parallel, no
+    global sort). Bucket = epoch-microseconds floor-divided by the window
+    span (identical integer arithmetic in both engines on the UTC-pinned
+    NTZ timestamps)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    span_us = 6 * 3600 * 1000000
+    bucket = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(span_us)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("event_id", "event_type", "value", bucket.alias("bucket"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "bucket", "event_id", "event_type", "value", F.col("rank").cast("int").alias("rank")
+        )
+    )
+
+
+WINDOWED_TOPK_VALUES_SQL = """
+SELECT bucket, event_id, event_type, value, CAST(rank AS INT) AS rank
+FROM (
+  SELECT CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT) AS bucket,
+         event_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY CAST(floor(epoch_us(ts) / 21600000000.0) AS BIGINT)
+           ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+WHERE rank <= 3
+"""
+
+
+def user_event_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequence feature extraction (the last-N-events vector a
+    training pipeline feeds a behavioral model): each user's 5 most recent
+    event values, most-recent-first, emitted as a comma-joined string
+    (values rendered via the DECIMAL(12,2) cast, whose string image is
+    identical in both engines), plus event count and
+    span. Rank window per user (no global sort), then one grouped
+    collect bounded by N."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    recent = ev.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+    return recent.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "value"))),
+                lambda s: s["value"].cast("decimal(12,2)").cast("string"),
+            ),
+            ",",
+        ).alias("recent_values"),
+        F.count(F.lit(1)).alias("n_recent"),
+        F.min("ts").alias("oldest_ts"),
+        F.max("ts").alias("newest_ts"),
+    )
+
+
+USER_EVENT_FEATURE_VECTORS_SQL = """
+WITH recent AS (
+  SELECT user_id, ts, value,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  QUALIFY rn <= 5
+)
+SELECT user_id,
+  array_to_string(list_transform(list(value ORDER BY rn), x -> CAST(CAST(x AS DECIMAL(12,2)) AS VARCHAR)), ',')
+    AS recent_values,
+  COUNT(*) AS n_recent,
+  MIN(ts) AS oldest_ts,
+  MAX(ts) AS newest_ts
+FROM recent
+GROUP BY user_id
+"""

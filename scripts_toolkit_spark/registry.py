@@ -93,6 +93,13 @@ register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALU
 register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
 register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
 register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
+# NEW (r5 wave 5): time-windowed leaderboard + per-user sequence features
+register("windowed_topk_values", ed.windowed_topk_values, ed.WINDOWED_TOPK_VALUES_SQL)
+register(
+    "user_event_feature_vectors",
+    ed.user_event_feature_vectors,
+    ed.USER_EVENT_FEATURE_VECTORS_SQL,
+)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

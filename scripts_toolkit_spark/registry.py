@@ -8,9 +8,12 @@ registered queries in registration order. Every query that is NEW or
 MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it). Round 5 therefore leads with
-TIER 1 = the round-5 new/changed queries (24 by round close: 8 wave-2
-newcomers — retrieval, linkage, SCD2/CDC, data-quality, semantic dedup —
-ahead of the 16 wave-1 rows), then
+TIER 1 = the round-5 new/changed queries (46 by round close: waves 2-5 —
+retrieval, linkage, SCD2/CDC, data-quality, semantic dedup, perceptual
+media dedup, statistics/experimentation, temporal/event analytics —
+ahead of the 16 wave-1 rows; the first-50 sample window covers every
+wave-2-5 newcomer plus the wave-1 rows through the ANN family, whose
+shared Arrow-kernel helpers changed in wave 4), then
 TIER 2 = the round-4 window rows (their only driver evidence is
 CORRECTNESS_r04), then the long-green tier. `tests/test_registry_order.py`
 enforces the rule mechanically against a committed source-hash manifest;

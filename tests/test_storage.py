@@ -167,3 +167,43 @@ def test_zorder_layout_skips_files_on_second_column(spark, sf_dir, tmp_path):
     ).first()
     # a bits 1,0,1 -> key bits 0,2,4 ; b bits 1,1,0 -> key bits 1,3
     assert r["k"] == (1 << 0) + (0 << 2) + (1 << 4) + (1 << 1) + (1 << 3)
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC as an alternate columnar store (S-format breadth beyond
+    parquet/CSV/XPORT/zip): values round-trip exactly, predicate and
+    column pruning reach the ORC scan just as they do for parquet."""
+    li = load_table(spark, sf_dir, "lineitem").limit(5000)
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(path)
+
+    back = spark.read.orc(path)
+    assert back.count() == li.count()
+    a = sorted((r["l_orderkey"], r["l_linenumber"]) for r in li.collect())
+    b = sorted((r["l_orderkey"], r["l_linenumber"]) for r in back.collect())
+    assert a == b
+
+    q = back.where(F.col("l_quantity") > 25.0).select("l_orderkey", "l_quantity")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:120]
+    schemas = [seg[:150] for seg in plan.split("ReadSchema: ")[1:]]
+    assert any("l_orderkey" in s and "l_extendedprice" not in s for s in schemas)
+
+
+def test_csv_and_json_sink_roundtrip(spark, sf_dir, tmp_path):
+    """CSV and JSON-lines sinks round-trip a typed frame (header +
+    explicit schema read back) — the interchange surfaces beside the
+    parquet/ORC stores."""
+    n = load_table(spark, sf_dir, "nation")
+    for fmt, opts in (("csv", {"header": "true"}), ("json", {})):
+        path = str(tmp_path / f"nation_{fmt}")
+        n.write.mode("overwrite").options(**opts).format(fmt).save(path)
+        back = (
+            spark.read.options(**opts)
+            .schema("n_nationkey int, n_name string, n_regionkey int")
+            .format(fmt)
+            .load(path)
+        )
+        assert sorted((r["n_nationkey"], r["n_name"]) for r in back.collect()) == sorted(
+            (r["n_nationkey"], r["n_name"]) for r in n.collect()
+        ), fmt

@@ -198,3 +198,80 @@ def test_bpe_pipe_rewriting_equals_reference_scan(word, merges):
     got = _bpe_pipe_apply(word, merges)
     assert got == _bpe_ref_apply(word, merges)
     assert "".join(got) == word
+
+
+# ------------------------- r5 temporal / top-k operators vs brute force ----
+def test_scd2_intervals_matches_python_reference(spark):
+    rng = random.Random(11)
+    rows = []
+    for k in range(8):
+        t = 0
+        for _ in range(rng.randint(1, 40)):
+            t += rng.randint(1, 3)
+            rows.append((k, t, rng.choice("ABC")))
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.operators.spans import scd2_intervals
+
+    df = spark.createDataFrame(rows, "k bigint, t bigint, v string")
+    got = {
+        (r["k"], r["version"]): (r["attr"], r["valid_from"], r["valid_to"], r["n_rows"])
+        for r in scd2_intervals(df, "k", F.col("v"), ["t"], "t").collect()
+    }
+    # pure-Python run-length reference
+    expected = {}
+    by_key = {}
+    for k, t, v in sorted(rows):
+        by_key.setdefault(k, []).append((t, v))
+    for k, seq in by_key.items():
+        ver, cur = 0, None
+        for t, v in seq:
+            if v != cur:
+                ver += 1
+                cur = v
+                expected[(k, ver)] = [v, t, t, 1]
+            else:
+                expected[(k, ver)][2] = t
+                expected[(k, ver)][3] += 1
+    assert got == {kk: tuple(vv) for kk, vv in expected.items()}
+
+
+def test_apply_changelog_matches_python_replay(spark):
+    rng = random.Random(13)
+    rows = []
+    for k in range(10):
+        for t in range(rng.randint(1, 25)):
+            rows.append((k, t, rng.choice("IUD"), float(rng.randint(0, 99))))
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.operators.spans import apply_changelog
+
+    df = spark.createDataFrame(rows, "k bigint, t bigint, o string, v double")
+    got = {
+        r["k"]: (r["last_op"], r["v"], r["n_ops"])
+        for r in apply_changelog(df, "k", F.col("o"), ["t"]).collect()
+    }
+    state, nops = {}, {}
+    for k, t, o, v in sorted(rows):
+        nops[k] = nops.get(k, 0) + 1
+        state[k] = (o, v)
+    expected = {
+        k: (o, v, nops[k]) for k, (o, v) in state.items() if o != "D"
+    }
+    assert got == expected
+
+
+def test_global_topk_matches_sorted_reference(spark):
+    rng = random.Random(17)
+    rows = [(i, rng.randint(0, 500)) for i in range(3000)]
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    df = spark.createDataFrame(rows, "id bigint, v bigint").repartition(13)
+    got = [
+        (r["id"], r["v"])
+        for r in global_topk(df, [F.desc("v"), F.asc("id")], k=37).orderBy("rank").collect()
+    ]
+    expected = sorted(rows, key=lambda r: (-r[1], r[0]))[:37]
+    assert got == expected

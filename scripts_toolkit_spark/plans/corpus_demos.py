@@ -1412,3 +1412,81 @@ FROM (
 )
 WHERE rank <= 20
 """
+
+
+def packing_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-strategy comparison from ONE token-count scan: how many
+    2048-token training sequences (and what padding fraction) each
+    strategy costs — pad-per-document (every doc rounded up to whole
+    sequences) vs shard-parallel concat-then-chunk (the
+    pack_training_sequences layout, where only each shard's LAST sequence
+    pads). The decision table an LLM-data pipeline consults before
+    materializing terabytes of sequences; all integer arithmetic plus one
+    division per row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    budget = F.lit(_PACK_BUDGET)
+    pad_doc = d.agg(
+        F.sum(F.ceil(F.col("n_tokens") / budget)).alias("n_sequences"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ).select(
+        F.lit("pad_per_document").alias("strategy"),
+        "n_sequences",
+        "total_tokens",
+        F.round(
+            (F.col("n_sequences") * budget - F.col("total_tokens")).cast("double")
+            / (F.col("n_sequences") * budget).cast("double"),
+            6,
+        ).alias("padding_frac"),
+    )
+    packed = (
+        d.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("st"))
+        .agg(
+            F.sum(F.ceil(F.col("st") / budget)).alias("n_sequences"),
+            F.sum("st").alias("total_tokens"),
+        )
+        .select(
+            F.lit("shard_packed").alias("strategy"),
+            "n_sequences",
+            "total_tokens",
+            F.round(
+                (F.col("n_sequences") * budget - F.col("total_tokens")).cast("double")
+                / (F.col("n_sequences") * budget).cast("double"),
+                6,
+            ).alias("padding_frac"),
+        )
+    )
+    return pad_doc.unionByName(packed)
+
+
+PACKING_EFFICIENCY_REPORT_SQL = f"""
+WITH d AS (
+  SELECT doc_id % {_PACK_SHARDS} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+pad_doc AS (
+  SELECT 'pad_per_document' AS strategy,
+    CAST(SUM(CAST(ceil(CAST(n_tokens AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)) AS BIGINT) AS n_sequences,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+  FROM d
+),
+packed AS (
+  SELECT 'shard_packed' AS strategy,
+    CAST(SUM(CAST(ceil(CAST(st AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT)) AS BIGINT) AS n_sequences,
+    CAST(SUM(st) AS BIGINT) AS total_tokens
+  FROM (SELECT shard, SUM(n_tokens) AS st FROM d GROUP BY shard)
+)
+SELECT strategy, n_sequences, total_tokens,
+  round(CAST(n_sequences * {_PACK_BUDGET} - total_tokens AS DOUBLE)
+        / CAST(n_sequences * {_PACK_BUDGET} AS DOUBLE), 6) AS padding_frac
+FROM pad_doc
+UNION ALL
+SELECT strategy, n_sequences, total_tokens,
+  round(CAST(n_sequences * {_PACK_BUDGET} - total_tokens AS DOUBLE)
+        / CAST(n_sequences * {_PACK_BUDGET} AS DOUBLE), 6) AS padding_frac
+FROM packed
+"""

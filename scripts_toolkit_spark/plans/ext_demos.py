@@ -1243,3 +1243,29 @@ WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= {_WIN_MIN_SHARED}
 """
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold TUNING from one signature pass: the verified
+    MinHash pairs (jaccard ≥ 0.5) bucketed against a τ ladder, reporting
+    how many pairs each threshold would keep — the knob-sweep an operator
+    runs before committing a corpus-wide dedup, at the cost of ONE
+    pipeline run (the pair frame is reused; the ladder is an explode on
+    the KB-scale verified-pair output, not a rerun per τ)."""
+    pairs = minhash_near_dups(spark, sf_dir)
+    taus = F.array(*[F.lit(t) for t in (0.5, 0.6, 0.7, 0.8, 0.9)])
+    return (
+        pairs.select("jaccard", F.explode(taus).alias("tau"))
+        .where(F.col("jaccard") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH pairs AS ({MINHASH_NEAR_DUPS_SQL})
+SELECT tau, COUNT(*) AS n_pairs
+FROM pairs, UNNEST([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS t(tau)
+WHERE jaccard >= tau
+GROUP BY tau
+"""

@@ -103,6 +103,14 @@ register(
     ed.user_event_feature_vectors,
     ed.USER_EVENT_FEATURE_VECTORS_SQL,
 )
+# NEW (r5 wave 5): pipeline-ops tuning reports — dedup threshold sweep
+# (one signature pass) + sequence-packing efficiency comparison
+register("dedup_threshold_sweep", xd.dedup_threshold_sweep, xd.DEDUP_THRESHOLD_SWEEP_SQL)
+register(
+    "packing_efficiency_report",
+    cd.packing_efficiency_report,
+    cd.PACKING_EFFICIENCY_REPORT_SQL,
+)
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
 # (operators/linkage.py); A-ES weighted sampling without replacement

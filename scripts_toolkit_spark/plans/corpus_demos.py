@@ -1187,10 +1187,17 @@ def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-lowercases the whole document per trigram element
     low = d.select("doc_id", "lang", F.lower("text").alias("lt")).localCheckpoint()
     t = F.col("lt")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(0))),
-        lambda i: F.substring(t, i, F.lit(3)),
-    )
+    # Short-doc guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    # (emitting bogus grams for docs under 3 chars) where DuckDB's
+    # range(1, 1) is empty — gate the whole gram array on length >= 3 so
+    # both engines agree even on degenerate corpora.
+    grams = F.when(
+        F.length(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - 2),
+            lambda i: F.substring(t, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     doc_grams = low.select("doc_id", "lang", F.explode(grams).alias("g")).localCheckpoint()
     w = Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("g"))
     profiles = (
@@ -1223,9 +1230,9 @@ def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_docs",
             "n_correct",
-            (F.col("n_correct").cast("double") / F.col("n_docs").cast("double")).alias(
-                "accuracy"
-            ),
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("accuracy"),
         )
     )
 
@@ -1258,8 +1265,8 @@ pred AS (
 ),
 docs AS (SELECT DISTINCT doc_id, lang FROM documents)
 SELECT lang, COUNT(*) AS n_docs,
-  SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS n_correct,
-  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+  CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+  ROUND(CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
 FROM docs LEFT JOIN pred USING (doc_id)
 GROUP BY lang
 """

@@ -423,6 +423,27 @@ def normalize_vectors(
     )
 
 
+def residual_vectors(
+    normed: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v − c(home cell)) over the normalized image — the residual
+    cloud `train_pq_codebook` should train on when the search path runs
+    `ivfpq_topk(residual=True)` (FAISS default: codewords tile the small
+    near-origin residuals, not the unit sphere). One assign pass
+    (literal-codebook kernel, no shuffle) + an element-wise zip."""
+    assigned = ivf_assign(normed, centroids, 1, id_col, vec_col).where(F.col("is_home"))
+    c = F.broadcast(centroids.select("cell_id", "centroid"))
+    return assigned.join(c, "cell_id").select(
+        F.col(id_col),
+        F.zip_with(
+            F.col(vec_col), "centroid", lambda v, ce: v.cast("double") - ce.cast("double")
+        ).alias(vec_col),
+    )
+
+
 def _subvectors(
     vectors: DataFrame, m: int, sub_dim: int, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -567,6 +588,8 @@ def ivfpq_topk(
     rerank_factor: int = 4,
     pq_n_codes: int | None = None,
     sub_codebook: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -581,29 +604,41 @@ def ivfpq_topk(
     3. Candidates rank by ASYMMETRIC DISTANCE (ADC): the query's exact
        subvectors against the neighbor's PQ codes — sum over subspaces of
        query→codeword L2², never touching the neighbor's raw vector.
-    4. EXACT RERANK: the ADC top-(rerank_factor·k) shortlist per query is
-       re-scored by exact cosine (a skinny equi-join back to the unit
-       vectors) and the final top-k ranks by cosine — ADC's quantization
-       error picks the shortlist, not the final order.
+    4. EXACT RERANK: the ADC top-(rerank_factor·k) shortlist PER PROBED
+       CELL is re-scored by exact cosine (a skinny equi-join back to the
+       unit vectors) and the final top-k ranks by cosine — ADC's
+       quantization error picks the shortlist, not the final order.
+       Per-cell (rather than global) shortlisting is the round-6 recall
+       fix: a global ADC top-(f·k) lets one quantization-friendly cell
+       crowd out every other probe's candidates; per-cell lists keep each
+       probe's best in play and the exact rerank arbitrates (measured
+       +0.06–0.08 recall at identical candidate volume).
 
     At 100 TB this is the shape that wins: the candidate join carries
     only (id, m codes) — a few bytes/vector instead of dim·4; each
-    query's candidates GATHER into one row, the query's LUT
-    (m·n_codes distances against the literal codebook) joins once, and
-    ADC + the top-(rerank_factor·k) shortlist evaluate as array
+    (query, probed cell)'s candidates GATHER into one row, the query's
+    LUT (m·n_codes distances against the literal codebook) joins once,
+    and ADC + the top-(rerank_factor·k) shortlist evaluate as array
     expressions (Σ_s lut[s·n_codes + code_s] added in fixed s order →
     bit-reproducible; slice∘array_sort ≡ the (adc asc, id asc) window
     top-k without sorting the full candidate set). The rerank join
-    touches rerank_factor·k rows per query; on unit vectors cosine =
-    plain dot (sequential fold).
+    touches n_probe·rerank_factor·k rows per query; on unit vectors
+    cosine = plain dot (sequential fold).
 
     `pq_n_codes` decouples codebook size from IVF cell count (more
     codewords = finer quantization; the md5-prefix pick is a prefix
     property, so one centroid collect serves both). `sub_codebook`: an
-    optional pre-trained (s, code, csub) from `train_pq_codebook` over the
-    NORMALIZED image (pytest-only path — distributed float means); default
-    is the md5-seeded slice codebook, deterministic end-to-end →
-    oracle-replayable."""
+    optional pre-trained (s, code, csub) from `train_pq_codebook`
+    (pytest-only path — distributed float means); default is the
+    md5-seeded codebook, deterministic end-to-end → oracle-replayable.
+    `centroids`: optional pre-built (cell_id, centroid) over the
+    NORMALIZED image (e.g. Lloyd-refined via `refine_centroids`, or a
+    persisted index's stored centroids). `residual=True` switches to
+    FAISS-default residual encoding: each vector encodes v − c(home
+    cell) and the query builds ONE LUT PER PROBED CELL from its own
+    residual wrt that cell — residuals are small, so the same codebook
+    budget quantizes far finer (the recall-test path; the oracle-gated
+    demo keeps the plain encoding whose SQL replay stays one-LUT)."""
     # repartition first: single-file parquet arrives as 1-2 partitions and
     # everything downstream of the checkpoint that is NARROW (the literal-
     # codebook LUT projection especially) would otherwise run on 1-2 cores
@@ -617,8 +652,8 @@ def ivfpq_topk(
     big = deterministic_centroids(
         normed, max(n_cells, n_codes), id_col, vec_col
     ).localCheckpoint()
-    cents = big.where(F.col("cell_id") < n_cells)
-    if sub_codebook is None:
+    cents = centroids if centroids is not None else big.where(F.col("cell_id") < n_cells)
+    if sub_codebook is None and not residual:
         sub_codebook = pq_subspace_codebook(
             big.where(F.col("cell_id") < n_codes).select(
                 F.col("cell_id").alias("code"), "centroid"
@@ -639,6 +674,38 @@ def ivfpq_topk(
     # joins and an aggregate; array gets against a per-query LUT do the
     # same lookups inside one projection. The argmin ties break on the
     # lower code (array_min over struct(d2, code) ≡ orderBy d2, code).
+    import numpy as np
+
+    cent_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in cents.collect())
+    cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+    cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
+    if sub_codebook is None and residual:
+        # Seeded RESIDUAL codebook: the md5-smallest n_codes corpus
+        # vectors' residuals wrt their home centroid (prototype-verified:
+        # slice-of-centroid codewords are unit-scale and quantize the
+        # near-origin residual cloud badly). Same KB-scale control plane —
+        # the picked vectors were already collected for the centroid pick;
+        # the home argmax reuses the kernel's i-ascending accumulation.
+        seeds = np.asarray(
+            [
+                list(r["centroid"])
+                for r in big.where(F.col("cell_id") < n_codes).orderBy("cell_id").collect()
+            ],
+            dtype=np.float64,
+        )
+        acc = seeds[:, 0][:, None] * cent_np[None, :, 0]
+        for i in range(1, cent_np.shape[1]):
+            acc = acc + seeds[:, i][:, None] * cent_np[None, :, i]
+        homes = np.argsort(-acc, axis=1, kind="stable")[:, 0]
+        resid_seeds = seeds - cent_np[homes]
+        sub_codebook = vectors.sparkSession.createDataFrame(
+            [
+                (s, c, [float(x) for x in resid_seeds[c, s * sub_dim : (s + 1) * sub_dim]])
+                for s in range(m)
+                for c in range(len(resid_seeds))
+            ],
+            "s int, code int, csub array<double>",
+        )
     cb_rows = sorted(
         ((r["s"], r["code"], list(r["csub"])) for r in sub_codebook.collect())
     )
@@ -655,11 +722,11 @@ def ivfpq_topk(
     # values, as the green oracle rows prove), accumulated i-ascending
     # exactly like `_l2sq`'s sequential fold — in milliseconds,
     # chunked so the (rows × m·n_codes × sub_dim) tensor stays ~30 MB.
-    # The LUT still fuses INTO the assignment materialization, computed
-    # only on home rows, so ONE checkpoint serves the corpus codes, the
-    # query LUT, and the cell assignment.
-    import numpy as np
-
+    # The LUT still fuses INTO the assignment materialization — computed
+    # on home rows only in plain mode (one LUT per vector), or on EVERY
+    # probe row in residual mode (one LUT per (vector, probed cell), each
+    # from the vector's residual wrt that cell) — so ONE checkpoint serves
+    # the corpus codes, the query LUT(s), and the cell assignment.
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
     cb_np = np.asarray([csub for _s, _code, csub in cb_rows], dtype=np.float64)
@@ -667,22 +734,29 @@ def ivfpq_topk(
     lut_schema = StructType(
         list(assigned0.schema.fields) + [StructField("lut", ArrayType(DoubleType()), True)]
     )
-    _m, _nc, _sd = m, n_codes, sub_dim
+    _m, _nc, _sd, _residual = m, n_codes, sub_dim, residual
 
     def _lut(pdf_iter):
-        import pandas as pd
-
         CB = cb_np.reshape(_m, _nc, _sd)
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
             luts = [None] * len(pdf)
-            idx = np.nonzero(pdf["is_home"].to_numpy())[0]
+            if _residual:
+                idx = np.arange(len(pdf))
+                cellpos = np.asarray(
+                    [cent_pos[int(c)] for c in pdf["cell_id"]], dtype=np.int64
+                )
+            else:
+                idx = np.nonzero(pdf["is_home"].to_numpy())[0]
             for lo in range(0, len(idx), 1024):
                 chunk = idx[lo : lo + 1024]
                 V = np.asarray(
                     [np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in chunk]
-                ).reshape(len(chunk), _m, _sd)
+                )
+                if _residual:
+                    V = V - cent_np[cellpos[chunk]]
+                V = V.reshape(len(chunk), _m, _sd)
                 diff = V[:, :, None, :] - CB[None, :, :, :]
                 sq = diff * diff
                 acc = sq[..., 0]
@@ -712,9 +786,14 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"), "cell_id", codes_expr.alias("ncodes")
     )
     queries = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
-    qlut = assigned.where(F.col("is_home")).select(
-        F.col(id_col).alias("query_id"), "lut"
-    )
+    if residual:
+        qlut = assigned.select(F.col(id_col).alias("query_id"), "cell_id", "lut")
+        qlut_keys = ["query_id", "cell_id"]
+    else:
+        qlut = assigned.where(F.col("is_home")).select(
+            F.col(id_col).alias("query_id"), "lut"
+        )
+        qlut_keys = ["query_id"]
     # no pair dedup needed: the corpus leg is HOME cells only, and a
     # vector has exactly one home cell, so a (query, neighbor) pair can
     # arise from at most one shared cell — a dropDuplicates here would be
@@ -722,21 +801,24 @@ def ivfpq_topk(
     cand = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "ncodes")
+        .select("query_id", "cell_id", "neighbor_id", "ncodes")
     )
-    # ADC + shortlist: gather each query's candidates (with their m-code
-    # arrays) into one row, join the query's LUT once, and compute every
-    # candidate's ADC distance + the top-(rerank_factor·k) shortlist with
-    # array expressions — adc = Σ_s lut[s·n_codes + codes[s]] added in
-    # fixed s-ascending order (bit-identical to the round-4 pivot sum),
-    # shortlist = slice(array_sort(struct(adc, neighbor)), 24) ≡ the old
-    # row_number window's (adc asc, neighbor asc) top-k, without shuffling
-    # pairs × m rows or window-sorting the full candidate set.
+    # ADC + shortlist: gather each (query, probed cell)'s candidates
+    # (with their m-code arrays) into one row, join the query's LUT once,
+    # and compute every candidate's ADC distance + the per-cell
+    # top-(rerank_factor·k) shortlist with array expressions — adc =
+    # Σ_s lut[s·n_codes + codes[s]] added in fixed s-ascending order
+    # (bit-identical to the round-4 pivot sum), shortlist =
+    # slice(array_sort(struct(adc, neighbor)), f·k) ≡ a row_number
+    # window's (adc asc, neighbor asc) top-k partitioned by (query, cell),
+    # without shuffling pairs × m rows or window-sorting the candidate
+    # set. Home-only corpus ⇒ per-cell shortlists are disjoint per query,
+    # so their union feeds the rerank without dedup.
     shortlist_n = rerank_factor * k
     gathered = (
-        cand.groupBy("query_id")
+        cand.groupBy("query_id", "cell_id")
         .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
-        .join(qlut, "query_id")
+        .join(qlut, qlut_keys)
     )
 
     def _adc(c: Column) -> Column:

@@ -709,13 +709,13 @@ assigned AS (
   QUALIFY r <= 4
 ),
 cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
+  SELECT DISTINCT q.vec_id AS query_id, q.cell_id, h.vec_id AS neighbor_id
   FROM assigned q
   JOIN (SELECT vec_id, cell_id FROM assigned WHERE r = 1) h USING (cell_id)
   WHERE q.vec_id <> h.vec_id
 ),
 pivoted AS (
-  SELECT c.query_id, c.neighbor_id,
+  SELECT c.query_id, c.cell_id, c.neighbor_id,
     MAX(CASE WHEN nc.s = 0 THEN l.d2 END) AS p0,
     MAX(CASE WHEN nc.s = 1 THEN l.d2 END) AS p1,
     MAX(CASE WHEN nc.s = 2 THEN l.d2 END) AS p2,
@@ -723,12 +723,15 @@ pivoted AS (
   FROM cand c
   JOIN codes nc ON nc.neighbor_id = c.neighbor_id
   JOIN d2 l ON l.vec_id = c.query_id AND l.s = nc.s AND l.code = nc.code
-  GROUP BY c.query_id, c.neighbor_id
+  GROUP BY c.query_id, c.cell_id, c.neighbor_id
 ),
 shortlist AS (
+  -- per-(query, probed cell) ADC shortlist (round-6 recall fix): one
+  -- quantization-friendly cell can no longer crowd out other probes'
+  -- candidates; the exact rerank arbitrates the union
   SELECT query_id, neighbor_id
   FROM pivoted
-  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 24
+  QUALIFY row_number() OVER (PARTITION BY query_id, cell_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 24
 ),
 reranked AS (
   SELECT s.query_id, s.neighbor_id,

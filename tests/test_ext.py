@@ -566,10 +566,10 @@ def test_train_eval_overlap_plan_equi_keyed(spark, sf_dir):
 def test_ivfpq_adc_vs_exact_rerank(spark, sf_dir):
     """IVF-PQ sanity with the SEEDED (oracle-replayable) codebook — the
     registered demo's configuration: normalized vectors, 64 codewords,
-    n_probe=4, exact-cosine rerank of the ADC top-24. Recall vs exact
-    top-3 must sit comfortably above chance (measured ≈0.38 at sf0.001),
-    and within each query the final ranks must be cosine-descending
-    (rerank order, not ADC order)."""
+    n_probe=4, exact-cosine rerank of the per-cell ADC top-24 union
+    (round-6 per-cell shortlist: measured ≈0.62 at sf0.001, up from 0.38
+    with the old global shortlist). Within each query the final ranks
+    must be cosine-descending (rerank order, not ADC order)."""
     from scripts_toolkit_spark.ext.similarity import ivfpq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -582,7 +582,7 @@ def test_ivfpq_adc_vs_exact_rerank(spark, sf_dir):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in rows}
     recall = len(e & a) / len(e)
-    assert recall >= 0.25, f"IVF-PQ seeded recall {recall:.2f}"
+    assert recall >= 0.5, f"IVF-PQ seeded recall {recall:.2f}"
 
     by_query: dict = {}
     for r in rows:
@@ -594,12 +594,17 @@ def test_ivfpq_adc_vs_exact_rerank(spark, sf_dir):
 
 
 def test_ivfpq_trained_codebook_recall(spark, sf_dir):
-    """Lloyd-trained per-subspace codebook (train_pq_codebook over the
-    normalized image) must lift IVF-PQ recall to ≥0.4 (measured ≈0.49 at
-    sf0.001) and beat the seeded slice codebook."""
+    """The full trained path — Lloyd-refined IVF centroids + RESIDUAL
+    encoding + a 256-codeword per-subspace codebook trained on the
+    residual image (FAISS-default configuration) — must lift IVF-PQ
+    recall to ≥0.8 (measured ≈0.87 at sf0.001; round-5 verdict target)
+    and beat the seeded path."""
     from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
         ivfpq_topk,
         normalize_vectors,
+        refine_centroids,
+        residual_vectors,
         train_pq_codebook,
     )
 
@@ -618,15 +623,17 @@ def test_ivfpq_trained_codebook_recall(spark, sf_dir):
         )
     )
     normed = normalize_vectors(emb).localCheckpoint()
-    cb = train_pq_codebook(normed, m=4, sub_dim=16, n_codes=64, iters=3)
+    cents = refine_centroids(normed, deterministic_centroids(normed, 8).localCheckpoint(), 3)
+    res = residual_vectors(normed, cents).localCheckpoint()
+    cb = train_pq_codebook(res, m=4, sub_dim=16, n_codes=256, iters=3)
     trained = recall(
         ivfpq_topk(
-            emb, n_cells=8, n_probe=4, k=3, m=4, sub_dim=16,
-            rerank_factor=8, sub_codebook=cb,
+            emb, n_cells=8, n_probe=5, k=3, m=4, sub_dim=16,
+            rerank_factor=8, centroids=cents, sub_codebook=cb, residual=True,
         )
     )
-    assert trained >= 0.4, f"IVF-PQ trained recall {trained:.2f}"
-    assert trained >= seeded - 0.02, f"trained {trained:.2f} vs seeded {seeded:.2f}"
+    assert trained >= 0.8, f"IVF-PQ trained recall {trained:.2f}"
+    assert trained >= seeded, f"trained {trained:.2f} vs seeded {seeded:.2f}"
 
 
 def test_ivfpq_scoring_join_carries_codes_not_vectors(spark, sf_dir):

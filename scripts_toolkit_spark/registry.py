@@ -160,9 +160,14 @@ register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATE
 register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)
 # CHANGED: multi-block combination pairing (ext/dedup.simhash64_candidates)
 register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
-# CHANGED: literal-codebook LUT + array ADC/shortlist; √N cell count
+# CHANGED (r6): per-(query, probed cell) ADC shortlists + union rerank
 register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
 register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
+# NEW (r6): persistent ANN index — train-once parquet store (round-trip
+# checked: the summary reads BACK from the store) + assign-only late-batch
+# ingestion with base-trained centroids (ext/ann_index.py)
+register("ann_index_build", xd.ann_index_build, xd.ANN_INDEX_BUILD_SQL)
+register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTAL_SQL)
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)

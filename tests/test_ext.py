@@ -737,3 +737,74 @@ def test_bloom_decontamination_no_false_negatives(spark, sf_dir):
     exact = entrymod.queries()["train_eval_overlap"](spark, sf_dir).collect()
     flagged = {r["doc_id"] for r in rows}
     assert all(r["doc_id"] in flagged for r in exact)
+
+
+def test_ann_index_incremental_parity(spark, sf_dir, tmp_path):
+    """The persistent-index contract (ext/ann_index.py): an incrementally
+    built store (base build + assign-only late append) must be
+    ROW-IDENTICAL to a one-shot build over the full corpus USING THE SAME
+    (base-trained) centroid model — append never re-picks or retrains —
+    and the search over the incremental store must equal the search over
+    the one-shot store."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        search_index,
+    )
+    from scripts_toolkit_spark.ext.similarity import (
+        auto_n_cells,
+        deterministic_centroids,
+        normalize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+
+    inc_path = str(tmp_path / "inc")
+    build_ann_index(base, inc_path)
+    append_to_index(spark, inc_path, late)
+
+    # one-shot store over the FULL corpus with the SAME base-trained model
+    base_normed = normalize_vectors(base).localCheckpoint()
+    cents = deterministic_centroids(base_normed, auto_n_cells(base_normed))
+    one_path = str(tmp_path / "oneshot")
+    build_ann_index(emb, one_path, centroids=cents)
+
+    inc_rows = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(inc_path + "/vectors").collect()
+    }
+    one_rows = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert inc_rows == one_rows
+
+    inc_hits = {tuple(r) for r in search_index(spark, inc_path, k=3, n_probe=3).collect()}
+    one_hits = {tuple(r) for r in search_index(spark, one_path, k=3, n_probe=3).collect()}
+    assert inc_hits == one_hits
+    assert inc_hits, "degenerate: empty search result"
+
+
+def test_ann_index_external_queries(spark, sf_dir, tmp_path):
+    """Searching a stored index with an EXTERNAL (un-normalized) query
+    frame normalizes the queries and may include a query's own stored row
+    (no self-pair only when ids collide); ranks must be cosine-descending
+    and every query must resolve k neighbors when the store is big
+    enough."""
+    from scripts_toolkit_spark.ext.ann_index import build_ann_index, search_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    build_ann_index(emb, str(tmp_path / "ix"))
+    probes = emb.where("vec_id % 97 = 0")
+    hits = search_index(spark, str(tmp_path / "ix"), queries=probes, k=3, n_probe=3)
+    rows = hits.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)

@@ -324,6 +324,36 @@ def _simhash64_default_blocks(max_hamming: int) -> int:
     return min(64, max(max_hamming + 1, math.ceil(1.6 * max_hamming)))
 
 
+def _simhash64_auto_blocks(max_hamming: int, n_docs: int) -> int:
+    """Corpus-size-aware block count (round-5 verdict Next #4: the fixed
+    1.6·r default paid C(10,4)=210 keys/doc at sf0.1 where 28 suffice).
+
+    The combination scheme trades key COUNT against key WIDTH: m blocks
+    give C(m, m−r) keys of ≥ (m−r)·⌊64/m⌋ bits, and both grow with m.
+    Recall is 1.0 by pigeonhole for EVERY legal m, so m is purely a cost
+    knob: pick the SMALLEST m whose keys are wide enough that expected
+    bucket occupancy stays ≪ 1 at this corpus size (2^width ≥ 8·N), i.e.
+    candidate volume stays ~linear. Small corpora get few cheap keys
+    (N=2.4k → m=8, 28 keys of 16 bits); a billion-doc corpus walks up to
+    the same wide-key layouts the fixed default chose, capped by the
+    2048-combo guard."""
+    import math
+
+    r = max_hamming
+    if r <= 3 or r >= 64:
+        return _simhash64_default_blocks(r)
+    best = None
+    for m in range(r + 2, 65):
+        subset = m - r
+        if math.comb(m, subset) > 2048:
+            break
+        best = m
+        width = min(subset * (64 // m), 62)
+        if (1 << width) >= 8 * max(n_docs, 1):
+            return m
+    return best if best is not None else _simhash64_default_blocks(r)
+
+
 def _simhash64_layout(max_hamming: int, n_blocks: int | None):
     """(degenerate, m, subset_size, combos, block widths, block offsets)
     shared by the block-array builder and the candidate generator — both
@@ -512,15 +542,25 @@ def simhash64_pairs(
     The block array is computed here, INSIDE the checkpointed projection:
     the candidate generator's key transform is an interpreted
     higher-order lambda that would otherwise re-evaluate the block
-    expressions once per combination element (measured ~2× wall-clock)."""
+    expressions once per combination element (measured ~2× wall-clock).
+
+    `n_blocks=None` → corpus-size-aware layout (`_simhash64_auto_blocks`):
+    the key count C(m, m−r) is a pure cost knob (recall 1.0 for every
+    legal m), so small corpora use few narrow keys and the layout widens
+    as N grows. The count comes from the fingerprint checkpoint the pass
+    materializes anyway — no extra scan of the input."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    fp = (
+    fp0 = (
         docs.repartition(parallelism)
         .select(F.col(id_col), simhash64(word_shingles(text_col)).alias("f"))
         .select(id_col, F.col("f.fp_hi").alias("fp_hi"), F.col("f.fp_lo").alias("fp_lo"))
-        .withColumn("blocks", simhash64_block_array(max_hamming, n_blocks))
         .localCheckpoint()
     )
+    if n_blocks is None and 3 < max_hamming < 64:
+        n_blocks = _simhash64_auto_blocks(max_hamming, fp0.count())
+    fp = fp0.withColumn(
+        "blocks", simhash64_block_array(max_hamming, n_blocks)
+    ).localCheckpoint()
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
         F.col("la").bitwiseXOR(F.col("lb"))
     )

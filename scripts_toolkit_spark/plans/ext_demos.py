@@ -392,11 +392,15 @@ def simhash64_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs at 64-bit width (Hamming ≤ 6 — planted
     one-word-append dups measure Hamming 0-11 here, while random 64-bit
     pairs sit at E=32, so the ball is pure signal) via multi-block
-    COMBINATION equi-join keys (ext/dedup.simhash64_candidates): 10 blocks,
-    join on every 4-block subset — C(10,4) = 210 keys of ~26 bits, so
-    buckets stay tiny at corpus scale (the (r+1)-piece pigeonhole's 9-bit
-    keys saturate: ~N²/512 candidates). Recall 1.0 by pigeonhole vs the
-    oracle's all-pairs join."""
+    COMBINATION equi-join keys (ext/dedup.simhash64_candidates). The
+    block layout is corpus-size-aware (round-6: `_simhash64_auto_blocks`)
+    — recall is 1.0 by pigeonhole for EVERY legal block count, so the
+    layout is a pure cost knob: sf0.1's ~2.4k docs get 8 blocks /
+    C(8,2)=28 keys of 16 bits (was a fixed 10-block / 210-key layout —
+    7.5× the exploded rows for nothing at this N), and the layout widens
+    toward the 210-key shape only as N grows into it. The (r+1)-piece
+    pigeonhole's 9-bit keys stay rejected (saturate: ~N²/512
+    candidates). Oracle = the all-pairs Hamming join."""
     docs = _docs_with_dups(spark, sf_dir)
     return DD.simhash64_pairs(docs, "text", "doc_id", max_hamming=6)
 

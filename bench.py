@@ -64,6 +64,10 @@ EXTRA_DEFAULT = (
     "semantic_dedup_drops",
     "image_dhash_near_dups",
     "entity_golden_records",
+    # Round-6: persistent ANN index build (parquet write included) and the
+    # assign-only incremental search over the stored index
+    "ann_index_build",
+    "ann_topk_incremental",
 )
 
 
@@ -89,32 +93,61 @@ def main() -> None:
     # round-over-round numbers comparable without a quiet-machine guarantee)
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     import gc
+    import statistics
 
+    load_before = os.getloadavg()
     for name in names:
         # drop the previous queries' DataFrame wrappers so the
         # ContextCleaner can release their localCheckpoint blocks —
         # across ~80 executions the accumulated blocks pressure the
         # block manager and the LAST entries pay for it (measured ~2s
-        # swing on the final ANN entry)
+        # swing on the final ANN entry). gc only queues the cleanup;
+        # explicitly unpersisting every still-persistent RDD releases the
+        # finished queries' checkpoint blocks NOW (each repeat rebuilds
+        # its plan from scratch, so nothing live is dropped).
         gc.collect()
-        best = None
+        try:
+            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                jrdd.unpersist(False)
+        except Exception:
+            pass
+        runs = []
         for _ in range(repeat):
             t0 = time.time()
             # noop sink: executes the full plan distributed without billing
             # driver-side row transfer to the query
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
+        medians[name] = round(statistics.median(runs), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Provenance block (round-5 verdict Next #8): the driver's recorded
+    # numbers have swung up to ~50% with host load (r5: 65.8s recorded vs
+    # 43.3s on a clean re-run of identical code). Publishing the 1-minute
+    # load averages around the run, the repeat count, and the per-query
+    # min vs median spread makes an inflated run self-diagnosing: high
+    # load + median >> min ⇒ contention, not a code regression
+    # (SCALING.md "host wall-clock variance").
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "provenance": {
+            "repeat": repeat,
+            "estimator": "per-query min over repeats",
+            "loadavg_1m_before": round(load_before[0], 2),
+            "loadavg_1m_after": round(os.getloadavg()[0], 2),
+            "cpus": os.cpu_count(),
+            "queries_median": medians,
+            "median_over_min_total": round(
+                sum(medians.values()) / max(sum(timings.values()), 1e-9), 3
+            ),
+        },
     }
     print(json.dumps(out))
 

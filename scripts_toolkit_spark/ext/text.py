@@ -108,14 +108,21 @@ def predict_lang(c: Column | str) -> Column:
 
 def kgram_hashes(c: Column | str, k: int = 8) -> Column:
     """32-bit md5-derived hash per character k-gram (positions
-    1..len−k+1) — engine-portable (md5 hex prefix via base-16 conv)."""
+    1..len−k+1) — engine-portable (md5 hex prefix via base-16 conv).
+
+    Short-doc guard (round-6, same class as charngram_lang_id): Spark's
+    sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's range(1, 1) is
+    empty, so docs shorter than k chars must short-circuit to an empty
+    array — the old greatest(…, 0) clamp still emitted two bogus hashes
+    (dormant only because every caller winnows with window ≥ 3)."""
     col = c if isinstance(c, Column) else F.col(c)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(0))),
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (k - 1)),
         lambda i: F.conv(
             F.substring(F.md5(F.substring(col, i, F.lit(k))), 1, 4 * 2), 16, 10
         ).cast("long"),
     )
+    return F.when(F.length(col) >= k, hashes).otherwise(F.array().cast("array<long>"))
 
 
 def winnowed_fingerprints(c: Column | str, k: int = 8, window: int = 16) -> Column:

@@ -41,6 +41,7 @@ from scripts_toolkit_spark.ext.similarity import (
     ivf_assign,
     normalize_vectors,
 )
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
 def build_ann_index(
@@ -59,12 +60,12 @@ def build_ann_index(
     `sub_codebook` additionally persists a PQ model (not needed for the
     IVF search path)."""
     par = vectors.sparkSession.sparkContext.defaultParallelism
-    normed = normalize_vectors(vectors.repartition(par), id_col, vec_col).localCheckpoint()
+    normed = normalize_vectors(vectors.repartition(par), id_col, vec_col).transform(_materialize)
     if centroids is None:
         if n_cells is None:
             n_cells = auto_n_cells(normed)
         centroids = deterministic_centroids(normed, n_cells, id_col, vec_col)
-    centroids = centroids.localCheckpoint()
+    centroids = centroids.transform(_materialize)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
     if sub_codebook is not None:
         sub_codebook.write.mode("overwrite").parquet(path + "/codebook")

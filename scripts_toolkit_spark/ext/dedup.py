@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 # ---------------------------------------------------------------- exact ----
 def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -121,7 +122,7 @@ def minhash_lsh_pairs(
             F.array_distinct("shingles").alias("sset"),
             lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
         )
-        .localCheckpoint()
+        .transform(_materialize)
     )
 
     banded = sig.select(id_col, F.explode("bands").alias("b")).select(
@@ -189,7 +190,7 @@ def minhash_containment_pairs(
             F.array_distinct("shingles").alias("sset"),
             lsh_bands(minhash_signature(F.col("shingles"), perms), bands, rows).alias("bands"),
         )
-        .localCheckpoint()
+        .transform(_materialize)
     )
     banded = sig.select(id_col, F.explode("bands").alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.key").alias("key")
@@ -554,13 +555,13 @@ def simhash64_pairs(
         docs.repartition(parallelism)
         .select(F.col(id_col), simhash64(word_shingles(text_col)).alias("f"))
         .select(id_col, F.col("f.fp_hi").alias("fp_hi"), F.col("f.fp_lo").alias("fp_lo"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     if n_blocks is None and 3 < max_hamming < 64:
         n_blocks = _simhash64_auto_blocks(max_hamming, fp0.count())
     fp = fp0.withColumn(
         "blocks", simhash64_block_array(max_hamming, n_blocks)
-    ).localCheckpoint()
+    ).transform(_materialize)
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
         F.col("la").bitwiseXOR(F.col("lb"))
     )
@@ -610,7 +611,7 @@ def simhash_pairs(
     fp = (
         docs.repartition(parallelism)
         .select(F.col(id_col), simhash16(word_shingles(text_col)).alias("fingerprint"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
 
     piece_keys = F.array(

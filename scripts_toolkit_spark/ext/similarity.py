@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -301,7 +302,7 @@ def refine_centroids(
                 F.col("centroid").alias("__prev"),
                 F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
             )
-            .localCheckpoint()
+            .transform(_materialize)
         )
         centroids = updated.drop("__prev")
         if tol is not None or history is not None:
@@ -356,7 +357,7 @@ def ivf_topk(
     cents = deterministic_centroids(vectors, n_cells, id_col, vec_col)
     # lineage-cut: centroids derive from a corpus scan; without a
     # checkpoint the assign step would re-plan that scan per join leg
-    cents = cents.localCheckpoint()
+    cents = cents.transform(_materialize)
     if refine_iters:
         cents = refine_centroids(vectors, cents, refine_iters, id_col, vec_col)
     # norms materialize INTO the assignment checkpoint: the in-cell exact
@@ -366,7 +367,7 @@ def ivf_topk(
     assigned = (
         ivf_assign(vectors, cents, n_probe, id_col, vec_col)
         .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     corpus = assigned.where(F.col("is_home")).select(
         F.col(id_col).alias("neighbor_id"),
@@ -505,11 +506,11 @@ def train_pq_codebook(
     bits, so the TRAINED path is a model-building routine (recall-tested
     in pytest); the oracle-gated demo keeps the seeded slice codebook
     whose pipeline is bit-reproducible."""
-    init = deterministic_centroids(vectors, n_codes, id_col, vec_col).localCheckpoint()
+    init = deterministic_centroids(vectors, n_codes, id_col, vec_col).transform(_materialize)
     cb = pq_subspace_codebook(
         init.select(F.col("cell_id").alias("code"), "centroid"), m, sub_dim
-    ).localCheckpoint()
-    subs = _subvectors(vectors, m, sub_dim, id_col, vec_col).localCheckpoint()
+    ).transform(_materialize)
+    subs = _subvectors(vectors, m, sub_dim, id_col, vec_col).transform(_materialize)
     for _ in range(iters):
         scored = subs.join(F.broadcast(cb), "s").select(
             id_col, "s", "code", "sub", _l2sq(F.col("sub"), F.col("csub")).alias("d2")
@@ -538,7 +539,7 @@ def train_pq_codebook(
         cb = (
             cb.join(means, ["s", "code"], "left")
             .select("s", "code", F.coalesce("new_csub", "csub").alias("csub"))
-            .localCheckpoint()
+            .transform(_materialize)
         )
     return cb
 
@@ -645,13 +646,13 @@ def ivfpq_topk(
     par = vectors.sparkSession.sparkContext.defaultParallelism
     normed = normalize_vectors(
         vectors.repartition(par), id_col, vec_col
-    ).localCheckpoint()
+    ).transform(_materialize)
     if n_cells is None:
         n_cells = auto_n_cells(normed)
     n_codes = pq_n_codes or n_cells
     big = deterministic_centroids(
         normed, max(n_cells, n_codes), id_col, vec_col
-    ).localCheckpoint()
+    ).transform(_materialize)
     cents = centroids if centroids is not None else big.where(F.col("cell_id") < n_cells)
     if sub_codebook is None and not residual:
         sub_codebook = pq_subspace_codebook(
@@ -769,7 +770,7 @@ def ivfpq_topk(
             out["lut"] = luts
             yield out
 
-    assigned = assigned0.mapInPandas(_lut, lut_schema).localCheckpoint()
+    assigned = assigned0.mapInPandas(_lut, lut_schema).transform(_materialize)
     codes_expr = F.array(
         *[
             F.array_min(
@@ -965,11 +966,11 @@ def semantic_dedup(
     → SQL-replayable."""
     if n_cells is None:
         n_cells = auto_n_cells(vectors)
-    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).localCheckpoint()
+    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).transform(_materialize)
     assigned = (
         ivf_assign(vectors, cents, 1, id_col, vec_col)
         .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     keep = assigned.select(
         "cell_id",

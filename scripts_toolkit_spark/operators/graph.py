@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
 def roots(edges: DataFrame) -> DataFrame:
@@ -84,17 +85,26 @@ def expand_paths(
         # loop's separate jobs, so without this every iteration re-derives
         # the edge table from its source plan (a union+distinct in the
         # taxonomy pipelines — measured ~2× on the 13-hop bench entry)
-        edges = edges.localCheckpoint()
+        edges = edges.transform(_materialize)
         joined_edges = F.broadcast(edges)
     else:
         joined_edges = edges
     done: DataFrame | None = None
-    # Checkpoint + emptiness-probe every CHECK_EVERY hops, not every hop:
-    # both are driver-scheduled jobs, and on shallow taxonomies the loop is
-    # scheduling-bound, not compute-bound (r2 bench: 2 jobs/hop × 13 hops
-    # dominated hierarchy_paths_deep). Lineage between probes is bounded by
-    # CHECK_EVERY join layers; convergence is detected at most CHECK_EVERY-1
-    # hops late, where the extra hops join an empty (lazy, unexecuted) set.
+    # Checkpoint + convergence-probe every CHECK_EVERY hops, not every hop:
+    # driver-scheduled jobs dominate on shallow taxonomies (r2 bench:
+    # 2 jobs/hop × 13 hops dominated hierarchy_paths_deep). Lineage between
+    # probes is bounded by CHECK_EVERY join layers; convergence is detected
+    # at most CHECK_EVERY-1 hops late, where the extra hops join an empty
+    # (lazy, unexecuted) set.
+    #
+    # The probe itself is FUSED into the checkpoint job (round-5 verdict
+    # Next #7): an `observe()` metric counts still-open paths WHILE the
+    # materialization executes, so each probe is ONE job instead of the old
+    # checkpoint + isEmpty pair (~3 jobs/hop → 1-2; verified to fire under
+    # both localCheckpoint and durable checkpoint modes). Observation.get
+    # merely reads the finished job's metric — no extra scan.
+    from pyspark.sql import Observation
+
     CHECK_EVERY = 2
     converged = False
     for hop in range(max_depth):
@@ -110,11 +120,17 @@ def expand_paths(
             # AND materializes this hop's finished slice, so the final
             # `done` union only recomputes the (≤ CHECK_EVERY-1) lazy
             # mid-segment layers
-            stepped = stepped.localCheckpoint()
+            obs = Observation(f"open_paths_hop_{hop}")
+            stepped = stepped.observe(
+                obs,
+                F.sum(
+                    F.when(F.col("frontier") != F.lit(root), 1).otherwise(0)
+                ).alias("open"),
+            ).transform(_materialize)
         finished = stepped.where(F.col("frontier") == root).select("concept", "path")
         done = finished if done is None else done.unionByName(finished)
         paths = stepped.where(F.col("frontier") != root)
-        if probe and paths.isEmpty():
+        if probe and not (obs.get["open"] or 0):
             converged = True
             break
     if not converged:
@@ -217,13 +233,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint()
+        .transform(_materialize)
     )
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -252,7 +268,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint()
+            .transform(_materialize)
         )
         # convergence probe: a trivial scan-and-agg over the partitions the
         # checkpoint just materialized — no join, no second plan of the
@@ -329,7 +345,7 @@ def pagerank_fixed_point(
         edges.select(F.col(src_col).alias("node"))
         .union(edges.select(F.col(dst_col).alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(_materialize)
     )
     n = nodes.count()
     r0 = scale // max(n, 1)
@@ -339,7 +355,7 @@ def pagerank_fixed_point(
             edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg")), src_col
         )
         .select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"), "outdeg")
-        .localCheckpoint()
+        .transform(_materialize)
     )
 
     def _exact_div(num: Column, den: Column) -> Column:
@@ -365,6 +381,6 @@ def pagerank_fixed_point(
                     )
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .transform(_materialize)
         )
     return ranks

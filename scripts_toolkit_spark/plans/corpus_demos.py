@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
 def canonical_text_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,7 +910,7 @@ def document_chunks_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the token arrays: size + the per-chunk slices reference
     # `toks` several times and projection collapse would re-run the whole
     # BPE encode chain per reference
-    d = d.select("doc_id", toks.alias("toks")).localCheckpoint()
+    d = d.select("doc_id", toks.alias("toks")).transform(_materialize)
     n = F.size("toks")
     n_chunks = F.greatest(
         F.ceil((n - F.lit(_OVERLAP)).cast("double") / F.lit(_STRIDE)).cast("int"),
@@ -1057,8 +1058,8 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     ).dropDuplicates(["doc_id", "split", "h"])
-    train = sh.where(F.col("split") == "train").select("doc_id", "h").localCheckpoint()
-    ev = sh.where(F.col("split") == "test").select("h").distinct().localCheckpoint()
+    train = sh.where(F.col("split") == "train").select("doc_id", "h").transform(_materialize)
+    ev = sh.where(F.col("split") == "test").select("h").distinct().transform(_materialize)
 
     parr = F.array(*[_bloom_pos(F.col("h"), j) for j in range(_BLOOM_K)])
     bits = (
@@ -1185,7 +1186,7 @@ def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lowercase ONCE behind a materialization boundary: referenced from
     # inside the per-position transform lambda, an inline lower(text)
     # re-lowercases the whole document per trigram element
-    low = d.select("doc_id", "lang", F.lower("text").alias("lt")).localCheckpoint()
+    low = d.select("doc_id", "lang", F.lower("text").alias("lt")).transform(_materialize)
     t = F.col("lt")
     # Short-doc guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
     # (emitting bogus grams for docs under 3 chars) where DuckDB's
@@ -1198,7 +1199,7 @@ def charngram_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.substring(t, i, F.lit(3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    doc_grams = low.select("doc_id", "lang", F.explode(grams).alias("g")).localCheckpoint()
+    doc_grams = low.select("doc_id", "lang", F.explode(grams).alias("g")).transform(_materialize)
     w = Window.partitionBy("plang").orderBy(F.desc("cnt"), F.asc("g"))
     profiles = (
         doc_grams.groupBy(F.col("lang").alias("plang"), "g")

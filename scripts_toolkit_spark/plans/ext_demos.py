@@ -16,6 +16,7 @@ from scripts_toolkit_spark.ext import similarity as SIM
 from scripts_toolkit_spark.ext import text as TX
 from scripts_toolkit_spark.ext.multimodal import binary_table_from_text, extract_features
 from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 _DOCS_WITH_DUPS_SQL = """
   SELECT doc_id, text FROM documents
@@ -196,7 +197,7 @@ def incremental_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    sig = DS._signatures(docs, "text", "doc_id", _K, _PERMS, _BANDS).localCheckpoint()
+    sig = DS._signatures(docs, "text", "doc_id", _K, _PERMS, _BANDS).transform(_materialize)
     banded = DS._banded(sig)
     a = banded.select(
         F.col("doc_id").alias("id_a"), F.col("sset").alias("set_a"), "band", "key"
@@ -230,7 +231,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters with a recursive transitive-closure CTE."""
     from scripts_toolkit_spark.operators.graph import connected_components
 
-    pairs = minhash_near_dups(spark, sf_dir).localCheckpoint()
+    pairs = minhash_near_dups(spark, sf_dir).transform(_materialize)
     comp = connected_components(pairs)
     # members is a comma-joined STRING, not array<bigint>: the driver's
     # canonicalizer pandas-sorts result cells and chokes on unhashable list
@@ -472,7 +473,7 @@ def ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dequantized image — left lazy, the quantization computes twice
     deq = qt.select(
         "vec_id", SIM.dequantize(F.col("q"), F.col("q_scale")).alias("embedding")
-    ).localCheckpoint()
+    ).transform(_materialize)
     return SIM.brute_force_topk(
         deq.where(F.col("vec_id") < _ANN_EXACT_MAX_QUERIES), deq, k=3
     )
@@ -1282,14 +1283,14 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h = docs.select(
         "doc_id", TX.kgram_hashes("text", _WIN_K).alias("h")
-    ).localCheckpoint()
+    ).transform(_materialize)
     fps = h.select(
         "doc_id", F.explode(TX.winnow_min_hashes(F.col("h"), _WIN_W)).alias("fp")
     )
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _WIN_MAX_DF
     )
-    sel = fps.join(keep.select("fp"), "fp").localCheckpoint()
+    sel = fps.join(keep.select("fp"), "fp").transform(_materialize)
     a = sel.select(F.col("doc_id").alias("id_a"), "fp")
     b = sel.select(F.col("doc_id").alias("id_b"), "fp")
     return (
@@ -1352,7 +1353,7 @@ def incremental_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") % 8 == 0)
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    fps = WS._fingerprints(docs, "text", "doc_id", _WIN_K, _WIN_W).localCheckpoint()
+    fps = WS._fingerprints(docs, "text", "doc_id", _WIN_K, _WIN_W).transform(_materialize)
     a = fps.select(F.col("doc_id").alias("id_a"), "fp")
     b = fps.select(F.col("doc_id").alias("id_b"), "fp")
     return (

@@ -13,6 +13,7 @@ from scripts_toolkit_spark.ext import dedup as DD
 from scripts_toolkit_spark.ext import similarity as SIM
 from scripts_toolkit_spark.ext.similarity import cosine
 from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 # LSH-bucket tuning for the embedding near-dup demo: planted near-dups sit
 # at cos ≈ 0.95 (θ ≈ 17°, per-plane collision p ≈ 0.9) → per-table p^8 ≈
@@ -64,7 +65,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both join legs — left lazy, Catalyst inlines the projection per
     # reference (CLAUDE.md rule; measured on the minhash pipeline).
     parallelism = spark.sparkContext.defaultParallelism
-    corpus = corpus.repartition(parallelism).localCheckpoint()
+    corpus = corpus.repartition(parallelism).transform(_materialize)
 
     keys = F.array(
         *[
@@ -141,7 +142,7 @@ def embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive transitive-closure CTE over the identical pair set."""
     from scripts_toolkit_spark.operators.graph import connected_components
 
-    pairs = embedding_near_dup_pairs(spark, sf_dir).localCheckpoint()
+    pairs = embedding_near_dup_pairs(spark, sf_dir).transform(_materialize)
     comp = connected_components(pairs)
     # members: comma-joined string — no complex types in registered outputs
     # (tests/test_registry.py::test_no_complex_types_in_outputs)
@@ -220,7 +221,7 @@ def char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 DD.minhash_signature(F.col("gset"), _CNG_PERMS), _CNG_BANDS, _CNG_ROWS
             ).alias("bands"),
         )
-        .localCheckpoint()
+        .transform(_materialize)
     )
     banded = g.select(
         "doc_id", F.size("gset").alias("n"), F.explode("bands").alias("b")
@@ -662,7 +663,7 @@ def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell equi-join — never all-pairs. The oracle replays the centroid
     pick, nearest-cell assignment and in-cell verify in SQL."""
     corpus = _embeddings_with_dups(spark, sf_dir)
-    corpus = corpus.repartition(spark.sparkContext.defaultParallelism).localCheckpoint()
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism).transform(_materialize)
     return SIM.semantic_dedup(corpus, n_cells=None, tau=_EMB_TAU, vec_col="v")
 
 
@@ -750,7 +751,7 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["fp_hi"].append(sum(b << i for i, b in enumerate(bits[32:])))
             yield pd.DataFrame(out)
 
-    fp = pix.mapInPandas(_hash, "vec_id bigint, fp_hi bigint, fp_lo bigint").localCheckpoint()
+    fp = pix.mapInPandas(_hash, "vec_id bigint, fp_hi bigint, fp_lo bigint").transform(_materialize)
     cand = DD.simhash64_candidates(fp, id_col="vec_id", max_hamming=6)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
         F.col("la").bitwiseXOR(F.col("lb"))
@@ -830,7 +831,7 @@ def audio_fingerprint_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fp = qt.select("vec_id", "q").mapInPandas(
         _hash, "vec_id bigint, fp_hi bigint, fp_lo bigint"
-    ).localCheckpoint()
+    ).transform(_materialize)
     cand = DD.simhash64_candidates(fp, id_col="vec_id", max_hamming=6)
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) + F.bit_count(
         F.col("la").bitwiseXOR(F.col("lb"))

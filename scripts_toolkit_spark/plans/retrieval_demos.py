@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 from scripts_toolkit_spark.ext import retrieval as R
 from scripts_toolkit_spark.io.catalog import load_table
 from scripts_toolkit_spark.operators.linkage import blocked_levenshtein_join
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 # Mid-frequency corpus terms (the synthetic vocabulary is closed, so these
 # exist at every SF).
@@ -310,7 +311,7 @@ def name_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("name_a") < F.col("name_b"))
         .select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
-        .localCheckpoint()
+        .transform(_materialize)
     )
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))

@@ -7,18 +7,24 @@ ORDERING CONTRACT: the driver's correctness gate samples the FIRST 50
 registered queries in registration order. Every query that is NEW or
 MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
-round-4 newcomers registered past it). Round 5 therefore leads with
-TIER 1 = the round-5 new/changed queries (46 by round close: waves 2-5 —
-retrieval, linkage, SCD2/CDC, data-quality, semantic dedup, perceptual
-media dedup, statistics/experimentation, temporal/event analytics —
-ahead of the 16 wave-1 rows; the first-50 sample window covers every
-wave-2-5 newcomer plus the wave-1 rows through the ANN family, whose
-shared Arrow-kernel helpers changed in wave 4), then
-TIER 2 = the round-4 window rows (their only driver evidence is
-CORRECTNESS_r04), then the long-green tier. `tests/test_registry_order.py`
-enforces the rule mechanically against a committed source-hash manifest;
-regenerate it with `python tools/update_registry_manifest.py` after
-rotating.
+round-4 newcomers registered past it).
+
+Round-6 window: the round-6 NEW rows (ann_index_build,
+ann_topk_incremental) and every materially CHANGED row — charngram_lang_id
+(short-doc guard), the ANN family (per-cell ADC shortlists),
+simhash64_near_dups (corpus-size-aware block layout), the winnow pair
+(kgram short-doc guard), the hierarchy trio (expand_paths' fused
+convergence probe — a graph.py helper change the fn-source hash cannot
+see, rotated manually per the CLAUDE.md rule) — plus the round-5 rows
+whose only driver evidence is CORRECTNESS_r05. The round-6 materialize()
+boundary swap textually touched nearly every plan; it is physically
+identical in default mode (test_materialize_modes pins result equality),
+so one representative (embedding_near_dup_pairs) holds a window seat for
+the swap class and the other three textual-only rows
+(char_ngram_jaccard, ann_topk_int8, embedding_dup_clusters) stay parked
+past the window. `tests/test_registry_order.py` enforces the rule
+mechanically against a committed source-hash manifest; regenerate it with
+`python tools/update_registry_manifest.py` after rotating.
 """
 
 from __future__ import annotations
@@ -37,20 +43,6 @@ from scripts_toolkit_spark.plans import ext_demos as xd
 # exact decimal sufficient statistics, MAD robust outliers
 from scripts_toolkit_spark.plans import analytics6 as a6
 
-register("top_events_by_value", a6.top_events_by_value, a6.TOP_EVENTS_BY_VALUE_SQL)
-register(
-    "value_trend_by_event_type", a6.value_trend_by_event_type, a6.VALUE_TREND_BY_EVENT_TYPE_SQL
-)
-register(
-    "mad_outliers_by_event_type", a6.mad_outliers_by_event_type, a6.MAD_OUTLIERS_BY_EVENT_TYPE_SQL
-)
-register("corr_matrix_lineitem", a6.corr_matrix_lineitem, a6.CORR_MATRIX_LINEITEM_SQL)
-# NEW (r5 wave 4): gap-filled time-series resampling + Zipf spectrum fit;
-# streaming CDC upsert store lives in streaming/upsert_stream.py (pytest)
-register(
-    "resampled_event_timeline", a6.resampled_event_timeline, a6.RESAMPLED_EVENT_TIMELINE_SQL
-)
-register("zipf_fit_tokens", a6.zipf_fit_tokens, a6.ZIPF_FIT_TOKENS_SQL)
 # NEW (r5 wave 4): perceptual image dedup — decoded-pixel dHash paired via
 # the simhash64 multi-block combination machinery
 from scripts_toolkit_spark.plans import ext_demos2 as _x2img
@@ -173,11 +165,41 @@ register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTA
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
 register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
 register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
+# CHANGED (r6): expand_paths fused its convergence probe into the
+# checkpoint job via observe() (operators/graph.py — a helper change the
+# fn-source hash cannot see, rotated in per the CLAUDE.md manual rule)
+from scripts_toolkit_spark.plans import taxonomy as _tax
+
+register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
+register("hierarchy_paths_deep", _tax.hierarchy_paths_deep, _tax.HIERARCHY_PATHS_DEEP_SQL)
+register("hierarchy_classify", _tax.hierarchy_classify, _tax.HIERARCHY_CLASSIFY_SQL)
+# CHANGED (r6, mechanical): the materialize() boundary swap (durable-
+# checkpoint flag) textually touched several past-window functions; the
+# window is oversubscribed this round, so ONE representative of the swap
+# class is driver-sampled here — the rest (char_ngram_jaccard,
+# ann_topk_int8, embedding_dup_clusters) are physically identical in
+# default mode and covered by test_materialize_modes' result-equality.
+register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMBEDDING_NEAR_DUP_PAIRS_SQL)
 
 # ============================================================================
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
 # keep them sampled while the window has room).
 # ============================================================================
+
+# r5-new statistics rows displaced from the window by the r6 rotation —
+# UNCHANGED since their green CORRECTNESS_r05 samples.
+register("top_events_by_value", a6.top_events_by_value, a6.TOP_EVENTS_BY_VALUE_SQL)
+register(
+    "value_trend_by_event_type", a6.value_trend_by_event_type, a6.VALUE_TREND_BY_EVENT_TYPE_SQL
+)
+register(
+    "mad_outliers_by_event_type", a6.mad_outliers_by_event_type, a6.MAD_OUTLIERS_BY_EVENT_TYPE_SQL
+)
+register("corr_matrix_lineitem", a6.corr_matrix_lineitem, a6.CORR_MATRIX_LINEITEM_SQL)
+register(
+    "resampled_event_timeline", a6.resampled_event_timeline, a6.RESAMPLED_EVENT_TIMELINE_SQL
+)
+register("zipf_fit_tokens", a6.zipf_fit_tokens, a6.ZIPF_FIT_TOKENS_SQL)
 
 # ---- correlated/distinct shapes, sampling, grouped-map applyInPandas -------
 from scripts_toolkit_spark.plans import analytics2 as a2
@@ -192,7 +214,6 @@ register("zscore_by_event_type", a2.zscore_by_event_type, a2.ZSCORE_BY_EVENT_TYP
 # ---- embedding near-dup, char-ngram jaccard, percentiles, grouping sets ----
 from scripts_toolkit_spark.plans import ext_demos2 as x2
 
-register("embedding_near_dup_pairs", x2.embedding_near_dup_pairs, x2.EMBEDDING_NEAR_DUP_PAIRS_SQL)
 register("char_ngram_jaccard", x2.char_ngram_jaccard, x2.CHAR_NGRAM_JACCARD_SQL)
 register("value_percentiles", x2.value_percentiles, x2.VALUE_PERCENTILES_SQL)
 register(
@@ -322,9 +343,8 @@ register("part_first_word_join", jd.part_first_word_join, jd.PART_FIRST_WORD_JOI
 # ---- hierarchy/graph: leaf discovery, path expansion, classification (§2.8) -
 from scripts_toolkit_spark.plans import taxonomy as tx
 
-register("hierarchy_paths", tx.hierarchy_paths, tx.HIERARCHY_PATHS_SQL)
-register("hierarchy_paths_deep", tx.hierarchy_paths_deep, tx.HIERARCHY_PATHS_DEEP_SQL)
-register("hierarchy_classify", tx.hierarchy_classify, tx.HIERARCHY_CLASSIFY_SQL)
+# (hierarchy_paths / hierarchy_paths_deep / hierarchy_classify rotated to
+# tier 1 in r6 — expand_paths' fused convergence probe)
 
 # ---- ordered/stateful + windows (§2.9 T1-T4, §2.10) ------------------------
 from scripts_toolkit_spark.plans import stateful_demos as sd

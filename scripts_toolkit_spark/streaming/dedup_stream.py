@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.ext.dedup import lsh_bands, minhash_signature, word_shingles
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 SIG_SCHEMA = (
     "doc_id bigint, sset array<string>, "
@@ -95,8 +96,8 @@ def make_batch_processor(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        sig = _signatures(batch, text_col, id_col, k, perms, bands).localCheckpoint()
-        new_banded = _banded(sig).localCheckpoint()
+        sig = _signatures(batch, text_col, id_col, k, perms, bands).transform(_materialize)
+        new_banded = _banded(sig).transform(_materialize)
 
         try:
             store = spark.read.schema(SIG_SCHEMA).parquet(store_path)

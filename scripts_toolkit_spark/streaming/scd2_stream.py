@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scripts_toolkit_spark.operators.spans import scd2_intervals
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 _RUN_FIELDS = ("attr", "valid_from", "valid_to", "n_rows")
 
@@ -70,7 +71,7 @@ def make_scd2_processor(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        runs = scd2_intervals(batch, key, attr, order_by, ts).localCheckpoint()
+        runs = scd2_intervals(batch, key, attr, order_by, ts).transform(_materialize)
         wk = Window.partitionBy(key)
         runs = runs.withColumn("__maxv", F.max("version").over(wk))
         prev = _latest_open(spark, store_path, batch_id, open_schema)

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
 def _batch_delta(batch: DataFrame, key: str, op: Column, order_by: list[str]) -> DataFrame:
@@ -127,7 +128,7 @@ def compact(
         .where(F.col("__rn") == 1)
         .drop("__rn")
         .withColumn("batch_id", F.lit(up_to_batch))
-        .localCheckpoint()  # materialize BEFORE overwriting the partition read from
+        .transform(_materialize)  # materialize BEFORE overwriting the partition read from
     )
     (
         folded.write.mode("overwrite")

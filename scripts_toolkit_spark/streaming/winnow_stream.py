@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.ext.text import kgram_hashes, winnow_min_hashes
+from scripts_toolkit_spark.materialize import materialize as _materialize
 
 FP_SCHEMA = "doc_id bigint, fp bigint, batch_id bigint"
 
@@ -45,7 +46,7 @@ def _fingerprints(
 ) -> DataFrame:
     h = docs.select(
         F.col(id_col).alias("doc_id"), kgram_hashes(text_col, k).alias("h")
-    ).localCheckpoint()
+    ).transform(_materialize)
     return h.select(
         "doc_id", F.explode(winnow_min_hashes(F.col("h"), window)).alias("fp")
     )
@@ -64,7 +65,7 @@ def make_batch_processor(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        fps = _fingerprints(batch, text_col, id_col, k, window).localCheckpoint()
+        fps = _fingerprints(batch, text_col, id_col, k, window).transform(_materialize)
 
         try:
             store = spark.read.schema(FP_SCHEMA).parquet(store_path)

@@ -111,6 +111,7 @@ def ivf_assign(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_rank: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its `n_probe` nearest
     centroids (by the deterministic sequential-fold dot). Searching with
@@ -128,7 +129,13 @@ def ivf_assign(
     Beyond the cap (√N-scaled cell counts at corpus scale) it falls back
     to the broadcast cross join + window. Ordering parity: ties on aff
     (−0.0 == 0.0, no NaN for finite inputs) break on the lower cell_id,
-    exactly the window's orderBy(aff desc, cell_id asc)."""
+    exactly the window's orderBy(aff desc, cell_id asc).
+
+    `with_rank=True` appends the probe rank (1 = home) as `probe_rank` —
+    free in both paths (the kernel already has the argsort order; the
+    fallback already computes the row_number) — so a probe-ladder sweep
+    can slice ONE max-n_probe assignment instead of re-assigning per
+    level."""
     rows = sorted(
         (int(r["cell_id"]), list(r["centroid"]))
         for r in centroids.select("cell_id", "centroid").collect()
@@ -163,6 +170,7 @@ def ivf_assign(
                 StructField("cell_id", IntegerType(), False),
                 StructField("is_home", BooleanType(), False),
             ]
+            + ([StructField("probe_rank", IntegerType(), False)] if with_rank else [])
         )
 
         def _assign(pdf_iter):
@@ -177,14 +185,17 @@ def ivf_assign(
                 for i in range(1, cents_np.shape[1]):
                     acc = acc + X[:, i][:, None] * cents_np[None, :, i]
                 order = np.argsort(-acc, axis=1, kind="stable")[:, :k_eff]
-                yield pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy().repeat(k_eff),
-                        vec_col: pdf[vec_col].to_numpy().repeat(k_eff),
-                        "cell_id": cell_ids_np[order].reshape(-1),
-                        "is_home": np.tile(np.arange(k_eff) == 0, n),
-                    }
-                )
+                cols = {
+                    id_col: pdf[id_col].to_numpy().repeat(k_eff),
+                    vec_col: pdf[vec_col].to_numpy().repeat(k_eff),
+                    "cell_id": cell_ids_np[order].reshape(-1),
+                    "is_home": np.tile(np.arange(k_eff) == 0, n),
+                }
+                if with_rank:
+                    cols["probe_rank"] = np.tile(
+                        (np.arange(k_eff) + 1).astype(np.int32), n
+                    )
+                yield pd.DataFrame(cols)
 
         return vectors.select(id_col, vec_col).mapInPandas(_assign, out_schema)
     c = F.broadcast(centroids.select("cell_id", F.col("centroid")))
@@ -195,10 +206,10 @@ def ivf_assign(
         _dot(F.col(vec_col), F.col("centroid")).alias("aff"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("aff"), F.asc("cell_id"))
-    return (
-        scored_df.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= n_probe)
-        .select(id_col, vec_col, "cell_id", (F.col("r") == 1).alias("is_home"))
+    ranked = scored_df.withColumn("r", F.row_number().over(w)).where(F.col("r") <= n_probe)
+    rank_cols = [F.col("r").cast("int").alias("probe_rank")] if with_rank else []
+    return ranked.select(
+        id_col, vec_col, "cell_id", (F.col("r") == 1).alias("is_home"), *rank_cols
     )
 
 

@@ -894,6 +894,145 @@ FROM ranked WHERE rank <= 3
 """
 
 
+_PROBE_LADDER = (1, 2, 4, 8)
+
+
+def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF n_probe TUNING from one assignment pass (round-5 verdict Next
+    #2: report the probe/recall trade like dedup_threshold_sweep): assign
+    every vector to its 8 nearest cells ONCE with probe ranks, then slice
+    the same candidate frame per ladder level — cost = candidate pairs
+    across ALL queries, quality = recall@3 of the BOUNDED exact baseline
+    (vec_id < 128, the ann_topk_cosine linearity guard). The knob-sweep
+    an operator runs before committing an n_probe corpus-wide, at the cost
+    of one pipeline run: the ladder is an explode over the candidate
+    frame, not a re-assignment per level.
+
+    Plan shape: literal-codebook assignment (no shuffle) → equi-join on
+    cell_id → two hash aggregates; the only nested-loop is the one-row
+    total_exact scalar crossJoin (exempt pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = SIM.auto_n_cells(emb)
+    cents = SIM.deterministic_centroids(emb, n_cells).transform(_materialize)
+    assigned = SIM.ivf_assign(emb, cents, 8, with_rank=True).transform(_materialize)
+    home = assigned.where(F.col("is_home")).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    )
+    probes = assigned.select(
+        F.col("vec_id").alias("query_id"), "cell_id", "probe_rank"
+    )
+    # home-only corpus leg ⇒ one row per (query, neighbor) pair, carrying
+    # the probe rank at which the query first reaches the neighbor's cell
+    cand = (
+        probes.join(home, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "probe_rank")
+        .transform(_materialize)
+    )
+    ladder = F.array(*[F.lit(p) for p in _PROBE_LADDER])
+    cost = (
+        cand.select("probe_rank", F.explode(ladder).alias("n_probe"))
+        .where(F.col("probe_rank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    )
+    exact = SIM.brute_force_topk(
+        emb.where(F.col("vec_id") < _ANN_EXACT_MAX_QUERIES), emb, k=3
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(cand, ["query_id", "neighbor_id"])
+        .select("probe_rank", F.explode(ladder).alias("n_probe"))
+        .where(F.col("probe_rank") <= F.col("n_probe"))
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    tot = exact.agg(F.count(F.lit(1)).alias("total_exact"))
+    return (
+        cost.join(hits, "n_probe", "left")
+        .crossJoin(tot)
+        .select(
+            "n_probe",
+            "n_candidate_pairs",
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            F.round(
+                F.coalesce("n_exact_hits", F.lit(0)).cast("double")
+                / F.col("total_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+ANN_PROBE_SWEEP_SQL = f"""
+WITH nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT n FROM nc)
+),
+centv AS (
+  SELECT cell_id, embedding AS centroid FROM cents JOIN embeddings USING (vec_id)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM embeddings e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
+  FROM aff
+  QUALIFY r <= 8
+),
+home AS (SELECT vec_id AS neighbor_id, cell_id FROM assigned WHERE r = 1),
+cand AS (
+  SELECT q.vec_id AS query_id, h.neighbor_id, q.r AS probe_rank
+  FROM assigned q JOIN home h USING (cell_id)
+  WHERE q.vec_id <> h.neighbor_id
+),
+ladder AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+cost AS (
+  SELECT n_probe, COUNT(*) AS n_candidate_pairs
+  FROM cand CROSS JOIN ladder WHERE probe_rank <= n_probe GROUP BY n_probe
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+    sqrt(list_reduce(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS na,
+    sqrt(list_reduce(list_transform(range(1, 65),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < {_ANN_EXACT_MAX_QUERIES} AND a.vec_id <> b.vec_id
+),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, neighbor_id) AS rank
+    FROM pairs
+  ) WHERE rank <= 3
+),
+tot AS (SELECT COUNT(*) AS total_exact FROM exact),
+hits AS (
+  SELECT n_probe, COUNT(*) AS n_exact_hits
+  FROM exact e JOIN cand c USING (query_id, neighbor_id)
+  CROSS JOIN ladder
+  WHERE c.probe_rank <= n_probe GROUP BY n_probe
+)
+SELECT c.n_probe,
+  CAST(c.n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+  CAST(coalesce(h.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+  ROUND(CAST(coalesce(h.n_exact_hits, 0) AS DOUBLE) / (SELECT total_exact FROM tot), 6) AS recall
+FROM cost c LEFT JOIN hits h USING (n_probe)
+"""
+
+
 # ----------------------------------------------------------- text analysis -
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counts, quality score, language-ID, order-sensitive fingerprint

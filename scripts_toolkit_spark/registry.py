@@ -50,11 +50,11 @@ from scripts_toolkit_spark.plans import ext_demos2 as _x2img
 register(
     "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
 )
-register(
-    "audio_fingerprint_near_dups",
-    _x2img.audio_fingerprint_near_dups,
-    _x2img.AUDIO_FINGERPRINT_NEAR_DUPS_SQL,
-)
+# NEW (r6): IVF n_probe tuning report — one ranked assignment pass sliced
+# per ladder level, candidate cost vs bounded-exact recall@3 (the sweep
+# the round-5 verdict asked for; audio_fingerprint_near_dups ceded its
+# window seat — r5-green, unchanged materially)
+register("ann_probe_sweep", xd.ann_probe_sweep, xd.ANN_PROBE_SWEEP_SQL)
 # NEW (r5 wave 4): entity-resolution capstone (fuzzy pairs → components →
 # golden record) + distribution window functions (ntile/percent_rank/cume)
 from scripts_toolkit_spark.plans import retrieval_demos as rv
@@ -215,6 +215,11 @@ register("zscore_by_event_type", a2.zscore_by_event_type, a2.ZSCORE_BY_EVENT_TYP
 from scripts_toolkit_spark.plans import ext_demos2 as x2
 
 register("char_ngram_jaccard", x2.char_ngram_jaccard, x2.CHAR_NGRAM_JACCARD_SQL)
+register(
+    "audio_fingerprint_near_dups",
+    x2.audio_fingerprint_near_dups,
+    x2.AUDIO_FINGERPRINT_NEAR_DUPS_SQL,
+)
 register("value_percentiles", x2.value_percentiles, x2.VALUE_PERCENTILES_SQL)
 register(
     "embedding_quantization_stats",

@@ -154,6 +154,7 @@ _BNLJ_ALLOWLIST = {
     "bigram_pmi_collocations": "scalar bigram-total attach (one row)",
     "hll_set_ops": "one-row exact-counts x one-row sketch attach",
     "chisq_event_type_bucket": "scalar grand-total attach (one row)",
+    "ann_probe_sweep": "scalar total_exact attach (one row) + bounded exact baseline (query cap)",
 }
 
 

@@ -1,0 +1,110 @@
+"""Streaming assign-only ANN ingestion == batch index build, and
+streaming matches == batch search against the earlier slice
+(streaming/ann_stream.py). Mirrors the dedup_stream equivalence
+discipline: vectors arrive across several files, the model is trained
+ONCE before the stream starts, and every batch is matched against
+everything ingested before it."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.ext.ann_index import build_ann_index
+from scripts_toolkit_spark.ext.similarity import (
+    auto_n_cells,
+    deterministic_centroids,
+    normalize_vectors,
+)
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.streaming.ann_stream import (
+    make_ann_ingest_processor,
+    start_ann_ingest,
+)
+
+
+def _setup(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where("vec_id % 3 = 0")
+    second = emb.where("vec_id % 3 <> 0")
+    # model trained once, offline, on the first slice
+    normed = normalize_vectors(first).localCheckpoint()
+    cents = deterministic_centroids(normed, auto_n_cells(normed)).localCheckpoint()
+    index_path = str(tmp_path / "ix")
+    cents.write.parquet(index_path + "/centroids")
+    src = str(tmp_path / "vec_in")
+    first.coalesce(1).write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+    return emb, cents, index_path, src
+
+
+def test_stream_store_matches_batch(spark, sf_dir, tmp_path):
+    emb, cents, index_path, src = _setup(spark, sf_dir, tmp_path)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest(
+        stream,
+        index_path=index_path,
+        matches_path=str(tmp_path / "matches"),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=3,
+    )
+    q.awaitTermination()
+
+    # 1. store parity: the streamed store must be row-identical to a
+    # one-shot batch build over the full corpus with the SAME model
+    one_path = str(tmp_path / "oneshot")
+    build_ann_index(emb, one_path, centroids=cents)
+    streamed = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert streamed == oneshot
+    assert streamed, "degenerate: empty store"
+
+    # 2. matches semantics: every match pairs a later-batch query with an
+    # EARLIER-batch neighbor, ranked cosine-descending per query
+    rows = spark.read.parquet(str(tmp_path / "matches")).collect()
+    assert rows, "degenerate: no cross-batch matches"
+    assert all(r["query_id"] % 3 != 0 and r["neighbor_id"] % 3 == 0 for r in rows)
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for _q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_ingest_replay_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once foreachBatch: re-invoking the processor with the SAME
+    (batch, batch_id) must leave both sinks byte-identical (dynamic
+    partition overwrite), never duplicated."""
+    emb, cents, index_path, _src = _setup(spark, sf_dir, tmp_path)
+    proc = make_ann_ingest_processor(index_path, str(tmp_path / "matches"), k=3, n_probe=3)
+    b0 = emb.where("vec_id % 3 = 0")
+    b1 = emb.where("vec_id % 3 <> 0")
+    proc(b0, 0)
+    proc(b1, 1)
+    store1 = sorted(
+        (r["vec_id"], r["batch_id"]) for r in spark.read.parquet(index_path + "/vectors").collect()
+    )
+    matches1 = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    )
+    proc(b1, 1)  # replay the second batch
+    store2 = sorted(
+        (r["vec_id"], r["batch_id"]) for r in spark.read.parquet(index_path + "/vectors").collect()
+    )
+    matches2 = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    )
+    assert store1 == store2
+    assert matches1 == matches2

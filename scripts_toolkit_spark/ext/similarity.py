@@ -590,6 +590,117 @@ def pq_codes(
     )
 
 
+def attach_pq_lut(
+    assigned: DataFrame,
+    cb_np,
+    m: int,
+    n_codes: int,
+    sub_dim: int,
+    vec_col: str = "embedding",
+    residual: bool = False,
+    cent_np=None,
+    cent_pos: dict | None = None,
+) -> DataFrame:
+    """Append the per-row ADC LUT column (`lut`, m·n_codes doubles:
+    lut[s·n_codes + code] = L2²(subvector_s, codeword)) in one Arrow
+    kernel pass over an `ivf_assign` frame — the shared engine of
+    `ivfpq_topk` and the stored-index compressed search
+    (`ann_index.search_index(use_pq=True)`).
+
+    Plain mode computes LUTs on HOME rows only (one LUT per vector);
+    residual mode on EVERY probe row from the vector's residual wrt that
+    row's cell (`cent_np`/`cent_pos` map cell_id → centroid). The
+    arithmetic is the same i-ascending float64 accumulation as `_l2sq`'s
+    sequential fold — bit-identical to the Catalyst expression, so code
+    assignments derived from the LUT equal `pq_codes`' join-based argmin
+    (pinned by test_stored_pq_search_equals_ivfpq)."""
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    lut_schema = StructType(
+        list(assigned.schema.fields) + [StructField("lut", ArrayType(DoubleType()), True)]
+    )
+    _m, _nc, _sd, _residual = m, n_codes, sub_dim, residual
+
+    def _lut(pdf_iter):
+        CB = cb_np.reshape(_m, _nc, _sd)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            luts = [None] * len(pdf)
+            if _residual:
+                idx = np.arange(len(pdf))
+                cellpos = np.asarray(
+                    [cent_pos[int(c)] for c in pdf["cell_id"]], dtype=np.int64
+                )
+            else:
+                idx = np.nonzero(pdf["is_home"].to_numpy())[0]
+            for lo in range(0, len(idx), 1024):
+                chunk = idx[lo : lo + 1024]
+                V = np.asarray(
+                    [np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in chunk]
+                )
+                if _residual:
+                    V = V - cent_np[cellpos[chunk]]
+                V = V.reshape(len(chunk), _m, _sd)
+                diff = V[:, :, None, :] - CB[None, :, :, :]
+                sq = diff * diff
+                acc = sq[..., 0]
+                for i in range(1, _sd):
+                    acc = acc + sq[..., i]
+                flat = acc.reshape(len(chunk), _m * _nc)
+                for row_i, j_loc in enumerate(chunk):
+                    luts[j_loc] = flat[row_i]
+            out = pdf.copy()
+            out["lut"] = luts
+            yield out
+
+    return assigned.mapInPandas(_lut, lut_schema)
+
+
+def lut_codes_expr(m: int, n_codes: int) -> Column:
+    """argmin codes from a `lut` column: array of m codes, ties to the
+    lower code (array_min over (d2, code) structs ≡ orderBy d2, code)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.zip_with(
+                    F.slice("lut", s * n_codes + 1, n_codes),
+                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
+                    lambda d, c: F.struct(d.alias("d2"), c.alias("code")),
+                )
+            )["code"]
+            for s in range(m)
+        ]
+    )
+
+
+def pq_code_arrays(
+    vectors: DataFrame,
+    sub_codebook: DataFrame,
+    m: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, ncodes array<int>): the PQ encoding as ONE array per vector —
+    the storage layout a persisted index keeps (m small ints instead of
+    dim·8 bytes). Broadcast codebook join + aggregate argmin (map-side
+    combine), then one (vector) gather; same tiebreak as `pq_codes`."""
+    assigned = (
+        _pq_all_distances(vectors, sub_codebook, m, sub_dim, id_col, vec_col)
+        .groupBy(id_col, "s")
+        .agg(F.min(F.struct("d2", "code")).alias("b"))
+    )
+    return assigned.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", F.col("b.code").alias("code")))),
+            lambda e: e["code"].cast("int"),
+        ).alias("ncodes")
+    )
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     n_cells: int | None = 16,
@@ -739,63 +850,16 @@ def ivfpq_topk(
     # probe row in residual mode (one LUT per (vector, probed cell), each
     # from the vector's residual wrt that cell) — so ONE checkpoint serves
     # the corpus codes, the query LUT(s), and the cell assignment.
-    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
-
     cb_np = np.asarray([csub for _s, _code, csub in cb_rows], dtype=np.float64)
     assigned0 = ivf_assign(normed, cents, n_probe, id_col, vec_col)
-    lut_schema = StructType(
-        list(assigned0.schema.fields) + [StructField("lut", ArrayType(DoubleType()), True)]
-    )
-    _m, _nc, _sd, _residual = m, n_codes, sub_dim, residual
-
-    def _lut(pdf_iter):
-        CB = cb_np.reshape(_m, _nc, _sd)
-        for pdf in pdf_iter:
-            if len(pdf) == 0:
-                continue
-            luts = [None] * len(pdf)
-            if _residual:
-                idx = np.arange(len(pdf))
-                cellpos = np.asarray(
-                    [cent_pos[int(c)] for c in pdf["cell_id"]], dtype=np.int64
-                )
-            else:
-                idx = np.nonzero(pdf["is_home"].to_numpy())[0]
-            for lo in range(0, len(idx), 1024):
-                chunk = idx[lo : lo + 1024]
-                V = np.asarray(
-                    [np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in chunk]
-                )
-                if _residual:
-                    V = V - cent_np[cellpos[chunk]]
-                V = V.reshape(len(chunk), _m, _sd)
-                diff = V[:, :, None, :] - CB[None, :, :, :]
-                sq = diff * diff
-                acc = sq[..., 0]
-                for i in range(1, _sd):
-                    acc = acc + sq[..., i]
-                flat = acc.reshape(len(chunk), _m * _nc)
-                for row_i, j_loc in enumerate(chunk):
-                    luts[j_loc] = flat[row_i]
-            out = pdf.copy()
-            out["lut"] = luts
-            yield out
-
-    assigned = assigned0.mapInPandas(_lut, lut_schema).transform(_materialize)
-    codes_expr = F.array(
-        *[
-            F.array_min(
-                F.zip_with(
-                    F.slice("lut", s * n_codes + 1, n_codes),
-                    F.sequence(F.lit(0), F.lit(n_codes - 1)),
-                    lambda d, c: F.struct(d.alias("d2"), c.alias("code")),
-                )
-            )["code"]
-            for s in range(m)
-        ]
-    )
+    assigned = attach_pq_lut(
+        assigned0, cb_np, m, n_codes, sub_dim, vec_col,
+        residual=residual, cent_np=cent_np, cent_pos=cent_pos,
+    ).transform(_materialize)
     corpus = assigned.where(F.col("is_home")).select(
-        F.col(id_col).alias("neighbor_id"), "cell_id", codes_expr.alias("ncodes")
+        F.col(id_col).alias("neighbor_id"),
+        "cell_id",
+        lut_codes_expr(m, n_codes).alias("ncodes"),
     )
     queries = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
     if residual:

@@ -808,3 +808,41 @@ def test_ann_index_external_queries(spark, sf_dir, tmp_path):
         rs.sort()
         sims = [s for _, s in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_stored_pq_search_equals_ivfpq(spark, sf_dir, tmp_path):
+    """Compressed-domain search over the PERSISTED index must return
+    EXACTLY ivfpq_topk's rows when both use the same model (centroids +
+    seeded slice codebook): the stored `pq_code_arrays` encoding (Catalyst
+    fold argmin) and the kernel's LUT argmin are bit-identical by
+    construction, and the ADC/shortlist/rerank stages are the same
+    expressions."""
+    from scripts_toolkit_spark.ext.ann_index import build_ann_index, search_index
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        ivfpq_topk,
+        normalize_vectors,
+        pq_subspace_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = normalize_vectors(emb).localCheckpoint()
+    big = deterministic_centroids(normed, 64).localCheckpoint()
+    cents = big.where(F.col("cell_id") < 8).localCheckpoint()
+    cb = pq_subspace_codebook(
+        big.select(F.col("cell_id").alias("code"), "centroid"), m=4, sub_dim=16
+    ).localCheckpoint()
+
+    direct = ivfpq_topk(
+        emb, n_cells=8, n_probe=3, k=3, m=4, sub_dim=16, rerank_factor=8,
+        centroids=cents, sub_codebook=cb,
+    )
+    path = str(tmp_path / "pqix")
+    build_ann_index(emb, path, centroids=cents, sub_codebook=cb)
+    stored = search_index(spark, path, k=3, n_probe=3, use_pq=True, rerank_factor=8)
+
+    d = {tuple(r) for r in direct.collect()}
+    s = {tuple(r) for r in stored.collect()}
+    assert d == s
+    assert d, "degenerate: empty result"

@@ -71,7 +71,10 @@ def build_ann_index(
     centroids.write.mode("overwrite").parquet(path + "/centroids")
     stored = ivf_assign(normed, centroids, 1, id_col, vec_col).where(
         F.col("is_home")
-    ).select(id_col, vec_col, "cell_id").transform(_materialize)
+    ).select(id_col, vec_col, "cell_id")
+    if sub_codebook is not None:
+        # two consumers (the vectors write + the codes encoding) — cut once
+        stored = stored.transform(_materialize)
     stored.write.mode("overwrite").parquet(path + "/vectors")
     if sub_codebook is not None:
         # persist the PQ model AND the compressed corpus: m ints/vector is

@@ -877,3 +877,27 @@ def test_ivf_recall_on_clusterable_data(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.9, f"clustered-data IVF recall {recall:.2f}"
+
+
+def test_ivf_assign_fallback_matches_kernel(spark, sf_dir, monkeypatch):
+    """ivf_assign's two physical paths — the literal-codebook Arrow kernel
+    and the broadcast-crossJoin + window fallback (taken when cells×dim
+    exceeds the plan-literal cap) — must produce IDENTICAL assignments,
+    probe ranks included (the kernel's stable argsort is documented as
+    reproducing the window's (aff desc, cell_id asc) comparator)."""
+    from scripts_toolkit_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    cents = S.deterministic_centroids(emb, 8).localCheckpoint()
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cell_id"], r["is_home"], r["probe_rank"])
+            for r in df.collect()
+        )
+
+    kernel = rows(S.ivf_assign(emb, cents, n_probe=3, with_rank=True))
+    monkeypatch.setattr(S, "_IVF_LITERAL_MAX_DOUBLES", 0)
+    fallback = rows(S.ivf_assign(emb, cents, n_probe=3, with_rank=True))
+    assert kernel == fallback
+    assert kernel, "degenerate: empty assignment"

@@ -104,6 +104,37 @@ def current_state(
     )
 
 
+def state_as_of(
+    spark: SparkSession,
+    store_path: str,
+    key: str,
+    order_by: list[str],
+    as_of_batch: int,
+    delete_op: str = "D",
+) -> DataFrame:
+    """TIME TRAVEL: the latest state as it stood after batch
+    `as_of_batch` committed — the same latest-wins merge as
+    `current_state`, restricted to log partitions `batch_id ≤ as_of`.
+    The filter is on the PARTITION column, so the scan prunes to the
+    as-of prefix (no read amplification from later batches). Provably
+    equal to `apply_changelog` over the event prefix (pytest).
+
+    Horizon caveat (the lakehouse VACUUM trade): `compact(up_to)` folds
+    history below `up_to` into one partition, so as-of reads BELOW a
+    compaction point are no longer available — reads at or above it are
+    unchanged (pytest-pinned)."""
+    log = spark.read.parquet(store_path).where(F.col("batch_id") <= F.lit(as_of_batch))
+    w = Window.partitionBy(key).orderBy(
+        F.desc("batch_id"), *[F.desc(c) for c in order_by]
+    )
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .where((F.col("__rn") == 1) & (F.col("op") != delete_op))
+        .withColumnRenamed("op", "last_op")
+        .drop("__rn", "batch_id")
+    )
+
+
 def compact(
     spark: SparkSession,
     store_path: str,

@@ -103,3 +103,44 @@ def test_delete_masks_older_batches(spark, tmp_path):
     process(b2, 2)
     got = {r["k"]: (r["last_op"], r["v"]) for r in current_state(spark, store, "k", ["t"]).collect()}
     assert got == {1: ("I", 7.0), 2: ("U", 9.0)}
+
+
+def test_state_as_of_time_travel(spark, sf_dir, tmp_path):
+    """state_as_of(b) must equal apply_changelog over the event PREFIX
+    that had arrived by batch b — for every batch — and compaction keeps
+    as-of reads at/above the horizon unchanged while (documented trade)
+    history below it is folded away."""
+    from scripts_toolkit_spark.streaming.upsert_stream import state_as_of
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    ).limit(900)
+    thirds = ev.approxQuantile("event_id", [0.34, 0.67], 0.0)
+    slices = [
+        ev.where(F.col("event_id") <= thirds[0]),
+        ev.where((F.col("event_id") > thirds[0]) & (F.col("event_id") <= thirds[1])),
+        ev.where(F.col("event_id") > thirds[1]),
+    ]
+    store = str(tmp_path / "tt_store")
+    proc = make_upsert_processor(store, "user_id", _op(), ["ts", "event_id"])
+    for b, sl in enumerate(slices):
+        proc(sl, b)
+
+    prefix = None
+    for b, sl in enumerate(slices):
+        prefix = sl if prefix is None else prefix.unionByName(sl)
+        got = _state_rows(state_as_of(spark, store, "user_id", ["ts", "event_id"], b))
+        expected = _state_rows(
+            apply_changelog(prefix, "user_id", _op(), ["ts", "event_id"]).select(
+                "user_id", "last_op", "event_type", "ts", "value"
+            )
+        )
+        assert got == expected and got, f"as-of batch {b} mismatch"
+
+    before = _state_rows(state_as_of(spark, store, "user_id", ["ts", "event_id"], 1))
+    compact(spark, store, "user_id", ["ts", "event_id"], up_to_batch=1)
+    after = _state_rows(state_as_of(spark, store, "user_id", ["ts", "event_id"], 1))
+    assert before == after  # as-of AT the compaction horizon is unchanged
+    final = _state_rows(state_as_of(spark, store, "user_id", ["ts", "event_id"], 2))
+    full = _state_rows(current_state(spark, store, "user_id", ["ts", "event_id"]))
+    assert final == full

@@ -1,0 +1,112 @@
+"""Empirical scaling probe behind SCALING.md's "Measured scaling" note.
+
+Runs the flagship near-dup pipelines (minhash, simhash64) and the ANN
+family (exact-within-cells IVF, compressed-domain IVF-PQ) on 1×/4×/10×
+synthetic multiples of the sf0.1 corpus — each base row gains mult−1
+perturbed variants (appended token for text, rotated elements for
+vectors) so the workload grows in both input AND true-duplicate output —
+and prints best-of-2 wall times. No knobs are re-tuned between multiples;
+the corpus-size-aware pieces (simhash block layout, √N cell counts) adapt
+on their own, which is part of what the probe demonstrates.
+
+Usage: python tools/scale_probe.py [docs|ann|all]   (default: all)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+MULTS = (1, 4, 10)
+
+
+def _spark():
+    s = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _best2(fn) -> tuple[float, int]:
+    best, rows = None, 0
+    for _ in range(2):
+        t0 = time.time()
+        rows = fn().count()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best, rows
+
+
+def probe_docs(spark) -> None:
+    from scripts_toolkit_spark.ext.dedup import minhash_lsh_pairs, simhash64_pairs
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    for mult in MULTS:
+        parts = [docs] + [
+            docs.select(
+                (F.col("doc_id") + 10_000_000 * i).alias("doc_id"),
+                F.concat("text", F.lit(f" v{i}")).alias("text"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        for name, fn in (
+            ("minhash", lambda: minhash_lsh_pairs(c)),
+            ("simhash64", lambda: simhash64_pairs(c, max_hamming=6)),
+        ):
+            best, rows = _best2(fn)
+            print(f"mult={mult} n_docs={n} {name}: {best:.2f}s pairs={rows}", flush=True)
+
+
+def probe_ann(spark) -> None:
+    from scripts_toolkit_spark.ext.similarity import ivf_topk, ivfpq_topk
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for mult in MULTS:
+        parts = [emb] + [
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        for name, fn in (
+            ("ivf", lambda: ivf_topk(c, n_cells=None, n_probe=3, k=3)),
+            (
+                "ivfpq",
+                lambda: ivfpq_topk(
+                    c, n_cells=None, n_probe=4, k=3, m=4, sub_dim=16,
+                    rerank_factor=8, pq_n_codes=64,
+                ),
+            ),
+        ):
+            best, rows = _best2(fn)
+            print(f"mult={mult} n_vecs={n} {name}: {best:.2f}s rows={rows}", flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    spark = _spark()
+    if what in ("docs", "all"):
+        probe_docs(spark)
+    if what in ("ann", "all"):
+        probe_ann(spark)

@@ -339,3 +339,215 @@ FROM edges e1
 JOIN edges e2 ON e1.v = e2.u
 JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
 """
+
+
+# ----------------------------------------------------- hybrid RRF fusion ---
+# Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR'09 — the standard
+# hybrid-search combiner): rrf(d) = Σ_legs 1/(K + rank_leg(d)), K = 60.
+_RRF_K = 60
+_RRF_MAX_QUERIES = 64  # absolute, SF-independent query cap (linearity guard)
+_RRF_LEG_K = 20  # per-leg depth
+_RRF_TOP = 10  # fused results per query
+
+
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval for a BOUNDED query batch (id < 64, ids that exist
+    in BOTH `documents` and `embeddings`): fuse a LEXICAL leg (character-
+    5-gram Jaccard over the corpus-wide MinHash-banded candidates — the
+    char_ngram_jaccard machinery, per-query top-20) with a DENSE leg
+    (exact cosine top-20 over the embeddings corpus — the bounded
+    ann_topk_cosine shape) by reciprocal-rank fusion. A candidate missing
+    from one leg simply contributes nothing from it — exactly how hybrid
+    search degrades when a doc has no embedding (at sf0.1, 3 in 5 docs
+    don't) or no lexical overlap.
+
+    Scale shape: the lexical leg is the banded equi-join (no all-pairs);
+    the dense leg is bounded-queries × corpus (allowlisted, linear in
+    corpus); fusion is a per-(query, candidate) full-outer join of two
+    ≤20-row-per-query lists. Deterministic: exact Jaccard ratios,
+    sequential-fold cosine, fixed two-term RRF sum (lex + dense in that
+    literal order), every rank tiebroken on the candidate id; the output
+    score is rounded to 6 dp (repo float rule)."""
+    from scripts_toolkit_spark.ext import dedup as DD
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # ---- lexical leg: char-5-gram Jaccard via corpus-wide banding -------
+    def grams(c):
+        t = F.col(c)
+        n = F.length(t) - 4
+        idx = F.sequence(F.lit(1), F.greatest(n, F.lit(1)))
+        return F.array_distinct(
+            F.when(
+                F.length(t) >= 5,
+                F.transform(idx, lambda i: t.substr(i, F.lit(5))),
+            ).otherwise(F.array(t))
+        )
+
+    parallelism = spark.sparkContext.defaultParallelism
+    g = (
+        d.repartition(parallelism)
+        .select("doc_id", grams("text").alias("gset"))
+        .select(
+            "doc_id",
+            "gset",
+            DD.lsh_bands(DD.minhash_signature(F.col("gset"), 8), 4, 2).alias("bands"),
+        )
+        .transform(_materialize)
+    )
+    banded = g.select("doc_id", F.explode("bands").alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    qside = banded.where(F.col("doc_id") < _RRF_MAX_QUERIES).withColumnsRenamed(
+        {"doc_id": "query_id"}
+    )
+    lex_cand = (
+        qside.join(banded.withColumnsRenamed({"doc_id": "cand_id"}), ["band", "key"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    sets = g.select("doc_id", "gset")
+    lex_scored = (
+        lex_cand.join(
+            sets.withColumnsRenamed({"doc_id": "query_id", "gset": "gq"}), "query_id"
+        )
+        .join(sets.withColumnsRenamed({"doc_id": "cand_id", "gset": "gc"}), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                F.size(F.array_intersect("gq", "gc")).cast("double")
+                / F.size(F.array_union("gq", "gc")).cast("double")
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.2)
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("cand_id"))
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+        .where(F.col("lex_rank") <= _RRF_LEG_K)
+        .select("query_id", "cand_id", "lex_rank")
+    )
+
+    # ---- dense leg: bounded exact cosine over the embeddings corpus ----
+    from scripts_toolkit_spark.ext.similarity import brute_force_topk
+
+    dense = brute_force_topk(
+        emb.where(F.col("vec_id") < _RRF_MAX_QUERIES), emb, k=_RRF_LEG_K
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("cand_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+
+    # ---- fuse ----------------------------------------------------------
+    fused = (
+        lex.join(dense, ["query_id", "cand_id"], "full_outer")
+        .select(
+            "query_id",
+            "cand_id",
+            "lex_rank",
+            "dense_rank",
+            (
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")), F.lit(0.0)
+                )
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "cand_id",
+            "lex_rank",
+            "dense_rank",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+HYBRID_RRF_SEARCH_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(CASE WHEN length(text) >= 5
+      THEN list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))
+      ELSE [text] END) AS gset
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, gset,
+    [list_min(list_transform(gset, s -> md5(CAST(p AS VARCHAR) || '|' || s)))
+     FOR p IN range(8)] AS sig
+  FROM g
+),
+banded AS (
+  SELECT doc_id, b AS band,
+    md5(array_to_string(sig[b * 2 + 1 : b * 2 + 2], '#')) AS key
+  FROM sig, UNNEST(range(4)) AS t(b)
+),
+lex_cand AS (
+  SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS cand_id
+  FROM banded q JOIN banded c USING (band, key)
+  WHERE q.doc_id < {_RRF_MAX_QUERIES} AND q.doc_id <> c.doc_id
+),
+lex_scored AS (
+  SELECT query_id, cand_id,
+    CAST(len(list_intersect(a.gset, b.gset)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.gset, b.gset))) AS jaccard
+  FROM lex_cand
+  JOIN g a ON a.doc_id = query_id
+  JOIN g b ON b.doc_id = cand_id
+),
+lex AS (
+  SELECT query_id, cand_id, lex_rank FROM (
+    SELECT query_id, cand_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, cand_id) AS lex_rank
+    FROM lex_scored WHERE jaccard >= 0.2
+  ) WHERE lex_rank <= {_RRF_LEG_K}
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+    sqrt(list_reduce(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS na,
+    sqrt(list_reduce(list_transform(range(1, 65),
+      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS nb
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < {_RRF_MAX_QUERIES} AND a.vec_id <> b.vec_id
+),
+dense AS (
+  SELECT query_id, cand_id, dense_rank FROM (
+    SELECT query_id, cand_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY dot / (na * nb) DESC, cand_id) AS dense_rank
+    FROM pairs
+  ) WHERE dense_rank <= {_RRF_LEG_K}
+),
+fused AS (
+  SELECT
+    coalesce(l.query_id, d.query_id) AS query_id,
+    coalesce(l.cand_id, d.cand_id) AS cand_id,
+    l.lex_rank, d.dense_rank,
+    -- CAST to DOUBLE: a bare 1.0 is DECIMAL in DuckDB (decimal division)
+    -- where Spark's lit(1.0) is double
+    coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + l.lex_rank), CAST(0.0 AS DOUBLE))
+      + coalesce(CAST(1.0 AS DOUBLE) / ({_RRF_K} + d.dense_rank), CAST(0.0 AS DOUBLE)) AS rrf
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.cand_id = d.cand_id
+)
+SELECT query_id, cand_id, lex_rank, dense_rank,
+  ROUND(rrf, 6) AS rrf_score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS rank
+  FROM fused
+) WHERE rank <= {_RRF_TOP}
+"""

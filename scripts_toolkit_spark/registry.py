@@ -60,7 +60,10 @@ register("ann_probe_sweep", xd.ann_probe_sweep, xd.ANN_PROBE_SWEEP_SQL)
 from scripts_toolkit_spark.plans import retrieval_demos as rv
 
 register("entity_golden_records", rv.entity_golden_records, rv.ENTITY_GOLDEN_RECORDS_SQL)
-register("order_value_deciles", a6.order_value_deciles, a6.ORDER_VALUE_DECILES_SQL)
+# NEW (r6): hybrid lexical+dense retrieval fused by reciprocal-rank fusion
+# (banded char-ngram Jaccard leg + bounded exact-cosine leg;
+# order_value_deciles ceded its window seat — r5-green, unchanged)
+register("hybrid_rrf_search", rv.hybrid_rrf_search, rv.HYBRID_RRF_SEARCH_SQL)
 # NEW (r5 wave 4): forward as-of (next-event attribution) + PMI collocations
 from scripts_toolkit_spark.plans import join_demos as _jd5
 
@@ -188,6 +191,7 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.
+register("order_value_deciles", a6.order_value_deciles, a6.ORDER_VALUE_DECILES_SQL)
 register("top_events_by_value", a6.top_events_by_value, a6.TOP_EVENTS_BY_VALUE_SQL)
 register(
     "value_trend_by_event_type", a6.value_trend_by_event_type, a6.VALUE_TREND_BY_EVENT_TYPE_SQL

@@ -155,6 +155,7 @@ _BNLJ_ALLOWLIST = {
     "hll_set_ops": "one-row exact-counts x one-row sketch attach",
     "chisq_event_type_bucket": "scalar grand-total attach (one row)",
     "ann_probe_sweep": "scalar total_exact attach (one row) + bounded exact baseline (query cap)",
+    "hybrid_rrf_search": "dense leg = bounded exact baseline (absolute query cap); lexical leg banded",
 }
 
 

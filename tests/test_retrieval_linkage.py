@@ -238,3 +238,36 @@ def test_audio_fingerprint_pairs_cover_planted_dups(spark, sf_dir):
         .collect()
     }
     assert {(i, i + 1000000) for i in base_ids} <= pairs
+
+
+def test_hybrid_rrf_fusion_invariants(spark, sf_dir):
+    """RRF semantics: every emitted score equals 1/(60+lex)+1/(60+dense)
+    (missing leg contributes 0) re-derived from the emitted ranks; ranks
+    are rrf-descending per query; and the fusion genuinely uses BOTH legs
+    (some fused row carries only a lex rank, some only a dense rank,
+    some both — at every SF)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["hybrid_rrf_search"](spark, sf_dir).collect()
+    assert rows
+    both = lex_only = dense_only = 0
+    by_q: dict = {}
+    for r in rows:
+        expect = 0.0
+        if r["lex_rank"] is not None:
+            expect += 1.0 / (60 + r["lex_rank"])
+        if r["dense_rank"] is not None:
+            expect += 1.0 / (60 + r["dense_rank"])
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9, r
+        if r["lex_rank"] is not None and r["dense_rank"] is not None:
+            both += 1
+        elif r["lex_rank"] is not None:
+            lex_only += 1
+        else:
+            dense_only += 1
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["rrf_score"]))
+    assert lex_only and dense_only, (lex_only, dense_only, both)
+    for _q, rs in by_q.items():
+        rs.sort()
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)

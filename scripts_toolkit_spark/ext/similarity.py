@@ -1018,12 +1018,82 @@ def lsh_topk(
     )
 
 
+def auto_n_cells_occupancy(vectors: DataFrame, target_cell_size: int = 64) -> int:
+    """Constant-occupancy cell count: n_cells = ceil(N / target), min 16.
+    With cell occupancy pinned at ~target, in-cell pair volume is
+    ~N·target/2 — LINEAR in N — unlike the √N sizing (`auto_n_cells`)
+    whose N²/√N = N^1.5 pair volume is superlinear (measured blowing up
+    at 10× in SCALING.md's scale-probe table). This is the published
+    SemDeDup discipline: k grows with the corpus, cluster size does not.
+    Exactly matches the SQL replay
+    `greatest(16, CAST(ceil(CAST(count(*) AS DOUBLE) / target) AS INT))`."""
+    import math
+
+    n = vectors.count()
+    return max(16, int(math.ceil(float(n) / float(target_cell_size))))
+
+
+def semantic_cells(
+    vectors: DataFrame,
+    n_cells: int | None = None,
+    target_cell_size: int = 64,
+    split_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell assignment for `semantic_dedup`, exposed so tests can measure
+    candidate volume directly: (id, vec, nrm, cell_id, sub_id).
+
+    Two scale guarantees:
+    1. Constant occupancy — `n_cells=None` sizes cells at ~target_cell_size
+       vectors each (`auto_n_cells_occupancy`), so expected in-cell pairs
+       are ~N·target/2, linear in N.
+    2. Bounded worst case — a skewed cell that still collects more than
+       split_factor·target vectors is split into ceil(cnt/target)
+       sub-cells by an md5 sub-hash of the id, capping any single cell's
+       pair volume at ~(split_factor·target)²/2 regardless of skew.
+       Recall trade (documented): τ-similar mates landing in different
+       sub-cells of an oversized cell are missed; sub-splitting only
+       triggers past the split threshold, never for well-sized cells.
+    The sub-hash is the engine-portable md5 prefix (same convention as the
+    sampling/CMS queries), so the oracle replays it verbatim."""
+    if n_cells is None:
+        n_cells = auto_n_cells_occupancy(vectors, target_cell_size)
+    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).transform(_materialize)
+    assigned = (
+        ivf_assign(vectors, cents, 1, id_col, vec_col)
+        .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        .transform(_materialize)
+    )
+    # per-cell occupancy: n_cells rows (KB control plane) — AQE broadcasts
+    counts = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("__cnt"))
+    sub_hash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sub|"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    n_sub = F.ceil(F.col("__cnt").cast("double") / F.lit(float(target_cell_size))).cast(
+        "long"
+    )
+    return (
+        assigned.join(counts, "cell_id")
+        .withColumn(
+            "sub_id",
+            F.when(F.col("__cnt") > split_factor * target_cell_size, sub_hash % n_sub)
+            .otherwise(F.lit(0).cast("long")),
+        )
+        .drop("__cnt")
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     n_cells: int | None = None,
     tau: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 64,
+    split_factor: int = 4,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023, public):
     cluster the embedding space coarsely, then inside each cluster drop
@@ -1032,30 +1102,33 @@ def semantic_dedup(
     connected-components pass. Returns the DROP list:
     (vec_id, cell_id, keeper_id = smallest matching lower id).
 
-    Scale shape: centroids are the deterministic md5-prefix pick (KB-scale
-    control plane), assignment is the literal-codebook projection
-    (`ivf_assign`, no shuffle), and the pair search is an equi-join on
-    cell_id with ~N/√N rows per cell — candidate volume ~N^1.5, never N².
+    Scale shape: centroids are the deterministic md5-prefix pick,
+    assignment is the literal-codebook projection (`ivf_assign`, no
+    shuffle), and the pair search is an equi-join on (cell_id, sub_id)
+    with CONSTANT ~target_cell_size occupancy (`semantic_cells`) —
+    candidate volume ~N·target/2, linear in N, with skewed cells
+    sub-split so no single cell exceeds ~(split_factor·target)² pairs.
+    (The pre-r7 √N sizing gave ~N^1.5 pairs — measured superlinear in
+    SCALING.md's probe table; pass an explicit `n_cells` to reproduce.)
     The within-cell compare reuses the precomputed norms, so each pair
     costs one fold. Deterministic end-to-end (same contract as `ivf_topk`)
-    → SQL-replayable."""
-    if n_cells is None:
-        n_cells = auto_n_cells(vectors)
-    cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).transform(_materialize)
-    assigned = (
-        ivf_assign(vectors, cents, 1, id_col, vec_col)
-        .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
-        .transform(_materialize)
+    → SQL-replayable. At extreme N the n_cells∝N literal codebook itself
+    outgrows the task closure and `ivf_assign` falls back to the broadcast
+    join; a coarse-to-fine two-level assignment is the documented next
+    step at that scale (SCALING.md)."""
+    assigned = semantic_cells(
+        vectors, n_cells, target_cell_size, split_factor, id_col, vec_col
     )
     keep = assigned.select(
         "cell_id",
+        "sub_id",
         F.col(id_col).alias("keeper_id"),
         F.col(vec_col).alias("kv"),
         F.col("nrm").alias("kn"),
     )
-    cand = assigned.select("cell_id", id_col, vec_col, "nrm")
+    cand = assigned.select("cell_id", "sub_id", id_col, vec_col, "nrm")
     pairs = (
-        keep.join(cand, "cell_id")
+        keep.join(cand, ["cell_id", "sub_id"])
         .where(F.col("keeper_id") < F.col(id_col))
         .where(
             _dot(F.col("kv"), F.col(vec_col)) / (F.col("kn") * F.col("nrm")) >= F.lit(tau)

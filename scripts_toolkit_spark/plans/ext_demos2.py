@@ -657,20 +657,25 @@ WHERE rnk <= 20
 
 def semantic_dedup_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (ext/similarity.semantic_dedup):
-    coarse-cluster the dup-augmented embedding corpus into √N cells
-    (deterministic md5-prefix centroids), then drop every vector with a
-    cosine-≥-0.9 lower-id clustermate. Candidate volume ~N^1.5 via the
-    cell equi-join — never all-pairs. The oracle replays the centroid
-    pick, nearest-cell assignment and in-cell verify in SQL."""
+    coarse-cluster the dup-augmented embedding corpus into CONSTANT-
+    occupancy cells (n_cells = ceil(N/64), deterministic md5-prefix
+    centroids; skewed cells md5-sub-split past 4·64 occupants), then drop
+    every vector with a cosine-≥-0.9 lower-id clustermate. Candidate
+    volume ~N·64/2 via the (cell, sub) equi-join — LINEAR in N, never
+    all-pairs (the pre-r7 √N sizing measured ~N^1.5; SCALING.md). The
+    oracle replays the centroid pick, nearest-cell assignment, occupancy
+    sub-split and in-cell verify in SQL."""
     corpus = _embeddings_with_dups(spark, sf_dir)
     corpus = corpus.repartition(spark.sparkContext.defaultParallelism).transform(_materialize)
     return SIM.semantic_dedup(corpus, n_cells=None, tau=_EMB_TAU, vec_col="v")
 
 
+_SEM_TARGET, _SEM_SPLIT = 64, 4
+
 SEMANTIC_DEDUP_DROPS_SQL = f"""
 WITH corpus AS ({_EMB_CORPUS_SQL}),
 nc AS (
-  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  SELECT greatest(16, CAST(ceil(CAST(count(*) AS DOUBLE) / {_SEM_TARGET}) AS INT)) AS n
   FROM corpus
 ),
 cents AS (
@@ -688,15 +693,24 @@ aff AS (
       (x, y) -> x + y) AS aff
   FROM corpus e, centv c
 ),
-assigned AS (
+assigned0 AS (
   SELECT vec_id, cell_id
   FROM aff
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) = 1
 ),
+counts AS (SELECT cell_id, count(*) AS cnt FROM assigned0 GROUP BY cell_id),
+assigned AS (
+  SELECT a.vec_id, a.cell_id,
+    CASE WHEN c.cnt > {_SEM_SPLIT * _SEM_TARGET}
+      THEN CAST(('0x' || substr(md5('sub|' || CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % CAST(ceil(CAST(c.cnt AS DOUBLE) / {_SEM_TARGET}) AS BIGINT)
+      ELSE 0 END AS sub_id
+  FROM assigned0 a JOIN counts c USING (cell_id)
+),
 pairs AS (
   SELECT b.vec_id AS vec_id, a.cell_id AS cell_id, a.vec_id AS keeper_id
   FROM assigned a
-  JOIN assigned b USING (cell_id)
+  JOIN assigned b USING (cell_id, sub_id)
   JOIN corpus va ON va.vec_id = a.vec_id
   JOIN corpus vb ON vb.vec_id = b.vec_id
   WHERE a.vec_id < b.vec_id

@@ -170,6 +170,69 @@ def test_semantic_dedup_drops_planted_duplicates(spark):
     assert "CartesianProduct" not in plan
 
 
+def _in_cell_pair_volume(cells_df) -> int:
+    """Σ C(c,2) over (cell_id, sub_id) groups = candidate pairs the
+    semantic_dedup equi-join will produce before the τ filter."""
+    rows = cells_df.groupBy("cell_id", "sub_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    return sum(r["c"] * (r["c"] - 1) // 2 for r in rows)
+
+
+def test_semantic_cells_candidate_volume_stays_linear(spark):
+    """Constant-occupancy guard (r6 verdict "Next round" #1): on random
+    vectors, 4× the corpus must give ~4× (not 8×) the in-cell candidate
+    pairs. The pre-r7 √N sizing gives pairs ≈ N^1.5/2, i.e. an 8× jump
+    for a 4× corpus; constant target occupancy gives ≈ N·target/2, a 4×
+    jump. Assert ≤ 6× — cleanly between the two regimes."""
+    import random
+
+    rng = random.Random(42)
+
+    def corpus(n):
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    v_small = _in_cell_pair_volume(SIM.semantic_cells(corpus(1000)))
+    v_big = _in_cell_pair_volume(SIM.semantic_cells(corpus(4000)))
+    assert v_small > 0
+    assert v_big <= 6 * v_small, f"{v_big} vs {v_small}: superlinear candidate growth"
+
+
+def test_semantic_cells_split_bounds_skewed_cell(spark):
+    """Worst-case bound: a degenerate corpus whose vectors all share one
+    nearest centroid must be md5-sub-split so no (cell, sub) group exceeds
+    ~split_factor·target occupants — pair volume stays bounded under skew."""
+    # near-identical vectors (tiny jitter on one element): one dominant cell
+    rows = [(i, [1.0 + i * 1e-9, 0.0, 0.0, 0.0]) for i in range(600)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cells = SIM.semantic_cells(vecs, n_cells=4, target_cell_size=64, split_factor=4)
+    sizes = [
+        r["c"]
+        for r in cells.groupBy("cell_id", "sub_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert max(sizes) < 600, "oversized cell was not sub-split"
+    # md5 spread is uneven but every sub-cell must be far below the raw cell
+    assert max(sizes) <= 4 * 64
+
+
+def test_semantic_dedup_default_sizing_still_catches_planted_dups(spark):
+    """The constant-occupancy default path (n_cells=None) must keep exact
+    copies co-celled and dropped — recall does not depend on cell count."""
+    import random
+
+    rng = random.Random(11)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    dups = [(1000 + i, list(base[i][1])) for i in range(10)]
+    vecs = spark.createDataFrame(base + dups, "vec_id bigint, embedding array<double>")
+    got = {
+        r["vec_id"]: r["keeper_id"]
+        for r in SIM.semantic_dedup(vecs, n_cells=None, tau=0.999).collect()
+    }
+    for i in range(10):
+        assert got.get(1000 + i) == i
+
+
 def test_image_dhash_pairs_cover_planted_dups_no_cartesian(spark, sf_dir):
     from scripts_toolkit_spark.plans.ext_demos2 import image_dhash_near_dups
 

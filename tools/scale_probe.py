@@ -103,6 +103,30 @@ def probe_ann(spark) -> None:
             print(f"mult={mult} n_vecs={n} {name}: {best:.2f}s rows={rows}", flush=True)
 
 
+def probe_sem(spark) -> None:
+    """semantic_dedup at 1×/4×/10×: the r7 constant-occupancy sizing must
+    hold ~linear wall (the r6-measured √N sizing blew up superlinearly —
+    same shape as the exact-in-cell IVF row)."""
+    from scripts_toolkit_spark.ext.similarity import semantic_dedup
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for mult in MULTS:
+        parts = [emb] + [
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        best, rows = _best2(lambda: semantic_dedup(c, n_cells=None, tau=0.9))
+        print(f"mult={mult} n_vecs={n} semantic_dedup: {best:.2f}s drops={rows}", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -110,3 +134,5 @@ if __name__ == "__main__":
         probe_docs(spark)
     if what in ("ann", "all"):
         probe_ann(spark)
+    if what in ("sem", "all"):
+        probe_sem(spark)

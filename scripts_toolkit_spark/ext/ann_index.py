@@ -11,7 +11,16 @@ family:
     {path}/centroids   (cell_id int, centroid array<double>)   — KB model
     {path}/codebook    (s int, code int, csub array<double>)   — optional PQ model
     {path}/vectors     (vec_id, embedding array<double> UNIT-NORM, cell_id)
-                       — the encoded corpus; append-only
+                       — the encoded corpus; append-only, PARTITIONED BY
+                       batch_id (train-time rows carry batch_id = -1, each
+                       `append_to_index` batch the next integer) so the
+                       streaming ingester's `batch_id < current` filter and
+                       the staleness report read the same store the batch
+                       builder wrote
+    {path}/codes       (vec_id, ncodes array<int>, cell_id)    — optional
+                       PQ-compressed corpus; kept row-parity with /vectors
+                       by `append_to_index` (late batches are encoded with
+                       the STORED codebook)
 
 Design rules
 - Vectors are stored L2-NORMALIZED, so search cosine = plain dot
@@ -30,6 +39,7 @@ Design rules
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -75,7 +85,17 @@ def build_ann_index(
     if sub_codebook is not None:
         # two consumers (the vectors write + the codes encoding) — cut once
         stored = stored.transform(_materialize)
-    stored.write.mode("overwrite").parquet(path + "/vectors")
+    # train-time rows are stamped batch_id = -1 and the store is partitioned
+    # by batch_id, so the streaming ingester's `batch_id < current` prior-
+    # store filter sees the pre-built corpus (it would silently project NULL
+    # and drop every row from cross-batch matching otherwise) and the
+    # layout stays uniform when appends land as batch_id=N subdirs
+    (
+        stored.withColumn("batch_id", F.lit(-1).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path + "/vectors")
+    )
     if sub_codebook is not None:
         # persist the PQ model AND the compressed corpus: m ints/vector is
         # the frame the compressed-domain search joins at 100 TB
@@ -98,13 +118,40 @@ def append_to_index(
 ) -> DataFrame:
     """Assign-only ingestion of a late batch: normalize, assign home cells
     with the STORED centroids (no re-pick, no retrain — the whole point),
-    append to the corpus parquet. Returns the updated corpus frame."""
+    append to the corpus parquet under the next batch_id partition. When
+    the index was codebook-built, the batch is ALSO PQ-encoded with the
+    STORED codebook and appended to {path}/codes, so the compressed-domain
+    search (`search_index(use_pq=True)`) sees late vectors as candidates —
+    the incremental==one-shot parity contract holds for both search paths
+    (tests/test_ext.py::test_ann_index_pq_append_parity). Returns the
+    updated corpus frame."""
     cents = spark.read.parquet(path + "/centroids")
     normed = normalize_vectors(new_vectors, id_col, vec_col)
     assigned = ivf_assign(normed, cents, 1, id_col, vec_col).where(
         F.col("is_home")
     ).select(id_col, vec_col, "cell_id")
-    assigned.write.mode("append").parquet(path + "/vectors")
+    prev_max = spark.read.parquet(path + "/vectors").agg(F.max("batch_id")).first()[0]
+    next_batch = int(prev_max) + 1 if prev_max is not None else 0
+    try:
+        codebook = spark.read.parquet(path + "/codebook")
+    except AnalysisException:  # IVF-only index: no PQ model to keep in sync
+        codebook = None
+    if codebook is not None:
+        # two consumers below (vectors append + codes encoding) — cut once
+        assigned = assigned.transform(_materialize)
+    (
+        assigned.withColumn("batch_id", F.lit(next_batch).cast("bigint"))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(path + "/vectors")
+    )
+    if codebook is not None:
+        m = codebook.agg(F.max("s")).first()[0] + 1
+        sub_dim = len(codebook.select("csub").first()["csub"])
+        codes = pq_code_arrays(
+            assigned.select(id_col, vec_col), codebook, m, sub_dim, id_col, vec_col
+        ).join(assigned.select(id_col, "cell_id"), id_col)
+        codes.write.mode("append").parquet(path + "/codes")
     return spark.read.parquet(path + "/vectors")
 
 
@@ -229,3 +276,108 @@ def search_index(
             "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
         )
     )
+
+
+def index_health(
+    spark: SparkSession,
+    path: str,
+    skew_limit: float = 4.0,
+    appended_limit: float = 0.25,
+) -> DataFrame:
+    """Staleness report for a stored index (round-6 verdict Next #3a): ONE
+    hash-agg scan over the corpus frame summarizing the two signals that
+    degrade an assign-only index as the corpus grows past its frozen
+    model — per-cell occupancy skew (a hot cell makes every probe of it
+    pay its occupancy) and the appended-since-train fraction (rows the
+    centroid pick never saw). `needs_retrain` fires when either exceeds
+    its limit; the operator answers with `retrain_index`.
+
+    All arithmetic is exact-int counts + double ratios (sequential, no
+    fold over floats) → oracle-replayable in SQL. One row out."""
+    n_trained = spark.read.parquet(path + "/centroids").agg(
+        F.count(F.lit(1)).alias("n_cells_trained")
+    )
+    occ = (
+        spark.read.parquet(path + "/vectors")
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.when(F.col("batch_id") >= 0, 1).otherwise(0)).alias("app"),
+        )
+    )
+    avg_cell = F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
+    skew = F.max("cnt").cast("double") / avg_cell
+    app_frac = F.sum("app").cast("double") / F.sum("cnt").cast("double")
+    summary = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_occupied"),
+        F.sum("cnt").cast("bigint").alias("n_vectors"),
+        F.max("cnt").cast("bigint").alias("max_cell_vectors"),
+        F.round(avg_cell, 6).alias("avg_cell_vectors"),
+        F.round(skew, 6).alias("occupancy_skew"),
+        F.sum("app").cast("bigint").alias("appended_vectors"),
+        F.round(app_frac, 6).alias("appended_frac"),
+        ((skew > F.lit(float(skew_limit))) | (app_frac > F.lit(float(appended_limit))))
+        .alias("needs_retrain"),
+    )
+    # one-row × one-row: AQE broadcasts; exempt scalar pattern
+    return n_trained.crossJoin(summary).select(
+        F.col("n_cells_trained").cast("bigint").alias("n_cells_trained"),
+        "n_cells_occupied", "n_vectors", "max_cell_vectors", "avg_cell_vectors",
+        "occupancy_skew", "appended_vectors", "appended_frac", "needs_retrain",
+    )
+
+
+def retrain_index(
+    spark: SparkSession,
+    path: str,
+    n_cells: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Re-train the stored model in place (round-6 verdict Next #3b): re-pick
+    centroids over the CURRENT corpus (train-time + appended rows), re-assign
+    every stored vector, and rewrite /centroids + /vectors (+ /codes when a
+    codebook exists) — the answer to `index_health.needs_retrain`.
+
+    Stored vectors are already unit-norm, and `deterministic_centroids`
+    orders by md5(id), so a retrain after appends is ROW-IDENTICAL to a
+    fresh `build_ann_index` over the same corpus (pinned by
+    tests/test_ext.py::test_ann_index_retrain_equals_fresh_build). The
+    corpus is materialized (localCheckpoint/checkpoint per the configured
+    mode) before the in-place overwrite — Spark cannot otherwise overwrite
+    a path it is reading. batch_id resets to -1: after a retrain the whole
+    corpus is train-time. Returns the rewritten corpus frame."""
+    snap = (
+        spark.read.parquet(path + "/vectors")
+        .select(id_col, vec_col)
+        .transform(_materialize)
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(snap)
+    cents = deterministic_centroids(snap, n_cells, id_col, vec_col).transform(
+        _materialize
+    )
+    cents.write.mode("overwrite").parquet(path + "/centroids")
+    stored = ivf_assign(snap, cents, 1, id_col, vec_col).where(
+        F.col("is_home")
+    ).select(id_col, vec_col, "cell_id")
+    try:
+        codebook = spark.read.parquet(path + "/codebook").transform(_materialize)
+    except AnalysisException:
+        codebook = None
+    if codebook is not None:
+        stored = stored.transform(_materialize)
+    (
+        stored.withColumn("batch_id", F.lit(-1).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path + "/vectors")
+    )
+    if codebook is not None:
+        m = codebook.agg(F.max("s")).first()[0] + 1
+        sub_dim = len(codebook.select("csub").first()["csub"])
+        codes = pq_code_arrays(
+            stored.select(id_col, vec_col), codebook, m, sub_dim, id_col, vec_col
+        ).join(stored.select(id_col, "cell_id"), id_col)
+        codes.write.mode("overwrite").parquet(path + "/codes")
+    return spark.read.parquet(path + "/vectors")

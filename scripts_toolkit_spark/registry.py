@@ -47,9 +47,9 @@ from scripts_toolkit_spark.plans import analytics6 as a6
 # the simhash64 multi-block combination machinery
 from scripts_toolkit_spark.plans import ext_demos2 as _x2img
 
-register(
-    "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
-)
+# (r7 rotation: image_dhash_near_dups and name_graph_triangles ceded
+# their window seats to the NEW ann_index_health / ann_index_retrain —
+# both r6-green in CORRECTNESS_r06 and unchanged in r7; parked in TIER 2.)
 # NEW (r6): IVF n_probe tuning report — one ranked assignment pass sliced
 # per ladder level, candidate cost vs bounded-exact recall@3 (the sweep
 # the round-5 verdict asked for; audio_fingerprint_near_dups ceded its
@@ -77,7 +77,6 @@ register(
 # enumeration on the similarity graph
 register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
 register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
-register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLES_SQL)
 # NEW (r5 wave 5): MATCH_RECOGNIZE-lite row patterns + Markov transitions
 from scripts_toolkit_spark.plans import events_demos as ed
 
@@ -163,6 +162,13 @@ register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
 # ingestion with base-trained centroids (ext/ann_index.py)
 register("ann_index_build", xd.ann_index_build, xd.ANN_INDEX_BUILD_SQL)
 register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTAL_SQL)
+# NEW (r7): ANN index lifecycle (round-6 verdict Next #3) — staleness
+# report (occupancy skew + appended-since-train fraction, one hash-agg
+# scan) and in-place retrain (re-pick + re-assign; == fresh build, so the
+# oracle is the full-corpus build replay). The store itself gained
+# batch_id partitioning + PQ-codes append parity (round-6 ADVICE #1/#2).
+register("ann_index_health", xd.ann_index_health, xd.ANN_INDEX_HEALTH_SQL)
+register("ann_index_retrain", xd.ann_index_retrain, xd.ANN_INDEX_RETRAIN_SQL)
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
@@ -188,6 +194,13 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
 # keep them sampled while the window has room).
 # ============================================================================
+
+# r7 rotation: parked from the window (r6-green in CORRECTNESS_r06,
+# unchanged in r7) to make room for the ANN index lifecycle rows.
+register(
+    "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
+)
+register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLES_SQL)
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.

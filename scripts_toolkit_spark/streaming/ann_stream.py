@@ -6,7 +6,11 @@ everything ingested before it.
 
 Shape: `foreachBatch` against a PRE-BUILT index (`build_ann_index` runs
 once, before the stream starts — a 100 TB pipeline trains its model
-offline and never retrains in the hot path):
+offline and never retrains in the hot path). The batch builder stamps its
+rows batch_id = -1 and partitions the store by batch_id, so a
+pre-populated corpus passes the `batch_id < current` prior-store filter
+and participates in cross-batch matching from the first streamed batch
+(tests/test_ann_stream.py::test_stream_matches_prebuilt_corpus):
 
     per micro-batch B:
       1. normalize B's vectors, assign home cells with the STORED

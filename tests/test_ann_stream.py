@@ -83,6 +83,44 @@ def test_stream_store_matches_batch(spark, sf_dir, tmp_path):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_stream_matches_prebuilt_corpus(spark, sf_dir, tmp_path):
+    """Round-6 ADVICE #1 regression: the documented flow — `build_ann_index`
+    FIRST (which pre-populates /vectors), then stream late batches — must
+    let streamed queries match against the PRE-BUILT corpus. The build
+    stamps batch_id = -1 and partitions by batch_id, so the processor's
+    `batch_id < current` prior-store filter includes it; before the fix the
+    pre-built rows projected NULL batch_id and were silently dropped."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where("vec_id % 3 = 0")
+    second = emb.where("vec_id % 3 <> 0")
+    index_path = str(tmp_path / "ix")
+    # full batch build over the first slice: centroids AND /vectors
+    build_ann_index(first, index_path)
+    src = str(tmp_path / "vec_in")
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest(
+        stream,
+        index_path=index_path,
+        matches_path=str(tmp_path / "matches"),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=3,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "matches")).collect()
+    assert rows, "streamed batch found no neighbors in the pre-built corpus"
+    assert all(r["query_id"] % 3 != 0 and r["neighbor_id"] % 3 == 0 for r in rows)
+    # the store now holds both slices under a uniform partitioned layout
+    store = spark.read.parquet(index_path + "/vectors")
+    assert store.count() == emb.count()
+    assert {r["batch_id"] for r in store.select("batch_id").distinct().collect()} == {-1, 0}
+
+
 def test_ann_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     """At-least-once foreachBatch: re-invoking the processor with the SAME
     (batch, batch_id) must leave both sinks byte-identical (dynamic

@@ -787,6 +787,138 @@ def test_ann_index_incremental_parity(spark, sf_dir, tmp_path):
     assert inc_hits, "degenerate: empty search result"
 
 
+def test_ann_index_pq_append_parity(spark, sf_dir, tmp_path):
+    """Compressed-domain half of the incremental contract (round-6 ADVICE
+    #2): appending to a CODEBOOK-built index must PQ-encode the late batch
+    with the stored codebook and keep /codes row-parity with /vectors, so
+    `search_index(use_pq=True)` over the appended store equals the search
+    over a one-shot build of the full corpus with the same model — late
+    vectors must be reachable as NEIGHBORS, not only as queries."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        search_index,
+    )
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        normalize_vectors,
+        pq_subspace_codebook,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+    # base-trained model (centroids + seeded slice codebook), as a daily-
+    # append pipeline would have
+    normed = normalize_vectors(base).localCheckpoint()
+    big = deterministic_centroids(normed, 64).localCheckpoint()
+    cents = big.where(F.col("cell_id") < 8).localCheckpoint()
+    cb = pq_subspace_codebook(
+        big.select(F.col("cell_id").alias("code"), "centroid"), m=4, sub_dim=16
+    ).localCheckpoint()
+
+    inc_path = str(tmp_path / "pqinc")
+    build_ann_index(base, inc_path, centroids=cents, sub_codebook=cb)
+    append_to_index(spark, inc_path, late)
+
+    one_path = str(tmp_path / "pqone")
+    build_ann_index(emb, one_path, centroids=cents, sub_codebook=cb)
+
+    # /codes row-parity with /vectors after the append
+    n_vec = spark.read.parquet(inc_path + "/vectors").count()
+    n_codes = spark.read.parquet(inc_path + "/codes").count()
+    assert n_vec == n_codes == emb.count()
+
+    inc = {tuple(r) for r in search_index(
+        spark, inc_path, k=3, n_probe=3, use_pq=True).collect()}
+    one = {tuple(r) for r in search_index(
+        spark, one_path, k=3, n_probe=3, use_pq=True).collect()}
+    assert inc == one
+    assert any(nid % 5 == 0 for _q, nid, _r, _s in inc), (
+        "late-batch vectors never surfaced as neighbors"
+    )
+
+
+def test_ann_index_retrain_equals_fresh_build(spark, sf_dir, tmp_path):
+    """`retrain_index` (round-6 verdict Next #3b) re-picks + re-assigns in
+    place over the CURRENT corpus: a build+append store that is then
+    retrained must be identical — centroids, assignments, search — to a
+    fresh one-shot build over the full corpus, with batch_id reset to -1
+    (post-retrain the whole corpus is train-time)."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        retrain_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+
+    inc_path = str(tmp_path / "retr")
+    build_ann_index(base, inc_path)
+    append_to_index(spark, inc_path, late)
+    retrain_index(spark, inc_path)
+
+    fresh_path = str(tmp_path / "fresh")
+    build_ann_index(emb, fresh_path)
+
+    for sub in ("/centroids", "/vectors"):
+        a = {tuple((tuple(v) if isinstance(v, list) else v) for v in r)
+             for r in spark.read.parquet(inc_path + sub).collect()}
+        b = {tuple((tuple(v) if isinstance(v, list) else v) for v in r)
+             for r in spark.read.parquet(fresh_path + sub).collect()}
+        assert a == b, f"{sub} differs after retrain"
+    batch_ids = {
+        r["batch_id"] for r in spark.read.parquet(inc_path + "/vectors").collect()
+    }
+    assert batch_ids == {-1}
+    inc = {tuple(r) for r in search_index(spark, inc_path, k=3, n_probe=3).collect()}
+    one = {tuple(r) for r in search_index(spark, fresh_path, k=3, n_probe=3).collect()}
+    assert inc == one
+    assert inc, "degenerate: empty search result"
+
+
+def test_ann_index_health_tracks_appends(spark, sf_dir, tmp_path):
+    """`index_health` (round-6 verdict Next #3a): appended-since-train
+    fraction counts exactly the append_to_index rows, flips needs_retrain
+    when over the limit, and resets after a retrain."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        index_health,
+        retrain_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+    path = str(tmp_path / "health")
+    build_ann_index(base, path)
+
+    h0 = index_health(spark, path).first()
+    assert h0["appended_vectors"] == 0
+    assert h0["appended_frac"] == 0.0
+    assert h0["n_vectors"] == base.count()
+
+    append_to_index(spark, path, late)
+    h1 = index_health(spark, path).first()
+    assert h1["appended_vectors"] == late.count()
+    assert h1["n_vectors"] == emb.count()
+    assert 0.0 < h1["appended_frac"] < 0.25
+    # ~20% appended: under the default 25% limit, over a tightened one
+    assert not index_health(spark, path, appended_limit=0.25,
+                            skew_limit=1e9).first()["needs_retrain"]
+    assert index_health(spark, path, appended_limit=0.1).first()["needs_retrain"]
+
+    retrain_index(spark, path)
+    h2 = index_health(spark, path).first()
+    assert h2["appended_vectors"] == 0
+    assert h2["n_vectors"] == emb.count()
+
+
 def test_ann_index_external_queries(spark, sf_dir, tmp_path):
     """Searching a stored index with an EXTERNAL (un-normalized) query
     frame normalizes the queries and may include a query's own stored row

@@ -240,22 +240,22 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     total count (deterministic tiebreak on the token) — the explode →
     two-level aggregate shape that scales to any corpus.
 
-    The global ordering window runs on the post-aggregate stats table,
-    which is vocabulary-sized (≪ corpus) — the single-partition warning is
-    benign here; for open-vocab corpora take per-partition partial top-k
-    first."""
+    The final ranking runs through `operators/topk.global_topk` (round-6
+    verdict Next #4): per-partition partial top-50 first, then a final
+    rank over the ≤ 50·P survivors — no single task ever holds the whole
+    (open) vocabulary. Result identical to a global window for any input
+    distribution (total order: count desc, token asc)."""
+    from scripts_toolkit_spark.operators.topk import global_topk
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
     stats = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("total_count"),
         F.count_distinct("doc_id").alias("doc_freq"),
     )
-    w = Window.orderBy(F.desc("total_count"), F.asc("token"))
-    return (
-        stats.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 50)
-        .select("token", "total_count", "doc_freq", F.col("rank").cast("int").alias("rank"))
-    )
+    return global_topk(
+        stats, [F.desc("total_count"), F.asc("token")], 50
+    ).select("token", "total_count", "doc_freq", F.col("rank").cast("int").alias("rank"))
 
 
 TOKEN_FREQUENCIES_SQL = """

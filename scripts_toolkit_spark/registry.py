@@ -77,11 +77,15 @@ register(
 # enumeration on the similarity graph
 register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
 register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
-# NEW (r5 wave 5): MATCH_RECOGNIZE-lite row patterns + Markov transitions
+# CHANGED (r7): open-vocab / large-strata rankings switched to the
+# two-stage partial top-k (operators/topk.global_topk / grouped_topk —
+# round-6 verdict Next #4); event_pattern_matches + markov_transitions
+# ceded their seats (r6-green, unchanged) and sit in TIER 2.
+from scripts_toolkit_spark.plans import analytics2 as a2
 from scripts_toolkit_spark.plans import events_demos as ed
 
-register("event_pattern_matches", ed.event_pattern_matches, ed.EVENT_PATTERN_MATCHES_SQL)
-register("markov_transitions", ed.markov_transitions, ed.MARKOV_TRANSITIONS_SQL)
+register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
+register("stratified_sample_by_lang", a2.stratified_sample_by_lang, a2.STRATIFIED_SAMPLE_BY_LANG_SQL)
 # NEW (r5 wave 5): forward-as-of time-to-event summary + winsorized stats
 register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
@@ -225,8 +229,11 @@ register("brand_supplier_counts", a2.brand_supplier_counts, a2.BRAND_SUPPLIER_CO
 register("rich_inactive_customers", a2.rich_inactive_customers, a2.RICH_INACTIVE_CUSTOMERS_SQL)
 register("top_value_nations", a2.top_value_nations, a2.TOP_VALUE_NATIONS_SQL)
 register("hash_sample_documents", a2.hash_sample_documents, a2.HASH_SAMPLE_DOCUMENTS_SQL)
-register("stratified_sample_by_lang", a2.stratified_sample_by_lang, a2.STRATIFIED_SAMPLE_BY_LANG_SQL)
 register("zscore_by_event_type", a2.zscore_by_event_type, a2.ZSCORE_BY_EVENT_TYPE_SQL)
+# r7 rotation: parked from the window (r6-green, unchanged in r7) for the
+# two-stage top-k rows now in TIER 1.
+register("event_pattern_matches", ed.event_pattern_matches, ed.EVENT_PATTERN_MATCHES_SQL)
+register("markov_transitions", ed.markov_transitions, ed.MARKOV_TRANSITIONS_SQL)
 
 # ---- embedding near-dup, char-ngram jaccard, percentiles, grouping sets ----
 from scripts_toolkit_spark.plans import ext_demos2 as x2
@@ -280,7 +287,7 @@ register("melt_wide60", wdm.melt_wide60, wdm.MELT_WIDE60_SQL)
 register("canonical_text_dedup", cd.canonical_text_dedup, cd.CANONICAL_TEXT_DEDUP_SQL)
 register("corpus_prep_pipeline", cd.corpus_prep_pipeline, cd.CORPUS_PREP_PIPELINE_SQL)
 register("redact_text", cd.redact_text, cd.REDACT_TEXT_SQL)
-register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
+# (token_frequencies rotated to TIER 1 in r7 — two-stage global_topk)
 register("document_chunks", cd.document_chunks, cd.DOCUMENT_CHUNKS_SQL)
 register("corpus_split_counts", cd.corpus_split_counts, cd.CORPUS_SPLIT_COUNTS_SQL)
 register("train_eval_overlap", cd.train_eval_overlap, cd.TRAIN_EVAL_OVERLAP_SQL)

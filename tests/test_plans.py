@@ -57,6 +57,24 @@ def test_document_chunks_is_narrow(spark, sf_dir):
     assert plan.count("Exchange") <= 1
 
 
+def test_vocab_and_strata_rank_two_stage(spark, sf_dir):
+    """Open-vocabulary / few-large-strata rankings must run the two-stage
+    partial top-k (operators/topk.global_topk / grouped_topk — round-6
+    verdict Next #4): stage 1 ranks within SPARK_PARTITION_ID() with no
+    shuffle, so no single task ever holds the whole vocabulary (or a whole
+    language stratum). Pinned by the projected partition-id column in the
+    first Window stage plus the Partial/Final WindowGroupLimit pair."""
+    for name in ("token_frequencies", "stratified_sample_by_lang"):
+        df = entrymod.queries()[name](spark, sf_dir)
+        # the partition-id pre-rank is visible in the analyzed plan (the
+        # physical plan may fold the projection into a HashAggregate)
+        ana = df._jdf.queryExecution().analyzed().toString()
+        assert "spark_partition_id" in ana.lower(), name
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("WindowGroupLimit") >= 2, name
+        assert ", Partial" in plan, name
+
+
 def test_waiting_suppliers_semi_anti_equi_joins(spark, sf_dir):
     """Q21's EXISTS/NOT-EXISTS must plan as equi-keyed semi/anti joins —
     the supplier inequality rides the join condition, never a nested loop."""
@@ -156,6 +174,7 @@ _BNLJ_ALLOWLIST = {
     "chisq_event_type_bucket": "scalar grand-total attach (one row)",
     "ann_probe_sweep": "scalar total_exact attach (one row) + bounded exact baseline (query cap)",
     "hybrid_rrf_search": "dense leg = bounded exact baseline (absolute query cap); lexical leg banded",
+    "ann_index_health": "one-row centroid-count x one-row occupancy-summary attach",
 }
 
 

@@ -81,14 +81,42 @@ def expand_paths(
     # open-path side is NEVER shuffled — each iteration is a map-side join.
     # Disable for graphs whose edge list rivals the path set.
     if broadcast_edges:
-        # materialize ONCE: broadcast exchanges are not reused across the
-        # loop's separate jobs, so without this every iteration re-derives
-        # the edge table from its source plan (a union+distinct in the
-        # taxonomy pipelines — measured ~2× on the 13-hop bench entry)
-        edges = edges.transform(_materialize)
-        joined_edges = F.broadcast(edges)
+        # TWO hops per iteration (round-6 verdict Next #7): the step table
+        # is E⋈E computed ONCE (KB-scale when edges broadcast) — each row
+        # appends [mid, dst] — plus the one-hop edges INTO the root so a
+        # path finishing at an odd depth still terminates exactly there.
+        # mid == root rows are excluded from the 2-hop leg: reaching the
+        # root finishes a path, it never extends through it (same
+        # semantics as the 1-hop loop for any graph). This halves the
+        # depth-proportional driver job count — the documented ~0.15 s ×
+        # jobs scheduling floor on deep taxonomies.
+        e1 = edges.where(F.col("dst") == F.lit(root)).select(
+            "src", F.array("dst").alias("app"), F.col("dst").alias("nxt")
+        )
+        ea = edges.where(F.col("dst") != F.lit(root)).select(
+            "src", F.col("dst").alias("mid")
+        )
+        eb = edges.select(F.col("src").alias("mid"), "dst")
+        e2 = ea.join(eb, "mid").select(
+            "src", F.array("mid", "dst").alias("app"), F.col("dst").alias("nxt")
+        )
+        # ONE materialization job for the whole step table (the old code
+        # paid a separate edges-materialize job first): the three edge
+        # references inside share the source plan's shuffle via
+        # ReusedExchange, and broadcast exchanges are not reused across
+        # the loop's separate jobs — so without this every iteration
+        # would re-derive the step table from its source plan (a
+        # union+distinct in the taxonomy pipelines, measured ~2× on the
+        # 13-hop bench entry).
+        steps = e1.unionByName(e2).transform(_materialize)
+        joined_steps = F.broadcast(steps)
+        hops_per_iter = 2
     else:
-        joined_edges = edges
+        steps = edges.select(
+            "src", F.array("dst").alias("app"), F.col("dst").alias("nxt")
+        )
+        joined_steps = steps
+        hops_per_iter = 1
     done: DataFrame | None = None
     # Checkpoint + convergence-probe every CHECK_EVERY hops, not every hop:
     # driver-scheduled jobs dominate on shallow taxonomies (r2 bench:
@@ -107,13 +135,14 @@ def expand_paths(
 
     CHECK_EVERY = 2
     converged = False
-    for hop in range(max_depth):
-        stepped = paths.join(joined_edges, paths["frontier"] == edges["src"]).select(
+    n_iters = -(-max_depth // hops_per_iter)  # ceil: 2-hop segments cover depth
+    for hop in range(n_iters):
+        stepped = paths.join(joined_steps, paths["frontier"] == steps["src"]).select(
             "concept",
-            F.concat("path", F.array("dst")).alias("path"),
-            F.col("dst").alias("frontier"),
+            F.concat("path", F.col("app")).alias("path"),
+            F.col("nxt").alias("frontier"),
         )
-        probe = hop % CHECK_EVERY == CHECK_EVERY - 1 or hop == max_depth - 1
+        probe = hop % CHECK_EVERY == CHECK_EVERY - 1 or hop == n_iters - 1
         if probe:
             # eager checkpoint BEFORE the finished/open split: cuts lineage
             # so later hops don't replan hops 0..i (SURVEY §4.2 custom #2)

@@ -179,8 +179,10 @@ register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
 register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
 register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
 # CHANGED (r6): expand_paths fused its convergence probe into the
-# checkpoint job via observe() (operators/graph.py — a helper change the
-# fn-source hash cannot see, rotated in per the CLAUDE.md manual rule)
+# checkpoint job via observe(); CHANGED again (r7): two hops per
+# iteration on the broadcast path (E⋈E ∪ to-root one-hop step table,
+# one materialization job) — both operators/graph.py helper changes the
+# fn-source hash cannot see, kept in-window per the CLAUDE.md manual rule
 from scripts_toolkit_spark.plans import taxonomy as _tax
 
 register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)

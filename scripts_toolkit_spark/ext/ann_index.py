@@ -32,6 +32,10 @@ Design rules
 - The model frames are KB-scale control plane (√N cells); the corpus
   frame is the only SF-linear table and it is written/read as plain
   parquet — partition pruning and pushdown apply as for any table.
+- Lifecycle: `index_health` (staleness report: occupancy skew +
+  appended-since-train fraction, one scan), `compact_index` (merge append
+  partitions, model untouched), `delete_from_index` (anti-join /vectors +
+  /codes), `retrain_index` (re-pick + re-assign in place == fresh build).
 - Everything on the default path is md5-seeded + sequential-fold
   deterministic → the registered demos are oracle-replayable
   (plans/ext_demos.py ANN_INDEX_BUILD_SQL / ANN_TOPK_INCREMENTAL_SQL).
@@ -325,6 +329,59 @@ def index_health(
         "n_cells_occupied", "n_vectors", "max_cell_vectors", "avg_cell_vectors",
         "occupancy_skew", "appended_vectors", "appended_frac", "needs_retrain",
     )
+
+
+def compact_index(spark: SparkSession, path: str) -> DataFrame:
+    """Merge the accumulated per-batch partitions into the train-time
+    partition (batch_id = -1) WITHOUT touching the model: assignments,
+    /centroids and /codes are unchanged — only the /vectors layout is
+    rewritten. The cheap answer when `index_health` shows many small
+    append partitions (file-count pressure) but acceptable skew: after a
+    compact, `appended_frac` reads 0 while search results are identical.
+    The corpus is materialized before the in-place overwrite."""
+    snap = (
+        spark.read.parquet(path + "/vectors")
+        .select("vec_id", "embedding", "cell_id")
+        .transform(_materialize)
+    )
+    (
+        snap.withColumn("batch_id", F.lit(-1).cast("bigint"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(path + "/vectors")
+    )
+    return spark.read.parquet(path + "/vectors")
+
+
+def delete_from_index(
+    spark: SparkSession,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Remove vectors by id from the store: anti-join /vectors (and /codes
+    when present) against `ids` and rewrite in place — deleted vectors can
+    no longer surface as neighbors on either search path. The model
+    (centroids/codebook) is untouched: deletes only shrink cells, so
+    retraining after heavy deletion is an `index_health` + `retrain_index`
+    decision, not an implicit side effect. Both frames are materialized
+    before their in-place overwrites."""
+    key = ids.select(F.col(id_col)).distinct().transform(_materialize)
+    kept = (
+        spark.read.parquet(path + "/vectors")
+        .join(key, id_col, "left_anti")
+        .select(id_col, "embedding", "cell_id", "batch_id")
+        .transform(_materialize)
+    )
+    kept.write.mode("overwrite").partitionBy("batch_id").parquet(path + "/vectors")
+    try:
+        codes = spark.read.parquet(path + "/codes")
+    except AnalysisException:
+        codes = None
+    if codes is not None:
+        kept_codes = codes.join(key, id_col, "left_anti").transform(_materialize)
+        kept_codes.write.mode("overwrite").parquet(path + "/codes")
+    return spark.read.parquet(path + "/vectors")
 
 
 def retrain_index(

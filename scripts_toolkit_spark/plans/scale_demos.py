@@ -1,0 +1,283 @@
+"""Cluster-operator toolkit: the pre-flight diagnostics and layout levers a
+100 TB Spark operator runs BEFORE paying for a big shuffle — key-skew
+profiling, join-cardinality probing without executing the join, token-budget
+corpus selection via a distributed prefix sum, and z-order layout
+effectiveness measurement. The reference has no counterpart (these are
+engine-operations extensions, like the sketch/sampling families).
+
+Cross-engine determinism (README design rule #6): every expression here is
+integer/bit arithmetic or an md5-derived key — `length(bin(x))-1` instead of
+`floor(log2(x))` (libm-free bucket), explicit casts around DuckDB's
+SUM→HUGEINT widening, 6-dp rounding on the only divisions (shares and span
+fractions).
+
+Scale shapes:
+- `join_key_skew_report` — ONE hash-agg per key, then a bucket roll-up of
+  the |keys|-sized degree frames; per-key totals attach by equi-join on the
+  3-row key frame.
+- `join_size_probe` — degree tables on both join legs, equi-joined on the
+  key and summed: the EXACT join output size for the price of |keys| rows —
+  the join itself is never materialized.
+- `token_budget_sample` — distributed prefix sum: md5-priority order, 256
+  uniform hash-prefix buckets; within-bucket running sums window on the
+  bucket key (N/256 rows per task), bucket OFFSETS come from a 256-row
+  aggregate whose global window is bounded by the bucket fanout, not by N.
+- `zorder_layout_stats` — bit-interleaved (user, day) key cut into 256
+  contiguous z-ranges vs a hash layout; per-"file" min/max spans measure
+  data-skipping effectiveness, the dominant 100 TB scan lever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scripts_toolkit_spark.io.catalog import load_table
+
+_TOKEN_BUDGET = 12_000  # strict subset at sf0.001 (27.9k total) and above
+_Z_BITS = 8  # 8+8-bit interleave -> 16-bit z-key, 256 z-range "files"
+
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-degree skew profile for the engine's three hottest shuffle keys
+    (events.user_id, lineitem.l_orderkey, orders.o_custkey): one hash
+    aggregate per key computes degrees, then degrees roll up into
+    power-of-two buckets (`length(bin(d))-1` = floor(log2 d), libm-free).
+    `row_share` tells the operator which (key, bucket) a salted-join / AQE
+    skew split must target before running the real join. Per-key totals
+    attach by equi-join on the 3-row key frame — no scalar cross join."""
+
+    def degrees(table: str, col: str) -> DataFrame:
+        df = load_table(spark, sf_dir, table).select(F.col(col).alias("k"))
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("degree")).select(
+            F.lit(f"{table}.{col}").alias("key"), "degree"
+        )
+
+    deg = (
+        degrees("events", "user_id")
+        .unionByName(degrees("lineitem", "l_orderkey"))
+        .unionByName(degrees("orders", "o_custkey"))
+    )
+    bucket = (F.length(F.conv(F.col("degree").cast("string"), 10, 2)) - 1).cast("int")
+    hist = deg.groupBy("key", bucket.alias("degree_bucket")).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("degree").cast("bigint").alias("n_rows"),
+        F.max("degree").cast("bigint").alias("max_degree"),
+    )
+    totals = deg.groupBy("key").agg(F.sum("degree").cast("double").alias("__total"))
+    return hist.join(totals, "key").select(
+        "key",
+        "degree_bucket",
+        "n_keys",
+        "n_rows",
+        "max_degree",
+        F.round(F.col("n_rows") / F.col("__total"), 6).alias("row_share"),
+    )
+
+
+JOIN_KEY_SKEW_REPORT_SQL = """
+WITH deg AS (
+  SELECT 'events.user_id' AS key, COUNT(*) AS degree
+  FROM events GROUP BY user_id
+  UNION ALL
+  SELECT 'lineitem.l_orderkey' AS key, COUNT(*) AS degree
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'orders.o_custkey' AS key, COUNT(*) AS degree
+  FROM orders GROUP BY o_custkey
+),
+hist AS (
+  SELECT key, CAST(length(bin(degree)) - 1 AS INT) AS degree_bucket,
+         COUNT(*) AS n_keys,
+         CAST(SUM(degree) AS BIGINT) AS n_rows,
+         CAST(MAX(degree) AS BIGINT) AS max_degree
+  FROM deg GROUP BY 1, 2
+),
+tot AS (SELECT key, CAST(SUM(degree) AS DOUBLE) AS total FROM deg GROUP BY key)
+SELECT key, degree_bucket, n_keys, n_rows, max_degree,
+       round(n_rows / total, 6) AS row_share
+FROM hist JOIN tot USING (key)
+"""
+
+
+def join_size_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight for orders ⋈ lineitem on orderkey:
+    |A ⋈ B| = Σ_k dA(k)·dB(k) over the key-degree tables — the EXACT output
+    size (and the heaviest key's contribution) computed from |keys| rows,
+    without ever materializing the join. At 100 TB this is the cheap probe
+    that decides shuffle partitioning / skew mitigation for the real join.
+    One-row × one-row scalar attaches carry the per-side key counts."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    dl = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("d_l"))
+    do = od.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("d_o"))
+    matched = dl.join(do, dl.l_orderkey == do.o_orderkey).agg(
+        F.sum(F.col("d_l") * F.col("d_o")).cast("bigint").alias("est_join_rows"),
+        F.count(F.lit(1)).alias("matching_keys"),
+        F.max(F.col("d_l") * F.col("d_o")).cast("bigint").alias("max_key_rows"),
+    )
+    lk = do.agg(F.count(F.lit(1)).alias("left_keys"))
+    rk = dl.agg(F.count(F.lit(1)).alias("right_keys"))
+    return matched.crossJoin(lk).crossJoin(rk)
+
+
+JOIN_SIZE_PROBE_SQL = """
+WITH dl AS (SELECT l_orderkey, COUNT(*) AS d_l FROM lineitem GROUP BY l_orderkey),
+dom AS (SELECT o_orderkey, COUNT(*) AS d_o FROM orders GROUP BY o_orderkey),
+m AS (
+  SELECT CAST(SUM(d_l * d_o) AS BIGINT) AS est_join_rows,
+         COUNT(*) AS matching_keys,
+         CAST(MAX(d_l * d_o) AS BIGINT) AS max_key_rows
+  FROM dl JOIN dom ON l_orderkey = o_orderkey
+),
+lk AS (SELECT COUNT(*) AS left_keys FROM dom),
+rk AS (SELECT COUNT(*) AS right_keys FROM dl)
+SELECT est_join_rows, matching_keys, max_key_rows, left_keys, right_keys
+FROM m CROSS JOIN lk CROSS JOIN rk
+"""
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible token-budget corpus selection (take documents in
+    md5-priority order until the running token count reaches the budget) as
+    a DISTRIBUTED PREFIX SUM: a bare `SUM OVER (ORDER BY ...)` serializes
+    100 TB through one task, so documents bucket by the first two hex chars
+    of their md5 priority (256 uniform buckets that PREFIX the sort order),
+    the running sum windows per bucket (N/256 rows per task), and each
+    bucket's starting offset comes from a 256-row per-bucket total frame —
+    its global window is bounded by the bucket fanout, never by N. The
+    equi-join attaching offsets back is KB-scale (AQE broadcasts it).
+    Identical to the single-window plan for any input distribution."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    d = d.withColumn("bucket", F.substring("pri", 1, 2))
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .select("bucket", F.coalesce(F.sum("btok").over(woff), F.lit(0)).alias("boff"))
+    )
+    return (
+        d.withColumn("__within", within)
+        .join(offsets, "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("boff") + F.col("__within")).cast("bigint").alias("cum_before"),
+        )
+        .where(F.col("cum_before") < _TOKEN_BUDGET)
+    )
+
+
+TOKEN_BUDGET_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY pri, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens, cum_before FROM c WHERE cum_before < {_TOKEN_BUDGET}
+"""
+
+
+def _zkey(ub: Column, db: Column) -> Column:
+    """16-bit Morton (z-order) interleave of two 8-bit dimensions — pure
+    shift/mask arithmetic, bit-identical in Spark and DuckDB."""
+    key = F.lit(0)
+    for i in range(_Z_BITS):
+        key = key + F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i)
+        key = key + F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+    return key
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness of a z-order layout vs a hash layout:
+    events map to an 8-bit (user, day) grid, the z-key's top byte cuts the
+    table into 256 contiguous z-range "files", and per-file min/max spans of
+    EACH dimension measure what fraction of files a point scan must read —
+    the `span_frac` a min/max-pruning reader (parquet row groups) would
+    touch. The hash layout (event_id % 256) is the no-clustering baseline.
+    Two grouped aggregates + a union of two 1-row roll-ups; no window."""
+    # multiplicative spread (odd multipliers are bijective mod 256) fills
+    # the 8-bit grid at every SF — raw user_id/dayofyear occupy a corner of
+    # the grid at small SFs, which would understate the hash baseline's
+    # spans; a real z-order writer buckets arbitrary columns the same way.
+    ev = load_table(spark, sf_dir, "events").select(
+        ((F.col("user_id") * 37) % 256).cast("int").alias("ub"),
+        ((F.dayofyear("ts") * 59) % 256).cast("int").alias("db"),
+        (F.col("event_id") % 256).cast("int").alias("hash_bucket"),
+    )
+    ev = ev.withColumn("z_bucket", F.shiftright(_zkey(F.col("ub"), F.col("db")), _Z_BITS))
+
+    def spans(bucket_col: str, layout: str) -> DataFrame:
+        per_file = ev.groupBy(bucket_col).agg(
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("db").alias("min_db"),
+            F.max("db").alias("max_db"),
+        )
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).alias("n_files"),
+            F.round(F.avg((F.col("max_ub") - F.col("min_ub") + 1) / F.lit(256.0)), 6).alias(
+                "user_span_frac"
+            ),
+            F.round(F.avg((F.col("max_db") - F.col("min_db") + 1) / F.lit(256.0)), 6).alias(
+                "day_span_frac"
+            ),
+        )
+
+    return spans("z_bucket", "zorder").unionByName(spans("hash_bucket", "hash"))
+
+
+_Z_TERMS = " + ".join(
+    f"(((ub >> {i}) & 1) << {2 * i}) + (((db >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS)
+)
+
+ZORDER_LAYOUT_STATS_SQL = f"""
+WITH ev AS (
+  SELECT CAST((user_id * 37) % 256 AS INT) AS ub,
+         CAST((dayofyear(ts) * 59) % 256 AS INT) AS db,
+         CAST(event_id % 256 AS INT) AS hash_bucket
+  FROM events
+),
+z AS (SELECT *, ({_Z_TERMS}) >> {_Z_BITS} AS z_bucket FROM ev),
+zf AS (
+  SELECT z_bucket, MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+         MIN(db) AS min_db, MAX(db) AS max_db
+  FROM z GROUP BY z_bucket
+),
+hf AS (
+  SELECT hash_bucket, MIN(ub) AS min_ub, MAX(ub) AS max_ub,
+         MIN(db) AS min_db, MAX(db) AS max_db
+  FROM z GROUP BY hash_bucket
+)
+SELECT 'zorder' AS layout, COUNT(*) AS n_files,
+       round(AVG((max_ub - min_ub + 1) / 256.0), 6) AS user_span_frac,
+       round(AVG((max_db - min_db + 1) / 256.0), 6) AS day_span_frac
+FROM zf
+UNION ALL
+SELECT 'hash' AS layout, COUNT(*) AS n_files,
+       round(AVG((max_ub - min_ub + 1) / 256.0), 6) AS user_span_frac,
+       round(AVG((max_db - min_db + 1) / 256.0), 6) AS day_span_frac
+FROM hf
+"""

@@ -50,6 +50,18 @@ from scripts_toolkit_spark.plans import ext_demos2 as _x2img
 # (r7 rotation: image_dhash_near_dups and name_graph_triangles ceded
 # their window seats to the NEW ann_index_health / ann_index_retrain —
 # both r6-green in CORRECTNESS_r06 and unchanged in r7; parked in TIER 2.)
+# NEW (r7): cluster-operator toolkit (plans/scale_demos.py) — key-skew
+# profile, join-cardinality probe without executing the join, distributed-
+# prefix-sum token-budget selection, z-order data-skipping stats. Four
+# unchanged r6-green rows (purchase_asof_next_click,
+# bigram_pmi_collocations, hll_set_ops, trending_tokens) ceded their
+# seats and sit in TIER 2.
+from scripts_toolkit_spark.plans import scale_demos as sd
+
+register("join_key_skew_report", sd.join_key_skew_report, sd.JOIN_KEY_SKEW_REPORT_SQL)
+register("join_size_probe", sd.join_size_probe, sd.JOIN_SIZE_PROBE_SQL)
+register("token_budget_sample", sd.token_budget_sample, sd.TOKEN_BUDGET_SAMPLE_SQL)
+register("zorder_layout_stats", sd.zorder_layout_stats, sd.ZORDER_LAYOUT_STATS_SQL)
 # NEW (r6): IVF n_probe tuning report — one ranked assignment pass sliced
 # per ladder level, candidate cost vs bounded-exact recall@3 (the sweep
 # the round-5 verdict asked for; audio_fingerprint_near_dups ceded its
@@ -64,19 +76,8 @@ register("entity_golden_records", rv.entity_golden_records, rv.ENTITY_GOLDEN_REC
 # (banded char-ngram Jaccard leg + bounded exact-cosine leg;
 # order_value_deciles ceded its window seat — r5-green, unchanged)
 register("hybrid_rrf_search", rv.hybrid_rrf_search, rv.HYBRID_RRF_SEARCH_SQL)
-# NEW (r5 wave 4): forward as-of (next-event attribution) + PMI collocations
 from scripts_toolkit_spark.plans import join_demos as _jd5
 
-register(
-    "purchase_asof_next_click", _jd5.purchase_asof_next_click, _jd5.PURCHASE_ASOF_NEXT_CLICK_SQL
-)
-register(
-    "bigram_pmi_collocations", cd.bigram_pmi_collocations, cd.BIGRAM_PMI_COLLOCATIONS_SQL
-)
-# NEW (r5 wave 5): HLL set operations, corpus drift detection, triangle
-# enumeration on the similarity graph
-register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
-register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 # CHANGED (r7): open-vocab / large-strata rankings switched to the
 # two-stage partial top-k (operators/topk.global_topk / grouped_topk —
 # round-6 verdict Next #4); event_pattern_matches + markov_transitions
@@ -207,6 +208,17 @@ register(
     "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
 )
 register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLES_SQL)
+
+# r7 rotation: parked from the window (r6-green in CORRECTNESS_r06,
+# unchanged in r7) to make room for the scale_demos toolkit rows.
+register(
+    "purchase_asof_next_click", _jd5.purchase_asof_next_click, _jd5.PURCHASE_ASOF_NEXT_CLICK_SQL
+)
+register(
+    "bigram_pmi_collocations", cd.bigram_pmi_collocations, cd.BIGRAM_PMI_COLLOCATIONS_SQL
+)
+register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
+register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.

@@ -175,6 +175,7 @@ _BNLJ_ALLOWLIST = {
     "ann_probe_sweep": "scalar total_exact attach (one row) + bounded exact baseline (query cap)",
     "hybrid_rrf_search": "dense leg = bounded exact baseline (absolute query cap); lexical leg banded",
     "ann_index_health": "one-row centroid-count x one-row occupancy-summary attach",
+    "join_size_probe": "one-row degree-sum x one-row per-side key-count attaches",
 }
 
 

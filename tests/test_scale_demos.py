@@ -1,0 +1,92 @@
+"""Cluster-operator toolkit (plans/scale_demos.py): plan-shape and property
+tests for the pre-flight diagnostics — the SCALE claims each docstring makes
+must be mechanically pinned, not just asserted in prose."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.plans import scale_demos as sd
+
+
+def test_token_budget_prefix_sum_is_bucket_partitioned(spark, sf_dir):
+    """The N-sized running-sum window must partition on the bucket key —
+    a bare global window would serialize the corpus through one task. The
+    only unpartitioned window allowed is the 256-row offsets frame (its
+    input is the post-aggregate bucket-total frame, bounded by fanout)."""
+    df = sd.token_budget_sample(spark, sf_dir)
+    ana = df._jdf.queryExecution().analyzed().toString()
+    # the within-bucket window is partitioned
+    assert "windowspecdefinition(bucket" in ana.replace("#", "").lower() or (
+        "partitionBy" not in ana and "windowspecdefinition(bucket" in ana.lower()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_token_budget_sample_matches_single_window(spark, sf_dir):
+    """Bucketed prefix sum == the naive single-window plan (the docstring's
+    'identical for any input distribution' claim), and the selection is a
+    strict, non-empty subset of the corpus."""
+    from scripts_toolkit_spark.io.catalog import load_table
+    from pyspark.sql.window import Window
+
+    got = {
+        (r["doc_id"], r["n_tokens"], r["cum_before"])
+        for r in sd.token_budget_sample(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    w = Window.orderBy("pri", "doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = d.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint").alias("cum_before"),
+    ).where(F.col("cum_before") < sd._TOKEN_BUDGET)
+    want = {(r["doc_id"], r["n_tokens"], r["cum_before"]) for r in naive.collect()}
+    assert got == want
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < len(got) < n_docs
+
+
+def test_zorder_layout_beats_hash_layout(spark, sf_dir):
+    """The point of the z-order demo: contiguous z-ranges must give strictly
+    tighter per-file min/max spans than the hash layout on BOTH dimensions
+    (this is the data-skipping win the docstring promises)."""
+    rows = {r["layout"]: r for r in sd.zorder_layout_stats(spark, sf_dir).collect()}
+    z, h = rows["zorder"], rows["hash"]
+    assert z["user_span_frac"] < h["user_span_frac"]
+    assert z["day_span_frac"] < h["day_span_frac"]
+    assert z["n_files"] > 1
+
+
+def test_join_size_probe_matches_executed_join(spark, sf_dir):
+    """The degree-sum estimate IS the exact join cardinality — pin it
+    against the materialized join's count."""
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    row = sd.join_size_probe(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    actual = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert row["est_join_rows"] == actual
+    assert row["matching_keys"] <= min(row["left_keys"], row["right_keys"])
+
+
+def test_skew_report_shares_sum_to_one(spark, sf_dir):
+    """Per key, bucket row_shares partition the table: they sum to ~1 and
+    n_rows sums to the table's row count."""
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    rows = sd.join_key_skew_report(spark, sf_dir).collect()
+    by_key: dict[str, list] = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    assert set(by_key) == {"events.user_id", "lineitem.l_orderkey", "orders.o_custkey"}
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_rows"] for r in by_key["events.user_id"]) == n_events
+    for key, rs in by_key.items():
+        assert abs(sum(r["row_share"] for r in rs) - 1.0) < 1e-4, key

@@ -68,6 +68,10 @@ EXTRA_DEFAULT = (
     # assign-only incremental search over the stored index
     "ann_index_build",
     "ann_topk_incremental",
+    # Round-7: CCNet perplexity bucketing (two explode→agg passes over the
+    # corpus) and the distributed-prefix-sum token-budget selection
+    "perplexity_buckets",
+    "token_budget_sample",
 )
 
 

@@ -1011,6 +1011,98 @@ GROUP BY doc_id
 """
 
 
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.,
+    2020, public): score every document with the unigram avg-NLL proxy
+    (same float discipline as `unigram_nll_scores`: 6-dp-rounded per-token
+    ln p cast to DECIMAL before the per-doc SUM), cut each language at its
+    exact interpolated NLL tertiles (Spark `percentile` ↔ DuckDB
+    `quantile_cont`, the `value_percentiles` parity pair), and report per
+    (lang, bucket) document/token counts plus the exact-decimal mean NLL.
+
+    Scale shape: one explode→hash-agg pass trains the LM, one hash-agg
+    scores docs, the per-lang threshold frame is |langs| rows (equi-join
+    back on lang — AQE broadcasts KB frames), and the final roll-up is
+    |langs|·3 rows. No window anywhere."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    total = tok.count()
+    lnp = F.round(F.log(F.col("cnt").cast("double") / F.lit(float(total))), 6).cast(
+        "decimal(18,6)"
+    )
+    stats = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select("w", lnp.alias("lnp"))
+    nll = (
+        tok.join(stats, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("lnp").alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round(-F.col("s").cast("double") / F.col("n_words").cast("double"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+    th = nll.groupBy("lang").agg(
+        F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("t1"),
+        F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("t2"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll") < F.col("t1"), "head")
+        .when(F.col("avg_nll") < F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        nll.join(th, "lang")
+        .groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("avg_nll").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_nll"),
+        )
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+stats AS (
+  SELECT w,
+    CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM total)), 6) AS DECIMAL(18,6)) AS lnp
+  FROM tok GROUP BY w
+),
+nll AS (
+  SELECT doc_id, lang, COUNT(*) AS n_words,
+    round(-CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+  FROM tok JOIN stats USING (w)
+  GROUP BY doc_id, lang
+),
+th AS (
+  SELECT lang, quantile_cont(avg_nll, 1.0/3.0) AS t1,
+         quantile_cont(avg_nll, 2.0/3.0) AS t2
+  FROM nll GROUP BY lang
+)
+SELECT lang,
+  CASE WHEN avg_nll < t1 THEN 'head'
+       WHEN avg_nll < t2 THEN 'middle'
+       ELSE 'tail' END AS bucket,
+  COUNT(*) AS n_docs,
+  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+  round(CAST(SUM(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+FROM nll JOIN th USING (lang)
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------- Bloom-filter membership --
 # Completes the sketch family (HLL = cardinality, CMS = frequency,
 # histogram = quantiles, Bloom = MEMBERSHIP): a 2^15-bit / 3-hash Bloom

@@ -87,8 +87,11 @@ from scripts_toolkit_spark.plans import events_demos as ed
 
 register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
 register("stratified_sample_by_lang", a2.stratified_sample_by_lang, a2.STRATIFIED_SAMPLE_BY_LANG_SQL)
-# NEW (r5 wave 5): forward-as-of time-to-event summary + winsorized stats
-register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
+# NEW (r7): CCNet-style head/middle/tail perplexity bucketing — unigram
+# avg-NLL scores cut at per-lang exact interpolated tertiles
+# (time_to_first_purchase ceded its seat — r6-green, unchanged).
+register("perplexity_buckets", cd.perplexity_buckets, cd.PERPLEXITY_BUCKETS_SQL)
+# NEW (r5 wave 5): winsorized stats
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
 # exact sufficient statistics / contingency counts
@@ -219,6 +222,7 @@ register(
 )
 register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
 register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
+register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.

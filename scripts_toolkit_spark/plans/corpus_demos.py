@@ -647,6 +647,42 @@ GROUP BY cand.token, exact_cnt
 """
 
 
+def incremental_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING Count-Min heavy-hitter monitor
+    (streaming/cms_stream.py): documents split into three deterministic
+    pseudo-batches (doc_id % 3), each batch's ≤ D·W sketch-cell partials
+    written through the replay-idempotent foreachBatch processor, then the
+    merged store is probed with the exact-count candidates. CMS cells are
+    counts and counts SUM, so the merged sketch is bit-exact equal to the
+    one-shot sketch — which is why the ORACLE is the one-shot SQL replay
+    (same output as `cms_heavy_hitters`): equality here PROVES the
+    incremental merge, not just the plan. Store path is applicationId-
+    namespaced (the r7 convention — no cross-session races)."""
+    from scripts_toolkit_spark.plans.ext_demos import _session_index_path
+    from scripts_toolkit_spark.streaming import cms_stream as CMS
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split("text", " ")).alias("token"),
+        (F.col("doc_id") % 3).alias("__b"),
+    ).localCheckpoint()
+    path = _session_index_path(spark, sf_dir, "cms_store")
+    process = CMS.make_cms_processor(path)
+    for b in range(3):
+        process(tok.where(F.col("__b") == b).select("token"), b)
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .where(F.col("exact_cnt") >= _CMS_T)
+    )
+    return CMS.probe_heavy_hitters(spark, path, exact).select(
+        "token", "exact_cnt", "cms_est"
+    )
+
+
+INCREMENTAL_CMS_HITTERS_SQL = CMS_HEAVY_HITTERS_SQL
+
+
 def mixture_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-mixture sampling (reference has no counterpart; how LLM
     pipelines weight sources): each source gets a configured sampling

@@ -98,8 +98,11 @@ register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALU
 register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
 register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
 register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
-# NEW (r5 wave 5): time-windowed leaderboard + per-user sequence features
-register("windowed_topk_values", ed.windowed_topk_values, ed.WINDOWED_TOPK_VALUES_SQL)
+# NEW (r7): batch twin of the streaming Count-Min heavy-hitter monitor
+# (streaming/cms_stream.py) — merged per-batch cells == one-shot sketch,
+# proven by the one-shot oracle (windowed_topk_values ceded its seat —
+# r6-green, unchanged).
+register("incremental_cms_hitters", cd.incremental_cms_hitters, cd.INCREMENTAL_CMS_HITTERS_SQL)
 register(
     "user_event_feature_vectors",
     ed.user_event_feature_vectors,
@@ -223,6 +226,7 @@ register(
 register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
 register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
+register("windowed_topk_values", ed.windowed_topk_values, ed.WINDOWED_TOPK_VALUES_SQL)
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.

@@ -213,6 +213,84 @@ def ivf_assign(
     )
 
 
+def ivf_assign_two_level(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    super_probe: int = 4,
+    n_super: int | None = None,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_rank: bool = False,
+) -> DataFrame:
+    """Coarse-to-fine IVF assignment for cell counts that outgrow the flat
+    literal codebook (the documented `ivf_assign` scale hole: with
+    constant-occupancy cells n_cells ∝ N, so at 10⁹ vectors the flat
+    codebook is millions of centroids — no task closure holds it, and the
+    broadcast-crossJoin fallback scores N·n_cells pairs).
+
+    Two levels bound both sides:
+      1. pick √n_cells SUPER-centroids FROM the centroid frame
+         (`deterministic_centroids` over (cell_id, centroid) — same
+         md5-prefix recipe, so the pick is SQL-replayable), and assign
+         every centroid to its home super-cell with the flat kernel
+         (n_cells rows × √n_cells supers — KB-scale);
+      2. assign each VECTOR to its `super_probe` nearest super-centroids
+         (flat kernel over √n_cells supers — closure-sized again), then
+         equi-join on super_id to ONLY those supers' centroids and take
+         the `n_probe` best by the same deterministic sequential-fold dot
+         (ties break low cell_id, the `ivf_assign` comparator).
+
+    Candidate volume: N · super_probe · (n_cells/n_super) ≈
+    N·super_probe·√n_cells pairs through an EQUI-join — never N·n_cells,
+    never a crossJoin. Exactness contract: identical to flat `ivf_assign`
+    whenever the true nearest centroid's home super is among the probed
+    supers — guaranteed when super_probe == n_super (pytest-pinned
+    equality), high-recall for small super_probe on clustered data
+    (pytest floor). Recursion gives further levels at extreme N.
+    Deterministic end-to-end → DuckDB-replayable."""
+    import math
+
+    n_cells = centroids.count()
+    if n_super is None:
+        n_super = max(4, int(math.ceil(math.sqrt(float(n_cells)))))
+    supers = deterministic_centroids(
+        centroids, n_super, id_col="cell_id", vec_col="centroid"
+    )
+    # each centroid's home super-cell (rename: ivf_assign emits `cell_id`
+    # for the ASSIGNED super, which would collide with the centroid's id)
+    cent_in = centroids.select(
+        F.col("cell_id").alias("c_id"), F.col("centroid").alias("c_vec")
+    )
+    cent_super = (
+        ivf_assign(cent_in, supers, 1, id_col="c_id", vec_col="c_vec")
+        .select("c_id", "cell_id")
+        .withColumnRenamed("cell_id", "super_id")
+        .withColumnRenamed("c_id", "cell_id")
+    )
+    probed = (
+        ivf_assign(vectors, supers, super_probe, id_col=id_col, vec_col=vec_col)
+        .select(id_col, vec_col, "cell_id")
+        .withColumnRenamed("cell_id", "super_id")
+    )
+    cand = (
+        probed.join(cent_super, "super_id")
+        .join(centroids.select("cell_id", "centroid"), "cell_id")
+        .select(
+            id_col,
+            vec_col,
+            "cell_id",
+            _dot(F.col(vec_col), F.col("centroid")).alias("aff"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("aff"), F.asc("cell_id"))
+    ranked = cand.withColumn("r", F.row_number().over(w)).where(F.col("r") <= n_probe)
+    rank_cols = [F.col("r").cast("int").alias("probe_rank")] if with_rank else []
+    return ranked.select(
+        id_col, vec_col, "cell_id", (F.col("r") == 1).alias("is_home"), *rank_cols
+    )
+
+
 def deterministic_centroids(
     vectors: DataFrame,
     n_cells: int,
@@ -1113,9 +1191,10 @@ def semantic_dedup(
     The within-cell compare reuses the precomputed norms, so each pair
     costs one fold. Deterministic end-to-end (same contract as `ivf_topk`)
     → SQL-replayable. At extreme N the n_cells∝N literal codebook itself
-    outgrows the task closure and `ivf_assign` falls back to the broadcast
-    join; a coarse-to-fine two-level assignment is the documented next
-    step at that scale (SCALING.md)."""
+    outgrows the task closure; `ivf_assign_two_level` is the scale path
+    there (√n_cells super-centroids, bounded per-vector probes —
+    exhaustive-probe equality and clustered-data recall pytest-pinned,
+    oracle-replayed by `ann_two_level_assign`)."""
     assigned = semantic_cells(
         vectors, n_cells, target_cell_size, split_factor, id_col, vec_col
     )

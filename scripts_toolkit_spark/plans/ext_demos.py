@@ -1671,3 +1671,98 @@ FROM pairs, UNNEST([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE), CAST(0.7 AS DOUBLE
 WHERE jaccard >= tau
 GROUP BY tau
 """
+
+
+def ann_two_level_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine IVF assignment (ext/similarity.ivf_assign_two_level
+    — closes the documented `ivf_assign` scale hole: constant-occupancy
+    cells mean n_cells ∝ N, and at 10⁹ vectors the flat literal codebook
+    no longer fits a task closure while the crossJoin fallback scores
+    N·n_cells pairs). √n_cells super-centroids are picked FROM the
+    centroid frame by the same md5-prefix recipe, every centroid gets a
+    home super-cell, each vector probes its 4 nearest super-cells and
+    argmax-scores ONLY those supers' centroids through an equi-join —
+    N·4·√n_cells candidate pairs instead of N·n_cells. Exhaustive probing
+    == flat assignment and bounded-probe recall ≥0.9 on clustered data
+    are pytest-pinned (test_ext); the ORACLE replays pick → super pick →
+    centroid homes → vector probes → fine argmax in SQL. Returns per-cell
+    occupancy of the two-level home assignment (n_cells = ceil(N/64),
+    the constant-occupancy sizing this path exists to serve)."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = SIM.normalize_vectors(emb).transform(_materialize)
+    n = normed.count()
+    n_cells = max(16, int(math.ceil(n / 64.0)))
+    cents = SIM.deterministic_centroids(normed, n_cells)
+    two = SIM.ivf_assign_two_level(normed, cents, super_probe=4)
+    return two.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+ANN_TWO_LEVEL_ASSIGN_SQL = """
+WITH nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
+  FROM embeddings
+),
+nc AS (
+  SELECT greatest(16, CAST(ceil(CAST(count(*) AS DOUBLE) / 64) AS INT)) AS n FROM nv
+),
+cseed AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM nv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT n FROM nc)
+),
+centv AS (
+  SELECT cell_id, nvec AS centroid FROM cseed JOIN nv USING (vec_id)
+),
+ns AS (
+  SELECT greatest(4, CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS INT)) AS s FROM nc
+),
+sseed AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(cell_id AS VARCHAR)), cell_id) - 1 AS INT) AS super_id,
+         cell_id
+  FROM centv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(cell_id AS VARCHAR)), cell_id) <= (SELECT s FROM ns)
+),
+superv AS (
+  SELECT super_id, centroid AS scent FROM sseed JOIN centv USING (cell_id)
+),
+cent_super AS (
+  SELECT cell_id, super_id FROM (
+    SELECT c.cell_id, s.super_id,
+      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(c.centroid[i] AS DOUBLE) * CAST(s.scent[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        s.super_id) AS rn
+    FROM centv c, superv s
+  ) WHERE rn = 1
+),
+vprobe AS (
+  SELECT vec_id, super_id FROM (
+    SELECT e.vec_id, s.super_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(e.nvec[i] AS DOUBLE) * CAST(s.scent[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        s.super_id) AS rn
+    FROM nv e, superv s
+  ) WHERE rn <= 4
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        c.cell_id) AS rn
+    FROM nv e
+    JOIN vprobe vp ON vp.vec_id = e.vec_id
+    JOIN cent_super cs ON cs.super_id = vp.super_id
+    JOIN centv c ON c.cell_id = cs.cell_id
+  ) WHERE rn = 1
+)
+SELECT cell_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cell_id
+"""

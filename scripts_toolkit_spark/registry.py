@@ -103,11 +103,6 @@ register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
 # proven by the one-shot oracle (windowed_topk_values ceded its seat —
 # r6-green, unchanged).
 register("incremental_cms_hitters", cd.incremental_cms_hitters, cd.INCREMENTAL_CMS_HITTERS_SQL)
-register(
-    "user_event_feature_vectors",
-    ed.user_event_feature_vectors,
-    ed.USER_EVENT_FEATURE_VECTORS_SQL,
-)
 # NEW (r5 wave 5): pipeline-ops tuning reports — dedup threshold sweep
 # (one signature pass) + sequence-packing efficiency comparison
 register("dedup_threshold_sweep", xd.dedup_threshold_sweep, xd.DEDUP_THRESHOLD_SWEEP_SQL)
@@ -180,6 +175,11 @@ register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTA
 # batch_id partitioning + PQ-codes append parity (round-6 ADVICE #1/#2).
 register("ann_index_health", xd.ann_index_health, xd.ANN_INDEX_HEALTH_SQL)
 register("ann_index_retrain", xd.ann_index_retrain, xd.ANN_INDEX_RETRAIN_SQL)
+# NEW (r7): coarse-to-fine two-level IVF assignment — the scale path for
+# constant-occupancy cell counts (n_cells ∝ N) where the flat literal
+# codebook outgrows the task closure (user_event_feature_vectors ceded
+# its seat — r6-green, unchanged).
+register("ann_two_level_assign", xd.ann_two_level_assign, xd.ANN_TWO_LEVEL_ASSIGN_SQL)
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
@@ -227,6 +227,11 @@ register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
 register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
 register("windowed_topk_values", ed.windowed_topk_values, ed.WINDOWED_TOPK_VALUES_SQL)
+register(
+    "user_event_feature_vectors",
+    ed.user_event_feature_vectors,
+    ed.USER_EVENT_FEATURE_VECTORS_SQL,
+)
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.

@@ -1112,3 +1112,61 @@ def test_ivf_assign_fallback_matches_kernel(spark, sf_dir, monkeypatch):
     fallback = rows(S.ivf_assign(emb, cents, n_probe=3, with_rank=True))
     assert kernel == fallback
     assert kernel, "degenerate: empty assignment"
+
+
+def test_two_level_assign_exhaustive_equals_flat(spark, sf_dir):
+    """ivf_assign_two_level's exactness contract: with super_probe ==
+    n_super (every super-cell probed) the coarse-to-fine assignment is
+    IDENTICAL to the flat kernel — and the plan stays equi-keyed (no
+    cartesian / nested-loop pairing anywhere in the fine stage)."""
+    from scripts_toolkit_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.deterministic_centroids(emb, 24).localCheckpoint()
+
+    def rows(df):
+        return sorted(
+            (r["vec_id"], r["cell_id"], r["is_home"]) for r in df.collect()
+        )
+
+    flat = rows(S.ivf_assign(emb, cents, 1))
+    two = S.ivf_assign_two_level(emb, cents, super_probe=5, n_super=5)
+    assert rows(two) == flat
+    assert flat, "degenerate: empty assignment"
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_two_level_assign_recall_on_clustered_data(spark):
+    """Bounded-probe recall floor on clusterable data (the shape real
+    embedding corpora have): probing 4 of ~8 super-cells must recover
+    ≥0.9 of the flat home-cell assignments when clusters are tight."""
+    import random
+
+    from scripts_toolkit_spark.ext import similarity as S
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 16, 16, 40
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows_ = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            rows_.append((vid, [x + rng.gauss(0, 0.05) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+    cents = S.deterministic_centroids(emb, 64).localCheckpoint()
+
+    flat = {
+        (r["vec_id"], r["cell_id"])
+        for r in S.ivf_assign(emb, cents, 1).select("vec_id", "cell_id").collect()
+    }
+    two = {
+        (r["vec_id"], r["cell_id"])
+        for r in S.ivf_assign_two_level(emb, cents, super_probe=4)
+        .select("vec_id", "cell_id")
+        .collect()
+    }
+    recall = len(flat & two) / len(flat)
+    assert recall >= 0.9, f"two-level home-cell recall {recall:.2f}"

@@ -127,6 +127,48 @@ def probe_sem(spark) -> None:
         print(f"mult={mult} n_vecs={n} semantic_dedup: {best:.2f}s drops={rows}", flush=True)
 
 
+def probe_two_level(spark) -> None:
+    """flat vs two-level assignment at 1×/4×/10× with constant-occupancy
+    cell counts (n_cells = N/64, i.e. n_cells GROWS with the corpus): the
+    flat path's cost rides N·n_cells affinity work (~N²/64 — superlinear),
+    the two-level path rides N·probe·√n_cells (~N^1.5/8 with much smaller
+    constants) and must widen its lead as N grows."""
+    import math
+
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for mult in MULTS:
+        parts = [emb] + [
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        n_cells = max(16, int(math.ceil(n / 64.0)))
+        cents = deterministic_centroids(c, n_cells).localCheckpoint()
+        for name, fn in (
+            ("flat", lambda: ivf_assign(c, cents, 1)),
+            ("two_level", lambda: ivf_assign_two_level(c, cents, super_probe=4)),
+        ):
+            best, rows = _best2(fn)
+            print(
+                f"mult={mult} n_vecs={n} n_cells={n_cells} assign[{name}]: "
+                f"{best:.2f}s rows={rows}",
+                flush=True,
+            )
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -136,3 +178,5 @@ if __name__ == "__main__":
         probe_ann(spark)
     if what in ("sem", "all"):
         probe_sem(spark)
+    if what in ("two_level", "all"):
+        probe_two_level(spark)

@@ -1138,9 +1138,23 @@ def semantic_cells(
     if n_cells is None:
         n_cells = auto_n_cells_occupancy(vectors, target_cell_size)
     cents = deterministic_centroids(vectors, n_cells, id_col, vec_col).transform(_materialize)
+    # constant occupancy means n_cells ∝ N — past the literal-codebook cap
+    # the flat path would degrade to the crossJoin fallback (N·n_cells
+    # pairs; measured 6.5× slower at 80k vectors, SCALING.md). Route to
+    # the coarse-to-fine assignment there. Below the cap (every oracle-
+    # gated SF) the flat branch runs, so the SQL replay stays valid;
+    # past it the assignment is the high-recall bounded-probe
+    # approximation — a documented trade alongside the sub-split's.
+    head = cents.select("centroid").first()
+    dim = len(head["centroid"]) if head else 0
+    if n_cells * dim <= _IVF_LITERAL_MAX_DOUBLES:
+        homed = ivf_assign(vectors, cents, 1, id_col, vec_col)
+    else:
+        homed = ivf_assign_two_level(
+            vectors, cents, super_probe=4, id_col=id_col, vec_col=vec_col
+        )
     assigned = (
-        ivf_assign(vectors, cents, 1, id_col, vec_col)
-        .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        homed.withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
         .transform(_materialize)
     )
     # per-cell occupancy: n_cells rows (KB control plane) — AQE broadcasts

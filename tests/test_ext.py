@@ -1170,3 +1170,27 @@ def test_two_level_assign_recall_on_clustered_data(spark):
     }
     recall = len(flat & two) / len(flat)
     assert recall >= 0.9, f"two-level home-cell recall {recall:.2f}"
+
+
+def test_semantic_cells_routes_two_level_past_cap(spark, sf_dir, monkeypatch):
+    """semantic_cells' constant-occupancy sizing makes n_cells ∝ N, so past
+    the literal-codebook cap it must route assignment through
+    ivf_assign_two_level instead of the crossJoin fallback. Forcing the
+    cap to 0 takes that branch at demo scale, where n_super == 4 ==
+    super_probe makes the two-level assignment EXHAUSTIVE — the drop set
+    must equal the flat path's exactly."""
+    from scripts_toolkit_spark.ext import similarity as S
+    from scripts_toolkit_spark.plans.ext_demos2 import _embeddings_with_dups
+
+    emb = _embeddings_with_dups(spark, sf_dir).localCheckpoint()
+    want = sorted(
+        (r["vec_id"], r["keeper_id"])
+        for r in S.semantic_dedup(emb, n_cells=None, tau=0.9, vec_col="v").collect()
+    )
+    monkeypatch.setattr(S, "_IVF_LITERAL_MAX_DOUBLES", 0)
+    got = sorted(
+        (r["vec_id"], r["keeper_id"])
+        for r in S.semantic_dedup(emb, n_cells=None, tau=0.9, vec_col="v").collect()
+    )
+    assert got == want
+    assert want, "degenerate: no drops at this SF"

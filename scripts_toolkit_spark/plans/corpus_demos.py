@@ -1059,7 +1059,12 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode→hash-agg pass trains the LM, one hash-agg
     scores docs, the per-lang threshold frame is |langs| rows (equi-join
     back on lang — AQE broadcasts KB frames), and the final roll-up is
-    |langs|·3 rows. No window anywhere."""
+    |langs|·3 rows. No window anywhere. Documented trade: Spark's exact
+    `percentile` buffers each language's scores in the aggregate state
+    (~N/|langs| doubles per group) — fine for the oracle gate, and CCNet
+    itself cuts on a sample; at open-web scale swap in the bounded-state
+    histogram cut (`histogram_quantiles`'s fixed-bin machinery) or
+    `approx_percentile`, trading the exact-replay property."""
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )

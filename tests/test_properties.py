@@ -275,3 +275,32 @@ def test_global_topk_matches_sorted_reference(spark):
     ]
     expected = sorted(rows, key=lambda r: (-r[1], r[0]))[:37]
     assert got == expected
+
+
+def test_grouped_topk_matches_per_group_reference(spark):
+    """grouped_topk == the naive per-group sort for ANY partitioning of the
+    input (the two-stage identity `operators/topk.py` promises), including
+    repartition-invariance across two different distributions."""
+    rng = random.Random(29)
+    rows = [(i, f"g{rng.randint(0, 4)}", rng.randint(0, 200)) for i in range(2500)]
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.operators.topk import grouped_topk
+
+    expected = set()
+    by_g: dict[str, list] = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((i, g, v))
+    for g, rs in by_g.items():
+        for rank, (i, _g, v) in enumerate(
+            sorted(rs, key=lambda r: (-r[2], r[0]))[:11], start=1
+        ):
+            expected.add((g, i, v, rank))
+
+    for nparts in (3, 17):
+        df = spark.createDataFrame(rows, "id bigint, g string, v bigint").repartition(nparts)
+        got = {
+            (r["g"], r["id"], r["v"], r["rank"])
+            for r in grouped_topk(df, ["g"], [F.desc("v"), F.asc("id")], k=11).collect()
+        }
+        assert got == expected, f"nparts={nparts}"

@@ -207,3 +207,52 @@ def test_csv_and_json_sink_roundtrip(spark, sf_dir, tmp_path):
         assert sorted((r["n_nationkey"], r["n_name"]) for r in back.collect()) == sorted(
             (r["n_nationkey"], r["n_name"]) for r in n.collect()
         ), fmt
+
+
+def test_zordered_parquet_rowgroups_are_skippable(spark, sf_dir, tmp_path):
+    """write_zordered_parquet must produce parquet whose ROW-GROUP min/max
+    footer stats are tight on BOTH clustering columns — the property a
+    min/max-pruning reader skips on — and strictly tighter than a plain
+    write of the same frame on both dimensions. Round-trip row equality
+    pins that layout never changes data."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.io.sinks import write_zordered_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath, npath = str(tmp_path / "zord"), str(tmp_path / "nat")
+    write_zordered_parquet(ev, zpath, ("user_id", "value"), n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(npath)
+
+    lo_u, hi_u, lo_v, hi_v = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    span_u, span_v = max(1, hi_u - lo_u), (hi_v - lo_v) or 1.0
+
+    def avg_spans(path):
+        su, sv, n = 0.0, 0.0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                cols = {rg.column(i).path_in_schema: rg.column(i) for i in range(rg.num_columns)}
+                u, v = cols["user_id"].statistics, cols["value"].statistics
+                su += (u.max - u.min) / span_u
+                sv += (v.max - v.min) / span_v
+                n += 1
+        assert n > 1, f"degenerate: {n} row groups under {path}"
+        return su / n, sv / n
+
+    zu, zv = avg_spans(zpath)
+    nu, nv = avg_spans(npath)
+    assert zu < nu and zv < nv, f"z-order not tighter: z=({zu:.3f},{zv:.3f}) nat=({nu:.3f},{nv:.3f})"
+    # the layout must not alter the data
+    back = spark.read.parquet(zpath)
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id")))).collect()[0][0]
+    b = back.agg(F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id")))).collect()[0][0]
+    assert a == b

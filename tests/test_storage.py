@@ -256,3 +256,28 @@ def test_zordered_parquet_rowgroups_are_skippable(spark, sf_dir, tmp_path):
     a = ev.agg(F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id")))).collect()[0][0]
     b = back.agg(F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id")))).collect()[0][0]
     assert a == b
+
+
+def test_orc_roundtrip_preserves_rows_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC round-trip (Spark-native second columnar format): partitioned
+    write → read-back equality, and predicate pushdown reaches the ORC
+    scan just as it does for parquet."""
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    path = str(tmp_path / "ev_orc")
+    ev.write.mode("overwrite").partitionBy("event_type").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == ev.count()
+    a = ev.agg(F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id")))).collect()[0][0]
+    b = back.agg(F.sum(F.crc32(F.concat_ws("|", "event_id", "user_id")))).collect()[0][0]
+    assert a == b
+    plan = (
+        back.where((F.col("event_type") == "view") & (F.col("value") > 50.0))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)" in plan
+    # partition pruning: the event_type predicate prunes directories
+    assert "PartitionFilters: [isnotnull(event_type" in plan

@@ -281,3 +281,50 @@ def test_orc_roundtrip_preserves_rows_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [IsNotNull(value), GreaterThan(value,50.0)" in plan
     # partition pruning: the event_type predicate prunes directories
     assert "PartitionFilters: [isnotnull(event_type" in plan
+
+
+def test_zordered_rowgroups_prune_for_point_queries(spark, sf_dir, tmp_path):
+    """Quantified skipping: for a point predicate on EITHER clustering
+    column, the fraction of row groups whose footer min/max EXCLUDES the
+    probe (what a pushdown reader skips) must be high under the z-order
+    layout and beat the plain layout on both dimensions."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.io.sinks import write_zordered_parquet
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    zpath, npath = str(tmp_path / "zord"), str(tmp_path / "nat")
+    write_zordered_parquet(ev, zpath, ("user_id", "value"), n_files=16)
+    ev.repartition(16).write.mode("overwrite").parquet(npath)
+
+    mid = ev.agg(F.expr("percentile(user_id, 0.5)")).collect()[0][0]
+    vmid = ev.agg(F.expr("percentile(value, 0.5)")).collect()[0][0]
+
+    def skip_frac(path, col, probe):
+        skipped, n = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                cols = {rg.column(i).path_in_schema: rg.column(i) for i in range(rg.num_columns)}
+                st = cols[col].statistics
+                n += 1
+                if probe < st.min or probe > st.max:
+                    skipped += 1
+        assert n > 1
+        return skipped / n
+
+    # contract: strictly better than the plain layout on BOTH dimensions,
+    # and a strong absolute floor on at least one (per-dim absolutes
+    # depend on the column's value distribution — events.value is skewed,
+    # so its linear 8-bit grid concentrates mass in few buckets)
+    fracs = {}
+    for col, probe in (("user_id", mid), ("value", vmid)):
+        z, nat = skip_frac(zpath, col, probe), skip_frac(npath, col, probe)
+        assert z > nat, f"{col}: zorder skip {z:.2f} <= natural {nat:.2f}"
+        fracs[col] = z
+    assert max(fracs.values()) >= 0.5, f"no dimension skips half its row groups: {fracs}"

@@ -343,6 +343,41 @@ def deterministic_centroids(
     )
 
 
+def threshold_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FULLY-DISTRIBUTED centroid pick for extreme cell counts — the last
+    driver-side step in the constant-occupancy chain removed.
+
+    `deterministic_centroids` collects ~8·n_cells survivor VECTORS to the
+    driver to rank them exactly; with n_cells ∝ N (constant-occupancy
+    sizing) that collect is itself corpus-scale at extreme N (n_cells =
+    16M ⇒ ~128M vectors through the driver). This variant never collects:
+    a vector is a centroid iff its 32-bit md5 prefix falls under
+    floor(n_cells/N · 2³²) — a distributed scan+filter — and its CELL ID
+    IS ITS OWN id (unique and deterministic; downstream grouping needs
+    distinctness, not contiguity). The trade, documented: the pick is
+    BINOMIAL — E[|centroids|] = n_cells with ~√n_cells jitter — instead
+    of exactly n_cells, which is immaterial for cell SIZING. Pairs with
+    `ivf_assign_two_level` for the end-to-end extreme-N path; both halves
+    are md5/arithmetic-deterministic, so the combination replays in SQL.
+    Returns (cell_id = id, centroid)."""
+    n = vectors.count()
+    frac = min(1.0, float(n_cells) / max(n, 1))
+    if frac >= 1.0:
+        return vectors.select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+        )
+    bound = format(max(1, int(frac * (1 << 32))), "08x")
+    h = F.md5(F.col(id_col).cast("string"))
+    return vectors.where(F.substring(h, 1, 8) < F.lit(bound)).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("centroid")
+    )
+
+
 def refine_centroids(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -1766,3 +1766,100 @@ assigned AS (
 )
 SELECT cell_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cell_id
 """
+
+
+def ann_threshold_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTREME-N cell-assignment combination end-to-end: centroids
+    picked by the fully-distributed md5-prefix THRESHOLD
+    (ext/similarity.threshold_centroids — no driver collect; cell_id is
+    the seed vector's own id, binomial count ≈ ceil(N/64)), vectors
+    assigned coarse-to-fine (`ivf_assign_two_level`, 4 probed supers).
+    Together these remove BOTH corpus-scale bottlenecks of the
+    constant-occupancy chain: the ~8·n_cells driver-side survivor collect
+    of the exact pick, and the flat codebook the assignment can't hold
+    once n_cells ∝ N. Returns per-cell occupancy; every stage is
+    md5/arithmetic-deterministic, so the ORACLE replays threshold pick →
+    super pick → centroid homes → vector probes → fine argmax in SQL."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = SIM.normalize_vectors(emb).transform(_materialize)
+    n = normed.count()
+    n_cells = max(16, int(math.ceil(n / 64.0)))
+    cents = SIM.threshold_centroids(normed, n_cells).transform(_materialize)
+    two = SIM.ivf_assign_two_level(normed, cents, super_probe=4)
+    return two.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+ANN_THRESHOLD_CELLS_SQL = """
+WITH nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
+  FROM embeddings
+),
+stats AS (
+  SELECT count(*) AS n,
+         greatest(16, CAST(ceil(CAST(count(*) AS DOUBLE) / 64) AS INT)) AS n_cells
+  FROM nv
+),
+bound AS (
+  SELECT CASE WHEN CAST(n_cells AS DOUBLE) / n >= 1.0 THEN NULL
+              ELSE lower(lpad(to_hex(greatest(1,
+                CAST(floor(CAST(n_cells AS DOUBLE) / n * 4294967296) AS BIGINT))), 8, '0'))
+         END AS b
+  FROM stats
+),
+centv AS (
+  SELECT vec_id AS cell_id, nvec AS centroid
+  FROM nv CROSS JOIN bound
+  WHERE b IS NULL OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < b
+),
+ns AS (
+  SELECT greatest(4, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS s FROM centv
+),
+sseed AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(cell_id AS VARCHAR)), cell_id) - 1 AS INT) AS super_id,
+         cell_id
+  FROM centv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(cell_id AS VARCHAR)), cell_id) <= (SELECT s FROM ns)
+),
+superv AS (
+  SELECT super_id, centroid AS scent FROM sseed JOIN centv USING (cell_id)
+),
+cent_super AS (
+  SELECT cell_id, super_id FROM (
+    SELECT c.cell_id, s.super_id,
+      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(c.centroid[i] AS DOUBLE) * CAST(s.scent[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        s.super_id) AS rn
+    FROM centv c, superv s
+  ) WHERE rn = 1
+),
+vprobe AS (
+  SELECT vec_id, super_id FROM (
+    SELECT e.vec_id, s.super_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(e.nvec[i] AS DOUBLE) * CAST(s.scent[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        s.super_id) AS rn
+    FROM nv e, superv s
+  ) WHERE rn <= 4
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        c.cell_id) AS rn
+    FROM nv e
+    JOIN vprobe vp ON vp.vec_id = e.vec_id
+    JOIN cent_super cs ON cs.super_id = vp.super_id
+    JOIN centv c ON c.cell_id = cs.cell_id
+  ) WHERE rn = 1
+)
+SELECT cell_id, COUNT(*) AS n_vectors FROM assigned GROUP BY cell_id
+"""

@@ -103,9 +103,7 @@ register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
 # proven by the one-shot oracle (windowed_topk_values ceded its seat —
 # r6-green, unchanged).
 register("incremental_cms_hitters", cd.incremental_cms_hitters, cd.INCREMENTAL_CMS_HITTERS_SQL)
-# NEW (r5 wave 5): pipeline-ops tuning reports — dedup threshold sweep
-# (one signature pass) + sequence-packing efficiency comparison
-register("dedup_threshold_sweep", xd.dedup_threshold_sweep, xd.DEDUP_THRESHOLD_SWEEP_SQL)
+# NEW (r5 wave 5): sequence-packing efficiency comparison
 register(
     "packing_efficiency_report",
     cd.packing_efficiency_report,
@@ -180,6 +178,11 @@ register("ann_index_retrain", xd.ann_index_retrain, xd.ANN_INDEX_RETRAIN_SQL)
 # codebook outgrows the task closure (user_event_feature_vectors ceded
 # its seat — r6-green, unchanged).
 register("ann_two_level_assign", xd.ann_two_level_assign, xd.ANN_TWO_LEVEL_ASSIGN_SQL)
+# NEW (r7): extreme-N combination — fully-distributed md5-threshold
+# centroid pick (no driver collect, binomial sizing) feeding the
+# two-level assignment (dedup_threshold_sweep ceded its seat — r6-green,
+# unchanged).
+register("ann_threshold_cells", xd.ann_threshold_cells, xd.ANN_THRESHOLD_CELLS_SQL)
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
@@ -232,6 +235,7 @@ register(
     ed.user_event_feature_vectors,
     ed.USER_EVENT_FEATURE_VECTORS_SQL,
 )
+register("dedup_threshold_sweep", xd.dedup_threshold_sweep, xd.DEDUP_THRESHOLD_SWEEP_SQL)
 
 # r5-new statistics rows displaced from the window by the r6 rotation —
 # UNCHANGED since their green CORRECTNESS_r05 samples.

@@ -1194,3 +1194,30 @@ def test_semantic_cells_routes_two_level_past_cap(spark, sf_dir, monkeypatch):
     )
     assert got == want
     assert want, "degenerate: no drops at this SF"
+
+
+def test_threshold_centroids_distributed_pick(spark, sf_dir):
+    """threshold_centroids: binomial-sized deterministic pick with NO
+    driver collect — repartition-invariant, cell_id = own id, and the
+    end-to-end extreme-N combination (threshold pick → two-level
+    assignment) assigns every vector exactly once through equi-joins."""
+    from scripts_toolkit_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = max(16, n // 8)
+    a = {r["cell_id"] for r in S.threshold_centroids(emb, k).collect()}
+    b = {r["cell_id"] for r in S.threshold_centroids(emb.repartition(7), k).collect()}
+    assert a == b and a, "pick must be deterministic and non-empty"
+    # binomial sizing: within 4 standard deviations of the target
+    import math
+
+    assert abs(len(a) - k) <= 4 * math.sqrt(k) + 1, (len(a), k)
+
+    cents = S.threshold_centroids(emb, k).localCheckpoint()
+    two = S.ivf_assign_two_level(emb, cents, super_probe=4)
+    rows = two.select("vec_id", "cell_id").collect()
+    assert len(rows) == n, "every vector assigned exactly once"
+    assert {r["cell_id"] for r in rows} <= a
+    plan = two._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

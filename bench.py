@@ -69,9 +69,11 @@ EXTRA_DEFAULT = (
     "ann_index_build",
     "ann_topk_incremental",
     # Round-7: CCNet perplexity bucketing (two explode→agg passes over the
-    # corpus) and the distributed-prefix-sum token-budget selection
+    # corpus), the distributed-prefix-sum token-budget selection, and the
+    # extreme-N cell chain (threshold pick → two-level assignment)
     "perplexity_buckets",
     "token_budget_sample",
+    "ann_threshold_cells",
 )
 
 

@@ -304,3 +304,32 @@ def test_grouped_topk_matches_per_group_reference(spark):
             for r in grouped_topk(df, ["g"], [F.desc("v"), F.asc("id")], k=11).collect()
         }
         assert got == expected, f"nparts={nparts}"
+
+
+@given(
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+    st.integers(min_value=0, max_value=255),
+)
+@settings(max_examples=300, deadline=None)
+def test_morton_interleave_is_bijective_and_monotone(a1, b1, a2, b2):
+    """Pure-Python twin of the z-order key used by `zorder_layout_stats`
+    and `io/sinks.write_zordered_parquet`: the 16-bit Morton interleave is
+    a bijection of the 8-bit grid (no two distinct points share a key),
+    and fixing one coordinate makes the key strictly monotone in the
+    other — the property row-group min/max pruning relies on."""
+
+    def z(a, b):
+        k = 0
+        for i in range(8):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        return k
+
+    if (a1, b1) != (a2, b2):
+        assert z(a1, b1) != z(a2, b2)
+    if a1 < a2:
+        assert z(a1, b1) < z(a2, b1)
+    if b1 < b2:
+        assert z(a1, b1) < z(a1, b2)

@@ -14,12 +14,18 @@ def test_token_budget_prefix_sum_is_bucket_partitioned(spark, sf_dir):
     a bare global window would serialize the corpus through one task. The
     only unpartitioned window allowed is the 256-row offsets frame (its
     input is the post-aggregate bucket-total frame, bounded by fanout)."""
+    import re
+
     df = sd.token_budget_sample(spark, sf_dir)
     ana = df._jdf.queryExecution().analyzed().toString()
-    # the within-bucket window is partitioned
-    assert "windowspecdefinition(bucket" in ana.replace("#", "").lower() or (
-        "partitionBy" not in ana and "windowspecdefinition(bucket" in ana.lower()
-    )
+    specs = re.findall(r"windowspecdefinition\([^)]*", ana)
+    # exactly two windows: the N-sized running sum PARTITIONED on bucket
+    # (spec = "bucket#n, pri#m ASC ..." — partition key first, unordered),
+    # and the 256-row offsets window (spec starts "bucket#n ASC" — order
+    # only, bounded by the bucket fanout, never by N)
+    assert len(specs) == 2, specs
+    assert any(re.match(r"windowspecdefinition\(bucket#\d+, pri#", s) for s in specs), specs
+    assert any(re.match(r"windowspecdefinition\(bucket#\d+ ASC", s) for s in specs), specs
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 

@@ -725,6 +725,83 @@ GROUP BY vec_id, cell_id
 """
 
 
+def semantic_dedup_threshold_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTREME-N semantic-dedup configuration under a full SQL oracle:
+    `semantic_dedup(pick='threshold')` forces the branch the engine takes
+    past the survivor-collect cap (round-7 verdict Next #1), where the
+    centroid pick is the fully-distributed md5-prefix THRESHOLD
+    (ext/similarity.threshold_centroids — NO driver collect; cell_id is
+    the seed vector's own id, binomial |cells| ≈ ceil(N/64)) instead of
+    the exact driver-ranked pick. Assignment, occupancy sub-split and
+    in-cell τ-verify are identical to `semantic_dedup_drops`. At demo
+    scale the branch is forced so the ORACLE can replay it: threshold
+    bound → seed cells → nearest-cell argmax → sub-split → verify, all in
+    SQL. (`pick='auto'` takes this same branch once 8·n_cells·dim doubles
+    exceed the pick cap — branch detection is pytest-pinned.)"""
+    corpus = _embeddings_with_dups(spark, sf_dir)
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism).transform(_materialize)
+    return SIM.semantic_dedup(
+        corpus, n_cells=None, tau=_EMB_TAU, vec_col="v", pick="threshold"
+    )
+
+
+SEMANTIC_DEDUP_THRESHOLD_DROPS_SQL = f"""
+WITH corpus AS ({_EMB_CORPUS_SQL}),
+stats AS (
+  SELECT count(*) AS n,
+         greatest(16, CAST(ceil(CAST(count(*) AS DOUBLE) / {_SEM_TARGET}) AS INT)) AS n_cells
+  FROM corpus
+),
+bound AS (
+  SELECT CASE WHEN CAST(n_cells AS DOUBLE) / n >= 1.0 THEN NULL
+              ELSE lower(lpad(to_hex(greatest(1,
+                CAST(floor(CAST(n_cells AS DOUBLE) / n * 4294967296) AS BIGINT))), 8, '0'))
+         END AS b
+  FROM stats
+),
+centv AS (
+  SELECT vec_id AS cell_id, v AS centroid
+  FROM corpus CROSS JOIN bound
+  WHERE b IS NULL OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < b
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65), i -> e.v[i] * c.centroid[i]),
+      (x, y) -> x + y) AS aff
+  FROM corpus e, centv c
+),
+assigned0 AS (
+  SELECT vec_id, cell_id
+  FROM aff
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) = 1
+),
+counts AS (SELECT cell_id, count(*) AS cnt FROM assigned0 GROUP BY cell_id),
+assigned AS (
+  SELECT a.vec_id, a.cell_id,
+    CASE WHEN c.cnt > {_SEM_SPLIT * _SEM_TARGET}
+      THEN CAST(('0x' || substr(md5('sub|' || CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % CAST(ceil(CAST(c.cnt AS DOUBLE) / {_SEM_TARGET}) AS BIGINT)
+      ELSE 0 END AS sub_id
+  FROM assigned0 a JOIN counts c USING (cell_id)
+),
+pairs AS (
+  SELECT b.vec_id AS vec_id, a.cell_id AS cell_id, a.vec_id AS keeper_id
+  FROM assigned a
+  JOIN assigned b USING (cell_id, sub_id)
+  JOIN corpus va ON va.vec_id = a.vec_id
+  JOIN corpus vb ON vb.vec_id = b.vec_id
+  WHERE a.vec_id < b.vec_id
+    AND list_reduce(list_transform(range(1, 65), i -> va.v[i] * vb.v[i]), (x, y) -> x + y)
+        / (sqrt(list_reduce(list_transform(range(1, 65), i -> va.v[i] * va.v[i]), (x, y) -> x + y))
+         * sqrt(list_reduce(list_transform(range(1, 65), i -> vb.v[i] * vb.v[i]), (x, y) -> x + y)))
+        >= {_EMB_TAU}
+)
+SELECT vec_id, cell_id, MIN(keeper_id) AS keeper_id
+FROM pairs
+GROUP BY vec_id, cell_id
+"""
+
+
 def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup: each (dup-augmented) embedding renders as an
     8×8 grayscale image (the image_decode_stats codec path — PGM encode →

@@ -134,6 +134,13 @@ register("data_quality_report", dq.data_quality_report, dq.DATA_QUALITY_REPORT_S
 from scripts_toolkit_spark.plans import ext_demos2 as _x2sem
 
 register("semantic_dedup_drops", _x2sem.semantic_dedup_drops, _x2sem.SEMANTIC_DEDUP_DROPS_SQL)
+# NEW (r8): the forced-threshold-pick twin — the extreme-N branch
+# (distributed pick, no driver collect) under its own full SQL oracle.
+register(
+    "semantic_dedup_threshold_drops",
+    _x2sem.semantic_dedup_threshold_drops,
+    _x2sem.SEMANTIC_DEDUP_THRESHOLD_DROPS_SQL,
+)
 
 # NEW: BPE subword tokenization (ext/bpe.py) — merge-table training +
 # subword-chunked twin of document_chunks

@@ -1196,6 +1196,74 @@ def test_semantic_cells_routes_two_level_past_cap(spark, sf_dir, monkeypatch):
     assert want, "degenerate: no drops at this SF"
 
 
+def test_semantic_dedup_default_pick_routes_threshold_past_cap(spark, sf_dir, monkeypatch):
+    """Round-7 verdict Next #1: past the survivor-collect cap the DEFAULT
+    semantic_dedup centroid pick must be the fully-distributed
+    threshold_centroids (no driver-side vector collect), not the exact
+    pick. Forcing the pick cap to 0 takes that branch at demo scale; the
+    threshold-picked cells are the seed vectors' own ids, and the drop
+    detection must stay within noise of the exact branch's (cells differ,
+    so the sets legitimately diverge — the planted perturbed copies are
+    the ground truth both approximate)."""
+    from scripts_toolkit_spark.ext import similarity as S
+    from scripts_toolkit_spark.plans.ext_demos2 import _embeddings_with_dups
+
+    emb = _embeddings_with_dups(spark, sf_dir).localCheckpoint()
+    exact = {
+        (r["vec_id"], r["keeper_id"])
+        for r in S.semantic_dedup(emb, n_cells=None, tau=0.9, vec_col="v").collect()
+    }
+    monkeypatch.setattr(S, "_PICK_COLLECT_MAX_DOUBLES", 0)
+    thr = {
+        (r["vec_id"], r["keeper_id"])
+        for r in S.semantic_dedup(emb, n_cells=None, tau=0.9, vec_col="v").collect()
+    }
+    # the threshold branch really ran: cell ids are seed-vector ids
+    cells = {
+        r["cell_id"]
+        for r in S.semantic_cells(emb, vec_col="v").select("cell_id").distinct().collect()
+    }
+    ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert cells <= ids and cells, "threshold pick must emit seed ids as cell ids"
+    # detection parity: planted perturbed copies (id ≥ 1e6) dropped by the
+    # exact branch are a ground-truth proxy; the threshold branch must
+    # catch ≥75% of them (measured 0.92 count-rate / 0.79 overlap at sf0.01)
+    pe = {v for v, _ in exact if v >= 1_000_000}
+    pt = {v for v, _ in thr if v >= 1_000_000}
+    assert pe, "degenerate: exact branch dropped no planted copies"
+    assert len(pt) / len(pe) >= 0.75, f"threshold branch detection {len(pt)}/{len(pe)}"
+    assert len(pe & pt) / len(pe) >= 0.6, "threshold branch drops diverged too far"
+
+
+def test_ivf_topk_auto_path_forced_past_both_caps(spark, sf_dir, monkeypatch):
+    """ivf_topk(n_cells=None) past BOTH scale caps (threshold pick +
+    two-level assignment) must stay equi-keyed and keep recall within
+    noise of the default path — the extreme-N configuration a 10⁹-vector
+    corpus would actually run."""
+    from scripts_toolkit_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(emb, emb, k=3).collect()
+    }
+    default = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ivf_topk(emb, n_cells=None, n_probe=3, k=3).collect()
+    }
+    monkeypatch.setattr(S, "_PICK_COLLECT_MAX_DOUBLES", 0)
+    monkeypatch.setattr(S, "_IVF_LITERAL_MAX_DOUBLES", 0)
+    forced_df = S.ivf_topk(emb, n_cells=None, n_probe=3, k=3)
+    forced = {(r["query_id"], r["neighbor_id"]) for r in forced_df.collect()}
+    r_default = len(default & exact) / len(exact)
+    r_forced = len(forced & exact) / len(exact)
+    # measured at sf0.01: 0.38 default vs 0.31 forced (√N cells on 500
+    # vectors is inherently low-recall; the RATIO is the invariant)
+    assert r_forced >= 0.7 * r_default, (r_forced, r_default)
+    plan = forced_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_threshold_centroids_distributed_pick(spark, sf_dir):
     """threshold_centroids: binomial-sized deterministic pick with NO
     driver collect — repartition-invariant, cell_id = own id, and the

@@ -127,6 +127,37 @@ def probe_sem(spark) -> None:
         print(f"mult={mult} n_vecs={n} semantic_dedup: {best:.2f}s drops={rows}", flush=True)
 
 
+def probe_sem_extreme(spark) -> None:
+    """The DEFAULT semantic_dedup chain past BOTH scale caps (r8: auto
+    pick routes to the distributed threshold_centroids, assignment routes
+    coarse-to-fine): at 40× sf0.1 (80k vectors, n_cells=1250 — past the
+    65536-double codebook cap) the default path must complete with ZERO
+    driver-side vector collect; the 10× row (24k vectors — past the pick
+    cap only: threshold pick + flat assignment) anchors the wall ratio."""
+    from scripts_toolkit_spark.ext.similarity import semantic_dedup
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for mult in (10, 40):
+        parts = [emb] + [
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", (i % 63) + 1, 64 - (i % 63)),
+                    F.slice("embedding", 1, i % 63),
+                ).alias("embedding"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        best, rows = _best2(lambda: semantic_dedup(c, n_cells=None, tau=0.9))
+        print(
+            f"mult={mult} n_vecs={n} semantic_dedup[default-chain]: {best:.2f}s drops={rows}",
+            flush=True,
+        )
+
+
 def probe_two_level(spark) -> None:
     """flat vs two-level assignment at 1×/4×/10× with constant-occupancy
     cell counts (n_cells = N/64, i.e. n_cells GROWS with the corpus): the
@@ -178,5 +209,7 @@ if __name__ == "__main__":
         probe_ann(spark)
     if what in ("sem", "all"):
         probe_sem(spark)
+    if what in ("sem_extreme", "all"):
+        probe_sem_extreme(spark)
     if what in ("two_level", "all"):
         probe_two_level(spark)

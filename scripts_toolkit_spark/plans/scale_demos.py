@@ -101,39 +101,110 @@ FROM hist JOIN tot USING (key)
 """
 
 
-def join_size_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join-cardinality pre-flight for orders ⋈ lineitem on orderkey:
-    |A ⋈ B| = Σ_k dA(k)·dB(k) over the key-degree tables — the EXACT output
-    size (and the heaviest key's contribution) computed from |keys| rows,
-    without ever materializing the join. At 100 TB this is the cheap probe
-    that decides shuffle partitioning / skew mitigation for the real join.
-    One-row × one-row scalar attaches carry the per-side key counts."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
-    dl = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("d_l"))
-    do = od.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("d_o"))
-    matched = dl.join(do, dl.l_orderkey == do.o_orderkey).agg(
+# Strategy-decision thresholds (documented proxies for the Spark configs a
+# 100 TB operator would tune): _BC_MAX_ROWS ≈ autoBroadcastJoinThreshold
+# (10 MB at ~100 B/row); _SKEW_FACTOR mirrors
+# spark.sql.adaptive.skewJoin.skewedPartitionFactor (a key is skewed when
+# its output exceeds FACTOR × the mean per-key output); _SKEW_MIN_ROWS
+# mirrors skewedPartitionThresholdInBytes (tiny joins never flag).
+_BC_MAX_ROWS = 100_000
+_SKEW_FACTOR = 5
+_SKEW_MIN_ROWS = 10_000
+
+
+def join_probe_decision(dl: DataFrame, do: DataFrame) -> DataFrame:
+    """The join-strategy decision a 100 TB operator needs BEFORE the
+    shuffle, derived entirely from the two key-degree frames (round-7
+    verdict Next #6 — the probe now emits the recommendation, not just
+    the price): `dl` is (k, d_l), `do` is (k, d_o).
+
+    - `broadcast` when the smaller side's total rows fit the broadcast
+      budget (_BC_MAX_ROWS);
+    - `salted_smj` when the heaviest key's output exceeds _SKEW_FACTOR ×
+      the mean per-key output AND the _SKEW_MIN_ROWS floor — the
+      integer-exact form max_key_rows·matching_keys > FACTOR·est_join_rows
+      avoids a division (bit-identical in any engine);
+    - `smj` otherwise (plain shuffled sort-merge).
+
+    All inputs are |keys|-sized aggregates; the only non-integer output is
+    `max_key_share`, rounded to 6 dp (README design rule #6)."""
+    matched = dl.join(do, "k").agg(
         F.sum(F.col("d_l") * F.col("d_o")).cast("bigint").alias("est_join_rows"),
         F.count(F.lit(1)).alias("matching_keys"),
         F.max(F.col("d_l") * F.col("d_o")).cast("bigint").alias("max_key_rows"),
     )
-    lk = do.agg(F.count(F.lit(1)).alias("left_keys"))
-    rk = dl.agg(F.count(F.lit(1)).alias("right_keys"))
-    return matched.crossJoin(lk).crossJoin(rk)
+    lk = do.agg(
+        F.count(F.lit(1)).alias("left_keys"),
+        F.sum("d_o").cast("bigint").alias("left_rows"),
+    )
+    rk = dl.agg(
+        F.count(F.lit(1)).alias("right_keys"),
+        F.sum("d_l").cast("bigint").alias("right_rows"),
+    )
+    skewed = (F.col("max_key_rows") > F.lit(_SKEW_MIN_ROWS)) & (
+        F.col("max_key_rows") * F.col("matching_keys")
+        > F.lit(_SKEW_FACTOR) * F.col("est_join_rows")
+    )
+    return (
+        matched.crossJoin(lk)
+        .crossJoin(rk)
+        .select(
+            "est_join_rows",
+            "matching_keys",
+            "max_key_rows",
+            "left_keys",
+            "right_keys",
+            "left_rows",
+            "right_rows",
+            F.round(
+                F.col("max_key_rows") / F.col("est_join_rows").cast("double"), 6
+            ).alias("max_key_share"),
+            F.when(
+                F.least("left_rows", "right_rows") <= F.lit(_BC_MAX_ROWS), "broadcast"
+            )
+            .when(skewed, "salted_smj")
+            .otherwise("smj")
+            .alias("recommendation"),
+        )
+    )
 
 
-JOIN_SIZE_PROBE_SQL = """
-WITH dl AS (SELECT l_orderkey, COUNT(*) AS d_l FROM lineitem GROUP BY l_orderkey),
-dom AS (SELECT o_orderkey, COUNT(*) AS d_o FROM orders GROUP BY o_orderkey),
+def join_size_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight for orders ⋈ lineitem on orderkey:
+    |A ⋈ B| = Σ_k dA(k)·dB(k) over the key-degree tables — the EXACT output
+    size (and the heaviest key's contribution) computed from |keys| rows,
+    without ever materializing the join — plus the derived strategy
+    RECOMMENDATION (broadcast / smj / salted_smj, `join_probe_decision`).
+    At 100 TB this is the cheap probe that decides shuffle partitioning /
+    skew mitigation for the real join. One-row × one-row scalar attaches
+    carry the per-side key/row counts. (The demo itself flips across SFs:
+    orders fits the broadcast budget below sf0.1.)"""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    dl = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("d_l"))
+    do = od.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("d_o"))
+    return join_probe_decision(dl, do)
+
+
+JOIN_SIZE_PROBE_SQL = f"""
+WITH dl AS (SELECT l_orderkey AS k, COUNT(*) AS d_l FROM lineitem GROUP BY l_orderkey),
+dom AS (SELECT o_orderkey AS k, COUNT(*) AS d_o FROM orders GROUP BY o_orderkey),
 m AS (
   SELECT CAST(SUM(d_l * d_o) AS BIGINT) AS est_join_rows,
          COUNT(*) AS matching_keys,
          CAST(MAX(d_l * d_o) AS BIGINT) AS max_key_rows
-  FROM dl JOIN dom ON l_orderkey = o_orderkey
+  FROM dl JOIN dom USING (k)
 ),
-lk AS (SELECT COUNT(*) AS left_keys FROM dom),
-rk AS (SELECT COUNT(*) AS right_keys FROM dl)
-SELECT est_join_rows, matching_keys, max_key_rows, left_keys, right_keys
+lk AS (SELECT COUNT(*) AS left_keys, CAST(SUM(d_o) AS BIGINT) AS left_rows FROM dom),
+rk AS (SELECT COUNT(*) AS right_keys, CAST(SUM(d_l) AS BIGINT) AS right_rows FROM dl)
+SELECT est_join_rows, matching_keys, max_key_rows, left_keys, right_keys,
+       left_rows, right_rows,
+       round(max_key_rows / CAST(est_join_rows AS DOUBLE), 6) AS max_key_share,
+       CASE WHEN least(left_rows, right_rows) <= {_BC_MAX_ROWS} THEN 'broadcast'
+            WHEN max_key_rows > {_SKEW_MIN_ROWS}
+                 AND max_key_rows * matching_keys > {_SKEW_FACTOR} * est_join_rows
+              THEN 'salted_smj'
+            ELSE 'smj' END AS recommendation
 FROM m CROSS JOIN lk CROSS JOIN rk
 """
 

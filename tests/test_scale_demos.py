@@ -82,6 +82,42 @@ def test_join_size_probe_matches_executed_join(spark, sf_dir):
     assert row["matching_keys"] <= min(row["left_keys"], row["right_keys"])
 
 
+def test_join_probe_recommendation_flips_across_skew_profiles(spark):
+    """join_probe_decision must emit the strategy a 100 TB operator would
+    actually pick, flipping across synthetic degree profiles: a
+    broadcast-sized small side → 'broadcast'; two big uniform sides →
+    'smj'; one corpus-dominating hot key → 'salted_smj'."""
+
+    def deg(rows):
+        return spark.createDataFrame(rows, "k long, d long")
+
+    def rec(dl_rows, do_rows):
+        dl = deg(dl_rows).withColumnRenamed("d", "d_l")
+        do = deg(do_rows).withColumnRenamed("d", "d_o")
+        return sd.join_probe_decision(dl, do).collect()[0]
+
+    # small dimension side (1k rows) vs big fact side → broadcast
+    small = [(k, 1) for k in range(1_000)]
+    big_uniform = [(k, 300) for k in range(1_000)]
+    r = rec(big_uniform, small)
+    assert r["recommendation"] == "broadcast", r
+
+    # both sides past the broadcast budget, uniform degrees → plain SMJ
+    left = [(k, 101) for k in range(2_000)]   # 202k rows
+    right = [(k, 51) for k in range(2_000)]   # 102k rows
+    r = rec(left, right)
+    assert r["recommendation"] == "smj", r
+    assert r["est_join_rows"] == 2_000 * 101 * 51
+
+    # both sides still past the broadcast budget, but one hot key
+    # carries most of the output → salted
+    hot_left = [(0, 101 * 1_000)] + [(k, 101) for k in range(1, 1_001)]
+    hot_right = [(0, 51 * 2)] + [(k, 151) for k in range(1, 1_001)]
+    r = rec(hot_left, hot_right)
+    assert r["recommendation"] == "salted_smj", r
+    assert r["max_key_share"] > 0.3
+
+
 def test_skew_report_shares_sum_to_one(spark, sf_dir):
     """Per key, bucket row_shares partition the table: they sum to ~1 and
     n_rows sums to the table's row count."""

@@ -115,6 +115,29 @@ _IVF_LITERAL_MAX_DOUBLES = 65536
 _PICK_COLLECT_MAX_DOUBLES = 65536
 
 
+def corpus_stats(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dim: int | None = None,
+) -> tuple[int, int]:
+    """(row count, vector dim) in ONE driver job — the cold path of every
+    ANN entry point needs both, and a separate `.count()` + `.first()`
+    each schedule a full job with fresh codegen (a measured slice of the
+    ANN family's cold-start, round-7 verdict Next #3). Pass whichever is
+    already known to skip the job entirely."""
+    if n_rows is not None and dim is not None:
+        return n_rows, dim
+    row = vectors.agg(
+        F.count(F.lit(1)).alias("__n"), F.first(vec_col).alias("__v")
+    ).first()
+    if n_rows is None:
+        n_rows = int(row["__n"])
+    if dim is None:
+        dim = len(row["__v"]) if row["__v"] is not None else 0
+    return n_rows, dim
+
+
 def pick_centroids(
     vectors: DataFrame,
     n_cells: int,
@@ -122,6 +145,7 @@ def pick_centroids(
     vec_col: str = "embedding",
     dim: int | None = None,
     mode: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Centroid pick with the scale branch built in — the default entry
     point for `semantic_cells` and `ivf_topk(n_cells=None)`:
@@ -139,15 +163,14 @@ def pick_centroids(
     SQL-oracle demos; 'auto' applies the cap. Both picks are md5-prefix
     deterministic, so either branch replays in SQL."""
     if mode == "exact":
-        return deterministic_centroids(vectors, n_cells, id_col, vec_col)
+        return deterministic_centroids(vectors, n_cells, id_col, vec_col, n_rows=n_rows)
     if mode == "threshold":
-        return threshold_centroids(vectors, n_cells, id_col, vec_col)
-    if dim is None:
-        head = vectors.select(vec_col).first()
-        dim = len(head[vec_col]) if head else 0
+        return threshold_centroids(vectors, n_cells, id_col, vec_col, n_rows=n_rows)
+    if dim is None or n_rows is None:
+        n_rows, dim = corpus_stats(vectors, vec_col, n_rows=n_rows, dim=dim)
     if 8 * n_cells * dim > _PICK_COLLECT_MAX_DOUBLES:
-        return threshold_centroids(vectors, n_cells, id_col, vec_col)
-    return deterministic_centroids(vectors, n_cells, id_col, vec_col)
+        return threshold_centroids(vectors, n_cells, id_col, vec_col, n_rows=n_rows)
+    return deterministic_centroids(vectors, n_cells, id_col, vec_col, n_rows=n_rows)
 
 
 def ivf_assign(
@@ -346,6 +369,7 @@ def deterministic_centroids(
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Model-free centroid pick: the n_cells vectors with the smallest
     md5(id) (a deterministic pseudo-random sample). A k-means refinement
@@ -364,7 +388,7 @@ def deterministic_centroids(
     except the ~8·n_cells survivors.
     """
     h = F.md5(F.col(id_col).cast("string"))
-    n = vectors.count()
+    n = vectors.count() if n_rows is None else n_rows
     oversample = 8
     while True:
         frac = min(1.0, (oversample * n_cells) / max(n, 1))
@@ -398,6 +422,7 @@ def threshold_centroids(
     n_cells: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """FULLY-DISTRIBUTED centroid pick for extreme cell counts — the last
     driver-side step in the constant-occupancy chain removed.
@@ -415,7 +440,7 @@ def threshold_centroids(
     `ivf_assign_two_level` for the end-to-end extreme-N path; both halves
     are md5/arithmetic-deterministic, so the combination replays in SQL.
     Returns (cell_id = id, centroid)."""
-    n = vectors.count()
+    n = vectors.count() if n_rows is None else n_rows
     frac = min(1.0, float(n_cells) / max(n, 1))
     if frac >= 1.0:
         return vectors.select(
@@ -503,14 +528,15 @@ def refine_centroids(
     return centroids
 
 
-def auto_n_cells(vectors: DataFrame) -> int:
+def auto_n_cells(vectors: DataFrame, n_rows: int | None = None) -> int:
     """√N cell count (floored, min 16) — the standard IVF sizing: with
     n_cells ≈ √N, candidate volume is ~N^1.5·n_probe instead of
     N²/n_cells, and per-cell lists stay ~√N. floor(sqrt(double)) exactly
     matches the SQL replay `greatest(16, floor(sqrt(count(*))))`."""
     import math
 
-    return max(16, int(math.floor(math.sqrt(float(vectors.count())))))
+    n = vectors.count() if n_rows is None else n_rows
+    return max(16, int(math.floor(math.sqrt(float(n)))))
 
 
 def ivf_topk(
@@ -532,11 +558,10 @@ def ivf_topk(
     fully-distributed `threshold_centroids` (`pick_centroids`), and past
     the literal-codebook cap the assignment routes coarse-to-fine
     (`ivf_assign_two_level`) instead of the crossJoin fallback."""
+    n_rows, dim = corpus_stats(vectors, vec_col)
     if n_cells is None:
-        n_cells = auto_n_cells(vectors)
-    head = vectors.select(vec_col).first()
-    dim = len(head[vec_col]) if head else 0
-    cents = pick_centroids(vectors, n_cells, id_col, vec_col, dim=dim)
+        n_cells = auto_n_cells(vectors, n_rows=n_rows)
+    cents = pick_centroids(vectors, n_cells, id_col, vec_col, dim=dim, n_rows=n_rows)
     # lineage-cut: centroids derive from a corpus scan; without a
     # checkpoint the assign step would re-plan that scan per join leg
     cents = cents.transform(_materialize)
@@ -777,6 +802,7 @@ def attach_pq_lut(
     residual: bool = False,
     cent_np=None,
     cent_pos: dict | None = None,
+    with_codes: bool = False,
 ) -> DataFrame:
     """Append the per-row ADC LUT column (`lut`, m·n_codes doubles:
     lut[s·n_codes + code] = L2²(subvector_s, codeword)) in one Arrow
@@ -790,13 +816,23 @@ def attach_pq_lut(
     arithmetic is the same i-ascending float64 accumulation as `_l2sq`'s
     sequential fold — bit-identical to the Catalyst expression, so code
     assignments derived from the LUT equal `pq_codes`' join-based argmin
-    (pinned by test_stored_pq_search_equals_ivfpq)."""
+    (pinned by test_stored_pq_search_equals_ivfpq).
+
+    `with_codes=True` ALSO emits the per-subspace argmin codes (`ncodes`,
+    m ints) from the same LUT while it is hot in the kernel — np.argmin's
+    first-occurrence tie rule over cell-ascending columns is exactly
+    `lut_codes_expr`'s array_min-over-(d2, code) comparator, and dropping
+    that m·n_codes Catalyst expression from the corpus leg removes its
+    whole-stage-codegen compile from the query's cold path (round-7
+    verdict Next #3)."""
     import numpy as np
 
-    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
     lut_schema = StructType(
-        list(assigned.schema.fields) + [StructField("lut", ArrayType(DoubleType()), True)]
+        list(assigned.schema.fields)
+        + [StructField("lut", ArrayType(DoubleType()), True)]
+        + ([StructField("ncodes", ArrayType(IntegerType()), True)] if with_codes else [])
     )
     _m, _nc, _sd, _residual = m, n_codes, sub_dim, residual
 
@@ -806,6 +842,7 @@ def attach_pq_lut(
             if len(pdf) == 0:
                 continue
             luts = [None] * len(pdf)
+            codes = [None] * len(pdf)
             if _residual:
                 idx = np.arange(len(pdf))
                 cellpos = np.asarray(
@@ -827,10 +864,18 @@ def attach_pq_lut(
                 for i in range(1, _sd):
                     acc = acc + sq[..., i]
                 flat = acc.reshape(len(chunk), _m * _nc)
+                if with_codes:
+                    # first-occurrence argmin over code-ascending columns ==
+                    # the (d2 asc, code asc) comparator of lut_codes_expr
+                    cmin = np.argmin(acc, axis=2).astype(np.int32)
                 for row_i, j_loc in enumerate(chunk):
                     luts[j_loc] = flat[row_i]
+                    if with_codes:
+                        codes[j_loc] = cmin[row_i]
             out = pdf.copy()
             out["lut"] = luts
+            if with_codes:
+                out["ncodes"] = codes
             yield out
 
     return assigned.mapInPandas(_lut, lut_schema)
@@ -946,11 +991,12 @@ def ivfpq_topk(
     normed = normalize_vectors(
         vectors.repartition(par), id_col, vec_col
     ).transform(_materialize)
+    n_rows, _dim0 = corpus_stats(normed, vec_col)
     if n_cells is None:
-        n_cells = auto_n_cells(normed)
+        n_cells = auto_n_cells(normed, n_rows=n_rows)
     n_codes = pq_n_codes or n_cells
     big = deterministic_centroids(
-        normed, max(n_cells, n_codes), id_col, vec_col
+        normed, max(n_cells, n_codes), id_col, vec_col, n_rows=n_rows
     ).transform(_materialize)
     cents = centroids if centroids is not None else big.where(F.col("cell_id") < n_cells)
     if sub_codebook is None and not residual:
@@ -1029,14 +1075,19 @@ def ivfpq_topk(
     # the corpus codes, the query LUT(s), and the cell assignment.
     cb_np = np.asarray([csub for _s, _code, csub in cb_rows], dtype=np.float64)
     assigned0 = ivf_assign(normed, cents, n_probe, id_col, vec_col)
+    # with_codes: the corpus-side argmin codes come out of the SAME kernel
+    # pass (np first-occurrence argmin == lut_codes_expr's comparator) so
+    # the m·n_codes Catalyst code expression never enters the plan — its
+    # whole-stage-codegen compile was a measured chunk of the query's cold
+    # first run (round-7 verdict Next #3)
     assigned = attach_pq_lut(
         assigned0, cb_np, m, n_codes, sub_dim, vec_col,
-        residual=residual, cent_np=cent_np, cent_pos=cent_pos,
+        residual=residual, cent_np=cent_np, cent_pos=cent_pos, with_codes=True,
     ).transform(_materialize)
     corpus = assigned.where(F.col("is_home")).select(
         F.col(id_col).alias("neighbor_id"),
         "cell_id",
-        lut_codes_expr(m, n_codes).alias("ncodes"),
+        "ncodes",
     )
     queries = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
     if residual:
@@ -1195,7 +1246,9 @@ def lsh_topk(
     )
 
 
-def auto_n_cells_occupancy(vectors: DataFrame, target_cell_size: int = 64) -> int:
+def auto_n_cells_occupancy(
+    vectors: DataFrame, target_cell_size: int = 64, n_rows: int | None = None
+) -> int:
     """Constant-occupancy cell count: n_cells = ceil(N / target), min 16.
     With cell occupancy pinned at ~target, in-cell pair volume is
     ~N·target/2 — LINEAR in N — unlike the √N sizing (`auto_n_cells`)
@@ -1206,7 +1259,7 @@ def auto_n_cells_occupancy(vectors: DataFrame, target_cell_size: int = 64) -> in
     `greatest(16, CAST(ceil(CAST(count(*) AS DOUBLE) / target) AS INT))`."""
     import math
 
-    n = vectors.count()
+    n = vectors.count() if n_rows is None else n_rows
     return max(16, int(math.ceil(float(n) / float(target_cell_size))))
 
 
@@ -1240,12 +1293,11 @@ def semantic_cells(
     survivor-collect cap the default pick is the fully-distributed
     threshold pick — no driver-side vector collect anywhere on the
     extreme-N path (round-7 verdict Next #1)."""
+    n_rows, dim = corpus_stats(vectors, vec_col)
     if n_cells is None:
-        n_cells = auto_n_cells_occupancy(vectors, target_cell_size)
-    head = vectors.select(vec_col).first()
-    dim = len(head[vec_col]) if head else 0
+        n_cells = auto_n_cells_occupancy(vectors, target_cell_size, n_rows=n_rows)
     cents = pick_centroids(
-        vectors, n_cells, id_col, vec_col, dim=dim, mode=pick
+        vectors, n_cells, id_col, vec_col, dim=dim, mode=pick, n_rows=n_rows
     ).transform(_materialize)
     # constant occupancy means n_cells ∝ N — past the literal-codebook cap
     # the flat path would degrade to the crossJoin fallback (N·n_cells

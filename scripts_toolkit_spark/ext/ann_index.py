@@ -52,6 +52,7 @@ from scripts_toolkit_spark.ext.similarity import (
     _dot,
     attach_pq_lut,
     auto_n_cells,
+    corpus_stats,
     deterministic_centroids,
     ivf_assign,
     normalize_vectors,
@@ -77,13 +78,18 @@ def build_ann_index(
     IVF search path)."""
     par = vectors.sparkSession.sparkContext.defaultParallelism
     normed = normalize_vectors(vectors.repartition(par), id_col, vec_col).transform(_materialize)
+    # one stats job serves both auto_n_cells' count AND ivf_assign's
+    # collect-before-guard (net-zero jobs vs the former bare .count())
+    n_rows, dim = corpus_stats(normed, vec_col)
     if centroids is None:
         if n_cells is None:
-            n_cells = auto_n_cells(normed)
-        centroids = deterministic_centroids(normed, n_cells, id_col, vec_col)
+            n_cells = auto_n_cells(normed, n_rows=n_rows)
+        centroids = deterministic_centroids(normed, n_cells, id_col, vec_col, n_rows=n_rows)
     centroids = centroids.transform(_materialize)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    stored = ivf_assign(normed, centroids, 1, id_col, vec_col).where(
+    stored = ivf_assign(
+        normed, centroids, 1, id_col, vec_col, n_cells=n_cells, dim=dim
+    ).where(
         F.col("is_home")
     ).select(id_col, vec_col, "cell_id")
     if sub_codebook is not None:
@@ -409,13 +415,16 @@ def retrain_index(
         .select(id_col, vec_col)
         .transform(_materialize)
     )
+    n_rows, dim = corpus_stats(snap, vec_col)
     if n_cells is None:
-        n_cells = auto_n_cells(snap)
-    cents = deterministic_centroids(snap, n_cells, id_col, vec_col).transform(
+        n_cells = auto_n_cells(snap, n_rows=n_rows)
+    cents = deterministic_centroids(snap, n_cells, id_col, vec_col, n_rows=n_rows).transform(
         _materialize
     )
     cents.write.mode("overwrite").parquet(path + "/centroids")
-    stored = ivf_assign(snap, cents, 1, id_col, vec_col).where(
+    stored = ivf_assign(
+        snap, cents, 1, id_col, vec_col, n_cells=n_cells, dim=dim
+    ).where(
         F.col("is_home")
     ).select(id_col, vec_col, "cell_id")
     try:

@@ -1029,9 +1029,12 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_id → two hash aggregates; the only nested-loop is the one-row
     total_exact scalar crossJoin (exempt pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cells = SIM.auto_n_cells(emb)
-    cents = SIM.deterministic_centroids(emb, n_cells).transform(_materialize)
-    assigned = SIM.ivf_assign(emb, cents, 8, with_rank=True).transform(_materialize)
+    n_rows, dim = SIM.corpus_stats(emb)
+    n_cells = SIM.auto_n_cells(emb, n_rows=n_rows)
+    cents = SIM.deterministic_centroids(emb, n_cells, n_rows=n_rows).transform(_materialize)
+    assigned = SIM.ivf_assign(
+        emb, cents, 8, with_rank=True, n_cells=n_cells, dim=dim
+    ).transform(_materialize)
     home = assigned.where(F.col("is_home")).select(
         F.col("vec_id").alias("neighbor_id"), "cell_id"
     )

@@ -128,10 +128,16 @@ def join_probe_decision(dl: DataFrame, do: DataFrame) -> DataFrame:
 
     All inputs are |keys|-sized aggregates; the only non-integer output is
     `max_key_share`, rounded to 6 dp (README design rule #6)."""
+    # disjoint key sets ⇒ the agg runs over an EMPTY join: SUM/MAX yield
+    # NULL — coalesce to 0 so the probe reports zero output, not NULLs
     matched = dl.join(do, "k").agg(
-        F.sum(F.col("d_l") * F.col("d_o")).cast("bigint").alias("est_join_rows"),
+        F.coalesce(F.sum(F.col("d_l") * F.col("d_o")), F.lit(0))
+        .cast("bigint")
+        .alias("est_join_rows"),
         F.count(F.lit(1)).alias("matching_keys"),
-        F.max(F.col("d_l") * F.col("d_o")).cast("bigint").alias("max_key_rows"),
+        F.coalesce(F.max(F.col("d_l") * F.col("d_o")), F.lit(0))
+        .cast("bigint")
+        .alias("max_key_rows"),
     )
     lk = do.agg(
         F.count(F.lit(1)).alias("left_keys"),
@@ -156,9 +162,14 @@ def join_probe_decision(dl: DataFrame, do: DataFrame) -> DataFrame:
             "right_keys",
             "left_rows",
             "right_rows",
-            F.round(
-                F.col("max_key_rows") / F.col("est_join_rows").cast("double"), 6
-            ).alias("max_key_share"),
+            F.when(
+                F.col("est_join_rows") > 0,
+                F.round(
+                    F.col("max_key_rows") / F.col("est_join_rows").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("max_key_share"),
             F.when(
                 F.least("left_rows", "right_rows") <= F.lit(_BC_MAX_ROWS), "broadcast"
             )
@@ -190,16 +201,18 @@ JOIN_SIZE_PROBE_SQL = f"""
 WITH dl AS (SELECT l_orderkey AS k, COUNT(*) AS d_l FROM lineitem GROUP BY l_orderkey),
 dom AS (SELECT o_orderkey AS k, COUNT(*) AS d_o FROM orders GROUP BY o_orderkey),
 m AS (
-  SELECT CAST(SUM(d_l * d_o) AS BIGINT) AS est_join_rows,
+  SELECT CAST(COALESCE(SUM(d_l * d_o), 0) AS BIGINT) AS est_join_rows,
          COUNT(*) AS matching_keys,
-         CAST(MAX(d_l * d_o) AS BIGINT) AS max_key_rows
+         CAST(COALESCE(MAX(d_l * d_o), 0) AS BIGINT) AS max_key_rows
   FROM dl JOIN dom USING (k)
 ),
 lk AS (SELECT COUNT(*) AS left_keys, CAST(SUM(d_o) AS BIGINT) AS left_rows FROM dom),
 rk AS (SELECT COUNT(*) AS right_keys, CAST(SUM(d_l) AS BIGINT) AS right_rows FROM dl)
 SELECT est_join_rows, matching_keys, max_key_rows, left_keys, right_keys,
        left_rows, right_rows,
-       round(max_key_rows / CAST(est_join_rows AS DOUBLE), 6) AS max_key_share,
+       CASE WHEN est_join_rows > 0
+            THEN round(max_key_rows / CAST(est_join_rows AS DOUBLE), 6)
+            ELSE 0.0 END AS max_key_share,
        CASE WHEN least(left_rows, right_rows) <= {_BC_MAX_ROWS} THEN 'broadcast'
             WHEN max_key_rows > {_SKEW_MIN_ROWS}
                  AND max_key_rows * matching_keys > {_SKEW_FACTOR} * est_join_rows

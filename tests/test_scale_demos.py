@@ -118,6 +118,24 @@ def test_join_probe_recommendation_flips_across_skew_profiles(spark):
     assert r["max_key_share"] > 0.3
 
 
+def test_join_probe_disjoint_keys_yields_zeros_not_nulls(spark):
+    """Zero overlapping keys means the matched agg runs over an EMPTY
+    join — SUM/MAX would emit NULL size estimates (round-8 advisor). The
+    probe must report 0 rows / 0.0 share instead, and still recommend."""
+
+    def deg(rows, col):
+        return spark.createDataFrame(rows, "k long, d long").withColumnRenamed("d", col)
+
+    dl = deg([(k, 5) for k in range(100)], "d_l")
+    do = deg([(k, 3) for k in range(1_000, 1_100)], "d_o")
+    r = sd.join_probe_decision(dl, do).collect()[0]
+    assert r["est_join_rows"] == 0
+    assert r["max_key_rows"] == 0
+    assert r["matching_keys"] == 0
+    assert r["max_key_share"] == 0.0
+    assert r["recommendation"] == "broadcast"  # both sides tiny
+
+
 def test_skew_report_shares_sum_to_one(spark, sf_dir):
     """Per key, bucket row_shares partition the table: they sum to ~1 and
     n_rows sums to the table's row count."""

@@ -146,3 +146,85 @@ def test_ann_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     )
     assert store1 == store2
     assert matches1 == matches2
+
+
+def test_lifecycle_compact_delete_between_batches(spark, sf_dir, tmp_path):
+    """Round-8 verdict "What's missing" #3: compact/delete are pinned
+    standalone, but a real operator runs them BETWEEN micro-batches. The
+    composition contract: after append(b0) -> append(b1) -> compact ->
+    delete -> append(b2),
+
+      - the post-compact store is a single batch_id = -1 partition and
+        index_health reads appended_frac = 0 (compact's documented effect),
+      - the NEXT micro-batch still cross-batch matches (compacted rows
+        pass the batch_id < current prior-store filter) and deleted ids
+        never surface as neighbors,
+      - replaying that batch is still idempotent (its dynamic partition
+        overwrite is untouched by the earlier compact),
+      - the final store is row-identical to a one-shot build over the
+        surviving corpus with the SAME model (store==batch parity)."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        compact_index,
+        delete_from_index,
+        index_health,
+    )
+
+    emb, cents, index_path, _src = _setup(spark, sf_dir, tmp_path)
+    matches_path = str(tmp_path / "matches")
+    proc = make_ann_ingest_processor(index_path, matches_path, k=3, n_probe=3)
+    b0 = emb.where("vec_id % 3 = 0")
+    b1 = emb.where("vec_id % 3 = 1")
+    b2 = emb.where("vec_id % 3 = 2")
+    proc(b0, 0)
+    proc(b1, 1)
+
+    compact_index(spark, index_path)
+    store = spark.read.parquet(index_path + "/vectors")
+    assert {r["batch_id"] for r in store.select("batch_id").distinct().collect()} == {-1}
+    health = index_health(spark, index_path).collect()[0]
+    assert health["appended_frac"] == 0.0
+
+    victims = emb.where("vec_id % 30 = 0").select("vec_id")
+    n_victims = victims.count()
+    assert n_victims > 0, "degenerate: no victims at this SF"
+    delete_from_index(spark, index_path, victims)
+    assert (
+        spark.read.parquet(index_path + "/vectors").count()
+        == b0.count() + b1.count() - n_victims
+    )
+
+    proc(b2, 2)
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+    m2 = spark.read.parquet(matches_path).where("batch_id = 2").collect()
+    assert m2, "post-compact/delete batch found no cross-batch matches"
+    assert all(r["query_id"] % 3 == 2 for r in m2)
+    assert all(r["neighbor_id"] not in victim_ids for r in m2)
+
+    # replay idempotency of the post-lifecycle batch
+    store1 = sorted(
+        (r["vec_id"], r["batch_id"], r["cell_id"])
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    )
+    matches1 = sorted(tuple(r) for r in spark.read.parquet(matches_path).collect())
+    proc(b2, 2)
+    store2 = sorted(
+        (r["vec_id"], r["batch_id"], r["cell_id"])
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    )
+    matches2 = sorted(tuple(r) for r in spark.read.parquet(matches_path).collect())
+    assert store1 == store2
+    assert matches1 == matches2
+
+    # store==batch parity over the SURVIVING corpus with the same model
+    one_path = str(tmp_path / "oneshot")
+    survivors = emb.join(victims, "vec_id", "left_anti")
+    build_ann_index(survivors, one_path, centroids=cents)
+    streamed = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert streamed == oneshot

@@ -167,6 +167,11 @@ register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_P
 register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
 # CHANGED (r6): per-(query, probed cell) ADC shortlists + union rerank
 register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
+# NEW (r9): spilled corpus assignment (FAISS multiple-assignment / ScaNN
+# SOAR) — the candidate-bound seeded-recall fix; recall 0.62 → 0.82 at
+# the pytest config (hierarchy_classify ceded its window seat — green
+# since r2, unchanged)
+register("ann_topk_spilled", xd.ann_topk_spilled, xd.ANN_TOPK_SPILLED_SQL)
 register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
 # NEW (r6): persistent ANN index — train-once parquet store (round-trip
 # checked: the summary reads BACK from the store) + assign-only late-batch

@@ -106,6 +106,21 @@ def main() -> None:
 
     # warmup: run the first query once to pay JVM + codegen startup
     qs[names[0]](spark, SF_DIR).limit(1).collect()
+    # ... and start the Arrow Python-worker pool (one tiny mapInPandas
+    # pass touching every core): forking 32 workers and importing
+    # pandas/numpy in each is SESSION machinery, not query work — on a
+    # real cluster the executor pools are long-lived — yet whichever
+    # Python-kernel query ran first was billed ~2s for it (its whole
+    # cold-vs-warm flag was this, round-8 verdict Next #3)
+    def _touch(it):
+        import numpy as _np  # noqa: F401
+        import pandas as _pd
+
+        for pdf in it:
+            yield _pd.DataFrame({"x": pdf["id"][:1]})
+
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4, numPartitions=par).mapInPandas(_touch, "x long").count()
 
     # repeat each query and keep the per-query MINIMUM: the min is the
     # noise-robust estimator for wall-clock under background load (r2's

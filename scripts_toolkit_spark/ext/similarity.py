@@ -1071,18 +1071,18 @@ def ivfpq_topk(
     if n_cells is None:
         n_cells = auto_n_cells(normed, n_rows=n_rows)
     n_codes = pq_n_codes or n_cells
-    big = deterministic_centroids(
-        normed, max(n_cells, n_codes), id_col, vec_col, n_rows=n_rows
-    ).transform(_materialize)
-    cents = centroids if centroids is not None else big.where(F.col("cell_id") < n_cells)
-    if sub_codebook is None and not residual:
-        sub_codebook = pq_subspace_codebook(
-            big.where(F.col("cell_id") < n_codes).select(
-                F.col("cell_id").alias("code"), "centroid"
-            ),
-            m,
-            sub_dim,
+    # the md5-prefix pick is needed unless the caller supplied BOTH model
+    # frames; it stays LAZY — its one and only consumer is the driver
+    # collect below, so an eager checkpoint would be a whole extra job
+    # (the old shape ran ckpt + collect + codebook-collect: three first-run
+    # plan compiles on the cold path, round-8 verdict Next #3)
+    big = (
+        deterministic_centroids(
+            normed, max(n_cells, n_codes), id_col, vec_col, n_rows=n_rows
         )
+        if centroids is None or sub_codebook is None
+        else None
+    )
     # Neighbor-side compressed codes + query-side distance LUT come from
     # ONE projection over the normalized vectors, stored as per-vector
     # ARRAYS: lut[s·n_codes + code] = d2, codes[s] = argmin code. The
@@ -1098,9 +1098,46 @@ def ivfpq_topk(
     # lower code (array_min over struct(d2, code) ≡ orderBy d2, code).
     import numpy as np
 
-    cent_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in cents.collect())
+    # ONE collect of the materialized pick serves the IVF centroids, the
+    # seeded codebook (slices of the same rows — plain Python slicing of
+    # the collected doubles is bit-identical to the former
+    # pq_subspace_codebook F.slice plan), and the residual seeds: the old
+    # shape ran three driver jobs (cents collect, codebook collect, and
+    # ivf_assign's internal re-collect) whose first-run plan compiles were
+    # a measured slice of the query's cold start (round-8 verdict Next #3).
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    if centroids is not None:
+        cent_rows = sorted(
+            (int(r["cell_id"]), list(r["centroid"]))
+            for r in centroids.select("cell_id", "centroid").collect()
+        )
+        cell_t = centroids.schema["cell_id"].dataType
+        big_rows = None
+    else:
+        big_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in big.collect())
+        cent_rows = [(c, v) for c, v in big_rows if c < n_cells]
+        cell_t = IntegerType()
     cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
     cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
+    # rebuild the centroid frame as a LOCAL relation from the rows just
+    # collected: ivf_assign's internal collect becomes a driver-only
+    # LocalTableScan (no distributed job, no checkpoint re-read)
+    cents = vectors.sparkSession.createDataFrame(
+        cent_rows,
+        StructType(
+            [
+                StructField("cell_id", cell_t, False),
+                StructField("centroid", ArrayType(DoubleType()), False),
+            ]
+        ),
+    )
     if sub_codebook is None and residual:
         # Seeded RESIDUAL codebook: the md5-smallest n_codes corpus
         # vectors' residuals wrt their home centroid (prototype-verified:
@@ -1108,11 +1145,12 @@ def ivfpq_topk(
         # near-origin residual cloud badly). Same KB-scale control plane —
         # the picked vectors were already collected for the centroid pick;
         # the home argmax reuses the kernel's i-ascending accumulation.
+        if big_rows is None:
+            big_rows = sorted(
+                (int(r["cell_id"]), list(r["centroid"])) for r in big.collect()
+            )
         seeds = np.asarray(
-            [
-                list(r["centroid"])
-                for r in big.where(F.col("cell_id") < n_codes).orderBy("cell_id").collect()
-            ],
+            [v for c, v in big_rows if c < n_codes],
             dtype=np.float64,
         )
         acc = seeds[:, 0][:, None] * cent_np[None, :, 0]
@@ -1128,9 +1166,24 @@ def ivfpq_topk(
             ],
             "s int, code int, csub array<double>",
         )
-    cb_rows = sorted(
-        ((r["s"], r["code"], list(r["csub"])) for r in sub_codebook.collect())
-    )
+    if sub_codebook is None:
+        # plain seeded codebook: subspace slices of the picked rows, built
+        # driver-side from the rows already collected (the values pass
+        # through unchanged — identical doubles to the F.slice plan)
+        if big_rows is None:
+            big_rows = sorted(
+                (int(r["cell_id"]), list(r["centroid"])) for r in big.collect()
+            )
+        cb_rows = sorted(
+            (s, c, v[s * sub_dim : (s + 1) * sub_dim])
+            for c, v in big_rows
+            if c < n_codes
+            for s in range(m)
+        )
+    else:
+        cb_rows = sorted(
+            ((r["s"], r["code"], list(r["csub"])) for r in sub_codebook.collect())
+        )
     # a tiny corpus yields fewer centroids than requested: the stride of
     # the LUT below is the ACTUAL contiguous per-subspace code count
     n_codes = len(cb_rows) // m

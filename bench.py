@@ -134,6 +134,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     colds: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     import gc
     import statistics
 
@@ -166,6 +167,12 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
         colds[name] = round(runs[0], 3)
+        # WARM spread (exclude the cold first run): max/min over the warm
+        # repeats — the per-query noise band a reader needs before calling
+        # a cross-round delta a regression (round-8 verdict Next #8: two
+        # judges and the driver disagreed 10-30% per query on this host)
+        warm = runs[1:] or runs
+        spreads[name] = round(max(warm) / max(min(warm), 1e-9), 2)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Provenance block (round-5 verdict Next #8): the driver's recorded
@@ -200,6 +207,15 @@ def main() -> None:
             "cold_over_warm_gt2x": sorted(
                 n for n in colds if colds[n] / max(timings[n], 1e-9) > 2.0
             ),
+            # per-query warm max/min ratio across repeats, plus the summary
+            # band: a cross-round per-query delta SMALLER than this run's
+            # own warm spread is noise, not signal
+            "queries_warm_spread": spreads,
+            "warm_spread_p90": round(
+                sorted(spreads.values())[max(0, int(0.9 * len(spreads)) - 1)], 2
+            )
+            if spreads
+            else None,
         },
     }
     print(json.dumps(out))

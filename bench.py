@@ -74,6 +74,9 @@ EXTRA_DEFAULT = (
     "perplexity_buckets",
     "token_budget_sample",
     "ann_threshold_cells",
+    # Round-9: spilled (2-home) corpus assignment — the candidate-bound
+    # seeded-recall fix; 2× candidate volume is the documented trade
+    "ann_topk_spilled",
 )
 
 

@@ -80,8 +80,11 @@ def _expand_paths_closure(
     never materializes the closure."""
     import sys
 
+    # no broadcast hints on edge-derived frames: their lineage reaches the
+    # (possibly SF-linear) edge scan, which the no-forced-broadcast lint
+    # rejects — AQE broadcasts the KB dst set on its own
     dsts = edges.select(F.col("dst").alias("src")).distinct()
-    internal = edges.join(F.broadcast(dsts), "src", "left_semi")
+    internal = edges.join(dsts, "src", "left_semi")
     children: dict = {}
     for r in internal.select("src", "dst").collect():
         children.setdefault(r["src"], []).append(r["dst"])
@@ -134,7 +137,7 @@ def _expand_paths_closure(
         ),
     )
     first = start_nodes.select(F.col("node").alias("concept")).join(
-        F.broadcast(edges), F.col("concept") == F.col("src")
+        edges, F.col("concept") == F.col("src")
     )
     direct = first.where(F.col("dst") == F.lit(root)).select(
         "concept", F.array("concept", "dst").alias("path")

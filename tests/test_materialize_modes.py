@@ -20,12 +20,14 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("qname", ["minhash_near_dups", "hierarchy_paths"])
+@pytest.mark.parametrize("qname", ["minhash_near_dups", "semantic_dedup_drops"])
 def test_durable_checkpoint_results_identical(spark, sf_dir, tmp_path, qname):
-    """A checkpoint-heavy banded-join query and the iterative graph
-    traversal (one materialize per hop) must return identical rows in
-    both modes, and durable mode must actually write RDD checkpoint
-    files under the configured directory."""
+    """A checkpoint-heavy banded-join query and the checkpoint-dense
+    semantic-dedup chain must return identical rows in both modes, and
+    durable mode must actually write RDD checkpoint files under the
+    configured directory. (hierarchy_paths held the second seat until
+    round 9's suffix-closure rework removed every materialization
+    boundary from its broadcast branch — nothing left to exercise.)"""
     q = entrymod.queries()[qname]
     default_rows = _rows(q(spark, sf_dir))
 

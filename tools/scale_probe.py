@@ -103,6 +103,47 @@ def probe_ann(spark) -> None:
             print(f"mult={mult} n_vecs={n} {name}: {best:.2f}s rows={rows}", flush=True)
 
 
+def probe_spill(spark) -> None:
+    """Spilled (n_home=2) vs single-home IVF-PQ at 1×/4× corpus: prices
+    the documented 2× candidate-volume trade (wall should stay ≈2× the
+    single-home run and scale the same way) next to the recall it buys —
+    exact top-3 overlap vs the brute-force baseline at each scale."""
+    from scripts_toolkit_spark.ext.similarity import brute_force_topk, ivfpq_topk
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for mult in (m for m in MULTS if m <= 4):
+        parts = [emb] + [
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(c, c, k=3).collect()
+        }
+        for name, n_home, rf in (("single", 1, 16), ("spilled", 2, 16)):
+            t0 = time.time()
+            rows = ivfpq_topk(
+                c, n_cells=None, n_probe=4, k=3, m=4, sub_dim=16,
+                rerank_factor=rf, pq_n_codes=64, n_home=n_home,
+            ).collect()
+            dt = time.time() - t0
+            got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+            rec = len(exact & got) / max(len(exact), 1)
+            print(
+                f"mult={mult} n_vecs={n} ivfpq[{name}]: {dt:.2f}s "
+                f"recall={rec:.3f} rows={len(rows)}",
+                flush=True,
+            )
+
+
 def probe_sem(spark) -> None:
     """semantic_dedup at 1×/4×/10×: the r7 constant-occupancy sizing must
     hold ~linear wall (the r6-measured √N sizing blew up superlinearly —
@@ -236,6 +277,8 @@ if __name__ == "__main__":
         probe_paths(spark)
     if what in ("ann", "all"):
         probe_ann(spark)
+    if what in ("spill", "all"):
+        probe_spill(spark)
     if what in ("sem", "all"):
         probe_sem(spark)
     if what in ("sem_extreme", "all"):

@@ -84,7 +84,8 @@ def build_ann_index(
     if centroids is None:
         if n_cells is None:
             n_cells = auto_n_cells(normed, n_rows=n_rows)
-        # the exact pick is already a LocalRelation — no lineage to cut
+        # the exact pick is already a driver-local literal frame — no corpus
+        # lineage to cut
         centroids = deterministic_centroids(normed, n_cells, id_col, vec_col, n_rows=n_rows)
     else:
         # caller-provided model (e.g. Lloyd-refined): cut its corpus lineage

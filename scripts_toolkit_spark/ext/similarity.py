@@ -181,13 +181,15 @@ def pick_centroids(
 
 def pick_is_local(mode: str, n_cells: int, dim: int) -> bool:
     """Whether `pick_centroids` with these inputs returns a DRIVER-LOCAL
-    frame (the exact pick collects survivors and emits a LocalRelation) or
-    a distributed one (the threshold pick never touches the driver).
-    Callers use this to skip the lineage-cut checkpoint on the local
-    branch: checkpointing a LocalRelation only converts its free
-    driver-side scans (e.g. ivf_assign's internal collect) into scheduled
-    jobs — one of the measured cold-start costs (round-8 verdict Next #3).
-    Mirrors pick_centroids' own branch predicate exactly."""
+    frame (the exact pick collects survivors and re-emits them as a
+    parallelized literal frame — NO corpus lineage, trivially
+    re-evaluable) or a corpus-lineage distributed one (the threshold pick
+    never touches the driver). Callers use this to skip the lineage-cut
+    checkpoint on the local branch: there is no corpus scan to cut, and
+    the checkpoint job costs more than re-evaluating the literal rows
+    (a measured slice of the ANN cold start, round-8 verdict Next #3).
+    Mirrors pick_centroids' own branch predicate exactly; pinned against
+    drift by tests/test_ext.py::test_pick_is_local_matches_pick_centroids."""
     if mode == "exact":
         return True
     if mode == "threshold":
@@ -620,8 +622,9 @@ def ivf_topk(
     cents = pick_centroids(vectors, n_cells, id_col, vec_col, dim=dim, n_rows=n_rows)
     # lineage-cut ONLY for the distributed (threshold) pick — it derives
     # from a corpus scan the assign step would otherwise re-plan per join
-    # leg. The exact pick is already a LocalRelation: checkpointing it
-    # would just turn free driver-side scans into scheduled jobs.
+    # leg. The exact pick is already a driver-local literal frame with no
+    # corpus lineage: a checkpoint job would cost more than simply
+    # re-evaluating its rows where consumed.
     if not pick_is_local("auto", n_cells, dim):
         cents = cents.transform(_materialize)
     if refine_iters:
@@ -1145,9 +1148,10 @@ def ivfpq_topk(
         cell_t = IntegerType()
     cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
     cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
-    # rebuild the centroid frame as a LOCAL relation from the rows just
-    # collected: ivf_assign's internal collect becomes a driver-only
-    # LocalTableScan (no distributed job, no checkpoint re-read)
+    # rebuild the centroid frame from the rows just collected: a literal
+    # single-partition frame, so ivf_assign's internal collect is a
+    # trivial mini-job over driver-held rows instead of a checkpoint
+    # re-read
     cents = vectors.sparkSession.createDataFrame(
         cent_rows,
         StructType(

@@ -1151,7 +1151,8 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n_rows, dim = SIM.corpus_stats(emb)
     n_cells = SIM.auto_n_cells(emb, n_rows=n_rows)
-    # the exact pick is already a LocalRelation — no checkpoint needed
+    # the exact pick is already a driver-local literal frame (no corpus
+    # lineage, trivially re-evaluable) — no checkpoint needed
     cents = SIM.deterministic_centroids(emb, n_cells, n_rows=n_rows)
     assigned = SIM.ivf_assign(
         emb, cents, 8, with_rank=True, n_cells=n_cells, dim=dim

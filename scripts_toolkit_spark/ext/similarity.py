@@ -603,6 +603,7 @@ def ivf_topk(
     n_probe: int = 2,
     k: int = 3,
     refine_iters: int = 0,
+    n_home: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -610,6 +611,12 @@ def ivf_topk(
     probes its n_probe nearest cells; exact cosine within probed cells.
     The join is equi-keyed on cell_id — no cross join; candidate volume
     ≈ N²·n_probe/n_cells. `n_cells=None` → `auto_n_cells` (√N).
+
+    `n_home` > 1 spills the CORPUS side into each vector's n_home nearest
+    cells (FAISS multiple-assignment / ScaNN-SOAR — the same knob as
+    `ivfpq_topk(n_home=...)`): boundary neighbors become reachable from
+    either side at n_home× the candidate volume plus one pair-dedup
+    shuffle (a pair can then arise from up to n_home shared cells).
 
     Scale branches (both inert at oracle SFs, so the SQL replay holds):
     past the survivor-collect cap the centroid pick routes to the
@@ -635,32 +642,47 @@ def ivf_topk(
     # cosine otherwise re-folds sqrt(Σv²) for BOTH vectors on every
     # candidate pair — ~n_probe·N/n_cells pairs per vector. Precomputed
     # sqrt(dot(v,v)) is the identical expression → identical bits.
+    n_ranks = max(n_probe, n_home)
     if n_cells * dim <= _IVF_LITERAL_MAX_DOUBLES:
-        probed = ivf_assign(vectors, cents, n_probe, id_col, vec_col, n_cells=n_cells, dim=dim)
+        probed = ivf_assign(
+            vectors, cents, n_ranks, id_col, vec_col,
+            with_rank=n_home > 1, n_cells=n_cells, dim=dim,
+        )
     else:
         probed = ivf_assign_two_level(
-            vectors, cents, super_probe=4, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
-            n_cells=n_cells, dim=dim,
+            vectors, cents, super_probe=4, n_probe=n_ranks, id_col=id_col, vec_col=vec_col,
+            with_rank=n_home > 1, n_cells=n_cells, dim=dim,
         )
     assigned = (
         probed
         .withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
         .transform(_materialize)
     )
-    corpus = assigned.where(F.col("is_home")).select(
+    corpus_rows = (
+        assigned.where(F.col("probe_rank") <= n_home)
+        if n_home > 1
+        else assigned.where(F.col("is_home"))
+    )
+    corpus = corpus_rows.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         F.col("nrm").alias("cn"),
         "cell_id",
     )
-    queries = assigned.select(
+    query_rows = (
+        assigned.where(F.col("probe_rank") <= n_probe)
+        if n_home > n_probe
+        else assigned
+    )
+    queries = query_rows.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("nrm").alias("qn"),
         "cell_id",
     )
-    # home-only corpus leg ⇒ a pair can arise from at most one shared
-    # cell; no dedup shuffle needed
+    # n_home == 1: home-only corpus leg ⇒ a pair can arise from at most
+    # one shared cell; no dedup shuffle needed. n_home > 1: up to n_home
+    # shared cells ⇒ dedup pairs (identical cos_sim on every copy).
     scored = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -670,6 +692,8 @@ def ivf_topk(
             (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
         )
     )
+    if n_home > 1:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -593,6 +593,30 @@ def test_ivfpq_adc_vs_exact_rerank(spark, sf_dir):
         assert sims == sorted(sims, reverse=True), f"rerank out of order for query {q}"
 
 
+def test_ivf_spilled_assignment_recall(spark, sf_dir):
+    """The n_home knob on plain IVF (same spilled-assignment discipline as
+    ivfpq): 2-home storage must lift recall past single-home at the same
+    n_probe, and the pair dedup must hold (a pair can arise from both
+    shared cells). Deterministic pipeline on fixed test data ⇒ the floor
+    is exact-reproducible (measured 0.676 vs 0.427 single-home)."""
+    from scripts_toolkit_spark.ext.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb, k=3)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    def run(**kw):
+        rows = ivf_topk(emb, n_cells=8, n_probe=2, k=3, **kw).collect()
+        pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+        assert len(pairs) == len(set(pairs)), "duplicate (query, neighbor) pair"
+        return len(e & set(pairs)) / len(e)
+
+    single = run()
+    spilled = run(n_home=2)
+    assert spilled >= 0.6, f"spilled IVF recall {spilled:.2f}"
+    assert spilled > single, f"spilled {spilled:.2f} vs single {single:.2f}"
+
+
 def test_ivfpq_spilled_assignment_recall(spark, sf_dir):
     """Spilled (2-home) corpus assignment must lift the TRAIN-FREE seeded
     recall past the single-home candidate bound (round-8 verdict Next #4,

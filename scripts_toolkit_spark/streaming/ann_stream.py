@@ -41,10 +41,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from scripts_toolkit_spark.ext.ann_index import _index_n_home
 from scripts_toolkit_spark.ext.similarity import _dot, ivf_assign, normalize_vectors
 from scripts_toolkit_spark.materialize import materialize as _materialize
 
-STORE_SCHEMA = "vec_id bigint, embedding array<double>, cell_id int, batch_id bigint"
+STORE_SCHEMA = (
+    "vec_id bigint, embedding array<double>, cell_id int, probe_rank int, "
+    "batch_id bigint"
+)
 
 
 def make_ann_ingest_processor(
@@ -57,20 +61,29 @@ def make_ann_ingest_processor(
 ):
     """Build the foreachBatch callable (exposed for the replay-idempotency
     test). Requires `{index_path}/centroids` to exist (build the model
-    first with `build_ann_index`, or write centroids directly)."""
+    first with `build_ann_index`, or write centroids directly).
+
+    The index's spilled-assignment width (meta n_home, 1 when absent) is
+    honored per batch: new rows land in their n_home nearest cells, the
+    cross-batch match probes ALL stored copies (the recall lift reaches
+    the stream), and (query, neighbor) pairs dedup before ranking — so a
+    spill-built index ingested by stream stays row-identical to a
+    one-shot spilled build (tests/test_ann_stream.py parity, n_home=2)."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cents = spark.read.parquet(index_path + "/centroids")
+        n_home = _index_n_home(spark, index_path)
         assigned = (
             ivf_assign(
-                normalize_vectors(batch, id_col, vec_col), cents, n_probe,
-                id_col, vec_col,
+                normalize_vectors(batch, id_col, vec_col), cents,
+                max(n_probe, n_home), id_col, vec_col, with_rank=True,
             )
             .transform(_materialize)
         )
-        new_rows = assigned.where(F.col("is_home")).select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), "cell_id"
+        new_rows = assigned.where(F.col("probe_rank") <= n_home).select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
+            "cell_id", "probe_rank",
         )
         try:
             store = spark.read.schema(STORE_SCHEMA).parquet(index_path + "/vectors")
@@ -79,7 +92,7 @@ def make_ann_ingest_processor(
         else:
             old = store.where(F.col("batch_id") < F.lit(batch_id))
         if old is not None:
-            queries = assigned.select(
+            queries = assigned.where(F.col("probe_rank") <= n_probe).select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
             )
             corpus = old.select(
@@ -94,6 +107,10 @@ def make_ann_ingest_processor(
                     _dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
                 )
             )
+            if n_home > 1:
+                # a pair can arise from up to n_home shared cells (every
+                # stored copy scores the identical dot) — dedup first
+                scored = scored.dropDuplicates(["query_id", "neighbor_id"])
             w = Window.partitionBy("query_id").orderBy(
                 F.desc("cos_sim"), F.asc("neighbor_id")
             )

@@ -121,6 +121,56 @@ def test_stream_matches_prebuilt_corpus(spark, sf_dir, tmp_path):
     assert {r["batch_id"] for r in store.select("batch_id").distinct().collect()} == {-1, 0}
 
 
+def test_stream_spilled_store_matches_batch(spark, sf_dir, tmp_path):
+    """Round-9 verdict Next #7: the streaming ingester must honor the
+    index's stored n_home — a spill-built (n_home=2) index streamed into
+    stays row-identical to a one-shot spilled build (copies included),
+    cross-batch matching sees the spilled copies, and no (query, neighbor)
+    pair duplicates within a batch (pairs can arise from both shared
+    cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where("vec_id % 3 = 0")
+    second = emb.where("vec_id % 3 <> 0")
+    index_path = str(tmp_path / "ix")
+    build_ann_index(first, index_path, n_home=2)  # meta carries the width
+    cents = spark.read.parquet(index_path + "/centroids")
+    src = str(tmp_path / "vec_in")
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest(
+        stream,
+        index_path=index_path,
+        matches_path=str(tmp_path / "matches"),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=3,
+    )
+    q.awaitTermination()
+
+    one_path = str(tmp_path / "oneshot")
+    build_ann_index(emb, one_path, centroids=cents, n_home=2)
+    streamed = {
+        (r["vec_id"], r["cell_id"], r["probe_rank"], tuple(r["embedding"]))
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["cell_id"], r["probe_rank"], tuple(r["embedding"]))
+        for r in spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert streamed == oneshot
+    assert len(streamed) == 2 * emb.count(), "spilled copies missing from store"
+
+    rows = spark.read.parquet(str(tmp_path / "matches")).collect()
+    assert rows, "degenerate: no cross-batch matches"
+    assert all(r["query_id"] % 3 != 0 and r["neighbor_id"] % 3 == 0 for r in rows)
+    pairs = [(r["batch_id"], r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs)), "duplicate pair from shared cells"
+
+
 def test_ann_ingest_replay_idempotent(spark, sf_dir, tmp_path):
     """At-least-once foreachBatch: re-invoking the processor with the SAME
     (batch, batch_id) must leave both sinks byte-identical (dynamic

@@ -1131,6 +1131,92 @@ def ann_index_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_INDEX_RETRAIN_SQL = ANN_INDEX_BUILD_SQL
 
 
+def ann_index_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPILLED persistent index (round-9 verdict Next #1: the n_home
+    recall fix must reach the STORED index — the component a 100 TB
+    pipeline actually searches): the 80% base slice builds and persists
+    the index with n_home=2 (each vector stored in its TWO nearest
+    cells — FAISS multiple-assignment / ScaNN-SOAR), the width lands in
+    {path}/meta, and the 20% late batch is assign-only ingested — the
+    APPEND reads the spill width back from meta, so the caller never
+    re-threads it. The IVF top-3 search probes 3 cells per query against
+    ALL stored copies (the recall lift), reranks home rows only, and
+    dedups pairs that arise from both shared cells. Deterministic
+    end-to-end → the oracle replays the base-trained pick, the r <= 2
+    spilled corpus leg, the r <= 3 query probes, the pair DISTINCT, and
+    the sequential-fold cosine in SQL."""
+    from scripts_toolkit_spark.ext import ann_index as ANN
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    late = emb.where(F.col("vec_id") % 5 == 0)
+    path = _session_index_path(spark, sf_dir, "ann_spill")
+    ANN.build_ann_index(base, path, n_home=2)
+    ANN.append_to_index(spark, path, late)
+    return ANN.search_index(spark, path, k=3, n_probe=3)
+
+
+ANN_INDEX_SPILLED_SQL = """
+WITH nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  FROM embeddings WHERE vec_id % 5 <> 0
+),
+nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
+  FROM embeddings
+),
+cents AS (
+  -- the model is picked from the BASE slice only: late vectors are
+  -- assign-only ingested against the stored centroids (spill width from meta)
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM nv WHERE vec_id % 5 <> 0
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT n FROM nc)
+),
+centv AS (
+  SELECT cell_id, nvec AS centroid FROM cents JOIN nv USING (vec_id)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM nv e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
+  FROM aff
+  QUALIFY r <= 3
+),
+cand AS (
+  -- spilled corpus leg r <= 2 (each vector stored in its two nearest
+  -- cells); DISTINCT: a pair can arise from both shared cells
+  SELECT DISTINCT q.vec_id AS query_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE r <= 2) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(q.nvec[i] AS DOUBLE) * CAST(n.nvec[i] AS DOUBLE)), (x, y) -> x + y) AS cos_sim
+  FROM cand c
+  JOIN nv q ON q.vec_id = c.query_id
+  JOIN nv n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 _PROBE_LADDER = (1, 2, 4, 8)
 
 

@@ -169,8 +169,8 @@ register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_S
 register("ann_topk_ivfpq", xd.ann_topk_ivfpq, xd.ANN_TOPK_IVFPQ_SQL)
 # NEW (r9): spilled corpus assignment (FAISS multiple-assignment / ScaNN
 # SOAR) — the candidate-bound seeded-recall fix; recall 0.62 → 0.82 at
-# the pytest config (hierarchy_classify ceded its window seat — green
-# since r2, unchanged)
+# the pytest config (near_dup_clusters ceded its window seat — green
+# since r3, unchanged)
 register("ann_topk_spilled", xd.ann_topk_spilled, xd.ANN_TOPK_SPILLED_SQL)
 register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
 # NEW (r6): persistent ANN index — train-once parquet store (round-trip
@@ -178,6 +178,15 @@ register("ann_topk_ivf", xd.ann_topk_ivf, xd.ANN_TOPK_IVF_SQL)
 # ingestion with base-trained centroids (ext/ann_index.py)
 register("ann_index_build", xd.ann_index_build, xd.ANN_INDEX_BUILD_SQL)
 register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTAL_SQL)
+# NEW (r10): spilled assignment ported into the PERSISTENT index (round-9
+# verdict Next #1): n_home=2 build persists the width in {path}/meta, the
+# late-batch append reads it back (no caller re-threading), and the IVF
+# search probes ALL stored copies with a pair dedup. The whole r10
+# ext/ann_index.py store-schema change (probe_rank column, home-only
+# query/rerank legs) also materially touches the four rows above — all
+# in-window (ann_two_level_assign ceded its seat — r7..r9-green,
+# similarity.py unchanged this round).
+register("ann_index_spilled", xd.ann_index_spilled, xd.ANN_INDEX_SPILLED_SQL)
 # NEW (r7): ANN index lifecycle (round-6 verdict Next #3) — staleness
 # report (occupancy skew + appended-since-train fraction, one hash-agg
 # scan) and in-place retrain (re-pick + re-assign; == fresh build, so the
@@ -185,11 +194,6 @@ register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTA
 # batch_id partitioning + PQ-codes append parity (round-6 ADVICE #1/#2).
 register("ann_index_health", xd.ann_index_health, xd.ANN_INDEX_HEALTH_SQL)
 register("ann_index_retrain", xd.ann_index_retrain, xd.ANN_INDEX_RETRAIN_SQL)
-# NEW (r7): coarse-to-fine two-level IVF assignment — the scale path for
-# constant-occupancy cell counts (n_cells ∝ N) where the flat literal
-# codebook outgrows the task closure (user_event_feature_vectors ceded
-# its seat — r6-green, unchanged).
-register("ann_two_level_assign", xd.ann_two_level_assign, xd.ANN_TWO_LEVEL_ASSIGN_SQL)
 # NEW (r7): extreme-N combination — fully-distributed md5-threshold
 # centroid pick (no driver collect, binomial sizing) feeding the
 # two-level assignment (dedup_threshold_sweep ceded its seat — r6-green,
@@ -227,6 +231,13 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
 # keep them sampled while the window has room).
 # ============================================================================
+
+# r10 rotation: parked from the window (green r7..r9, unchanged in r10 —
+# similarity.py untouched this round) to make room for ann_index_spilled.
+# NEW (r7): coarse-to-fine two-level IVF assignment — the scale path for
+# constant-occupancy cell counts (n_cells ∝ N) where the flat literal
+# codebook outgrows the task closure.
+register("ann_two_level_assign", xd.ann_two_level_assign, xd.ANN_TWO_LEVEL_ASSIGN_SQL)
 
 # r7 rotation: parked from the window (r6-green in CORRECTNESS_r06,
 # unchanged in r7) to make room for the ANN index lifecycle rows.

@@ -174,8 +174,13 @@ def main() -> None:
         # repeats — the per-query noise band a reader needs before calling
         # a cross-round delta a regression (round-8 verdict Next #8: two
         # judges and the driver disagreed 10-30% per query on this host)
-        warm = runs[1:] or runs
-        spreads[name] = round(max(warm) / max(min(warm), 1e-9), 2)
+        # <2 warm repeats ⇒ no warm band exists: emit null rather than a
+        # cold run compared with itself (always 1.0 — advisor r9: that
+        # silently mislabels a cold-only measurement as a noise band)
+        warm = runs[1:]
+        spreads[name] = (
+            round(max(warm) / max(min(warm), 1e-9), 2) if len(warm) >= 2 else None
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Provenance block (round-5 verdict Next #8): the driver's recorded
@@ -215,9 +220,12 @@ def main() -> None:
             # own warm spread is noise, not signal
             "queries_warm_spread": spreads,
             "warm_spread_p90": round(
-                sorted(spreads.values())[max(0, int(0.9 * len(spreads)) - 1)], 2
+                sorted(s for s in spreads.values() if s is not None)[
+                    max(0, int(0.9 * sum(s is not None for s in spreads.values())) - 1)
+                ],
+                2,
             )
-            if spreads
+            if any(s is not None for s in spreads.values())
             else None,
         },
     }

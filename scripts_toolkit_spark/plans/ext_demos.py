@@ -1218,21 +1218,26 @@ FROM ranked WHERE rank <= 3
 
 
 _PROBE_LADDER = (1, 2, 4, 8)
+_HOME_LADDER = (1, 2)
 
 
 def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF n_probe TUNING from one assignment pass (round-5 verdict Next
-    #2: report the probe/recall trade like dedup_threshold_sweep): assign
-    every vector to its 8 nearest cells ONCE with probe ranks, then slice
-    the same candidate frame per ladder level — cost = candidate pairs
-    across ALL queries, quality = recall@3 of the BOUNDED exact baseline
-    (vec_id < 128, the ann_topk_cosine linearity guard). The knob-sweep
-    an operator runs before committing an n_probe corpus-wide, at the cost
-    of one pipeline run: the ladder is an explode over the candidate
-    frame, not a re-assignment per level.
+    """IVF (n_probe × n_home) TUNING from one assignment pass (round-5
+    verdict Next #2; the n_home axis is round-9 verdict Next #6 — since
+    spilled assignment shipped, the operator's real decision is the JOINT
+    recall/cost frontier, not n_probe alone): assign every vector to its
+    8 nearest cells ONCE with probe ranks, then slice the same candidate
+    frame per (probe, home) grid cell. Cost = SCORED JOIN ROWS across all
+    queries (with n_home > 1 a pair can be scored once per shared cell —
+    exactly what the real pipeline pays before its dedup); quality =
+    recall@3 over DISTINCT pairs against the BOUNDED exact baseline
+    (vec_id < 128, the ann_topk_cosine linearity guard). One pipeline
+    run prices the whole grid: both ladders are explodes over the joined
+    frame, the corpus leg is the SAME ranked assignment sliced at
+    r <= n_home, never a re-assignment per level.
 
     Plan shape: literal-codebook assignment (no shuffle) → equi-join on
-    cell_id → two hash aggregates; the only nested-loop is the one-row
+    cell_id → three hash aggregates; the only nested-loop is the one-row
     total_exact scalar crossJoin (exempt pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n_rows, dim = SIM.corpus_stats(emb)
@@ -1243,44 +1248,64 @@ def ann_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = SIM.ivf_assign(
         emb, cents, 8, with_rank=True, n_cells=n_cells, dim=dim
     ).transform(_materialize)
-    home = assigned.where(F.col("is_home")).select(
-        F.col("vec_id").alias("neighbor_id"), "cell_id"
+    corp = assigned.where(F.col("probe_rank") <= max(_HOME_LADDER)).select(
+        F.col("vec_id").alias("neighbor_id"), "cell_id",
+        F.col("probe_rank").alias("home_rank"),
     )
     probes = assigned.select(
         F.col("vec_id").alias("query_id"), "cell_id", "probe_rank"
     )
-    # home-only corpus leg ⇒ one row per (query, neighbor) pair, carrying
-    # the probe rank at which the query first reaches the neighbor's cell
+    # spilled corpus leg ⇒ one row per (query, neighbor, shared cell),
+    # carrying the query's probe rank AND the neighbor's storage rank —
+    # the pair participates at (n_probe, n_home) iff probe_rank <= n_probe
+    # and home_rank <= n_home
     cand = (
-        probes.join(home, "cell_id")
+        probes.join(corp, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "probe_rank")
+        .select("query_id", "neighbor_id", "probe_rank", "home_rank")
         .transform(_materialize)
     )
     ladder = F.array(*[F.lit(p) for p in _PROBE_LADDER])
+    homes = F.array(*[F.lit(h) for h in _HOME_LADDER])
+    grid = [F.explode(ladder).alias("n_probe"), F.explode(homes).alias("n_home")]
     cost = (
-        cand.select("probe_rank", F.explode(ladder).alias("n_probe"))
-        .where(F.col("probe_rank") <= F.col("n_probe"))
-        .groupBy("n_probe")
-        .agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+        cand.select("probe_rank", "home_rank", grid[0])
+        .select("probe_rank", "home_rank", "n_probe", grid[1])
+        .where(
+            (F.col("probe_rank") <= F.col("n_probe"))
+            & (F.col("home_rank") <= F.col("n_home"))
+        )
+        .groupBy("n_probe", "n_home")
+        .agg(F.count(F.lit(1)).alias("n_scored_rows"))
     )
     exact = SIM.brute_force_topk(
         emb.where(F.col("vec_id") < _ANN_EXACT_MAX_QUERIES), emb, k=3
     ).select("query_id", "neighbor_id")
+    # recall counts DISTINCT reachable pairs. Reachability is PER SHARED
+    # CELL — the query must probe the very cell the copy is stored in
+    # (rank-min-ing probe_rank and home_rank independently across cells
+    # would combine ranks that never co-occur) — so the grid condition
+    # applies to each (pair, cell) row and the pair dedups inside the
+    # grid-cell group.
     hits = (
         exact.join(cand, ["query_id", "neighbor_id"])
-        .select("probe_rank", F.explode(ladder).alias("n_probe"))
-        .where(F.col("probe_rank") <= F.col("n_probe"))
-        .groupBy("n_probe")
-        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+        .select("query_id", "neighbor_id", "probe_rank", "home_rank", grid[0])
+        .select("query_id", "neighbor_id", "probe_rank", "home_rank", "n_probe", grid[1])
+        .where(
+            (F.col("probe_rank") <= F.col("n_probe"))
+            & (F.col("home_rank") <= F.col("n_home"))
+        )
+        .groupBy("n_probe", "n_home")
+        .agg(F.count_distinct("query_id", "neighbor_id").alias("n_exact_hits"))
     )
     tot = exact.agg(F.count(F.lit(1)).alias("total_exact"))
     return (
-        cost.join(hits, "n_probe", "left")
+        cost.join(hits, ["n_probe", "n_home"], "left")
         .crossJoin(tot)
         .select(
             "n_probe",
-            "n_candidate_pairs",
+            "n_home",
+            "n_scored_rows",
             F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
             F.round(
                 F.coalesce("n_exact_hits", F.lit(0)).cast("double")
@@ -1317,16 +1342,19 @@ assigned AS (
   FROM aff
   QUALIFY r <= 8
 ),
-home AS (SELECT vec_id AS neighbor_id, cell_id FROM assigned WHERE r = 1),
+corp AS (SELECT vec_id AS neighbor_id, cell_id, r AS home_rank FROM assigned WHERE r <= 2),
 cand AS (
-  SELECT q.vec_id AS query_id, h.neighbor_id, q.r AS probe_rank
-  FROM assigned q JOIN home h USING (cell_id)
+  SELECT q.vec_id AS query_id, h.neighbor_id, q.r AS probe_rank, h.home_rank
+  FROM assigned q JOIN corp h USING (cell_id)
   WHERE q.vec_id <> h.neighbor_id
 ),
 ladder AS (SELECT unnest([1, 2, 4, 8]) AS n_probe),
+homes AS (SELECT unnest([1, 2]) AS n_home),
 cost AS (
-  SELECT n_probe, COUNT(*) AS n_candidate_pairs
-  FROM cand CROSS JOIN ladder WHERE probe_rank <= n_probe GROUP BY n_probe
+  SELECT n_probe, n_home, COUNT(*) AS n_scored_rows
+  FROM cand CROSS JOIN ladder CROSS JOIN homes
+  WHERE probe_rank <= n_probe AND home_rank <= n_home
+  GROUP BY n_probe, n_home
 ),
 pairs AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1348,16 +1376,18 @@ exact AS (
 ),
 tot AS (SELECT COUNT(*) AS total_exact FROM exact),
 hits AS (
-  SELECT n_probe, COUNT(*) AS n_exact_hits
+  -- per-(pair, shared cell) condition, DISTINCT pairs per grid cell
+  SELECT n_probe, n_home, COUNT(DISTINCT (query_id, neighbor_id)) AS n_exact_hits
   FROM exact e JOIN cand c USING (query_id, neighbor_id)
-  CROSS JOIN ladder
-  WHERE c.probe_rank <= n_probe GROUP BY n_probe
+  CROSS JOIN ladder CROSS JOIN homes
+  WHERE c.probe_rank <= n_probe AND c.home_rank <= n_home
+  GROUP BY n_probe, n_home
 )
-SELECT c.n_probe,
-  CAST(c.n_candidate_pairs AS BIGINT) AS n_candidate_pairs,
+SELECT c.n_probe, c.n_home,
+  CAST(c.n_scored_rows AS BIGINT) AS n_scored_rows,
   CAST(coalesce(h.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
   ROUND(CAST(coalesce(h.n_exact_hits, 0) AS DOUBLE) / (SELECT total_exact FROM tot), 6) AS recall
-FROM cost c LEFT JOIN hits h USING (n_probe)
+FROM cost c LEFT JOIN hits h USING (n_probe, n_home)
 """
 
 

@@ -241,6 +241,54 @@ def probe_two_level(spark) -> None:
             )
 
 
+def probe_melt(spark) -> None:
+    """melt_to_eav at 60/240/600 value columns over a FIXED 100k-row base
+    (round-9 verdict Next #8: prove the unpivot family's claim that
+    COLUMNS scale without plan blowup — melt_wide60 only stresses 60).
+    Reports, per width: analysis+optimization wall (driver-side plan
+    work — the thing that would blow up if each column became its own
+    plan branch), optimized-plan size in characters, and executed wall.
+    The single `unpivot` per type family lowers to ONE Expand node with
+    n_cols projections, so plan size should grow ~linearly in columns
+    and execution ~linearly in emitted rows — not combinatorially."""
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.operators.reshape import melt_to_eav
+
+    base = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    # default maxToStringFields elides long projection lists with "..." —
+    # raise it so plan_chars measures the REAL plan text, not a truncation
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .limit(100_000)
+        .select("l_orderkey", "l_linenumber", *base)
+        .localCheckpoint()
+    )
+    for n_cols in (60, 240, 600):
+        variants = n_cols // 4
+        cols = [(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rssd")]
+        for v in range(variants):
+            for b in base:
+                cols.append(
+                    F.when(
+                        (F.col("l_orderkey") + v) % 13 != 0, F.col(b) + F.lit(float(v))
+                    ).alias(f"{b}_v{v}")
+                )
+        type_map = {f"{b}_v{v}": "float" for v in range(variants) for b in base}
+        t0 = time.time()
+        eav = melt_to_eav(li.select(*cols), type_map, 20240630).select(
+            "rssd", "mdrm", "quarter", "data_type", "float_data"
+        )
+        plan_chars = len(eav._jdf.queryExecution().optimizedPlan().toString())
+        analysis_s = time.time() - t0
+        best, rows = _best2(lambda: eav)
+        print(
+            f"n_cols={n_cols} melt: analyze={analysis_s:.2f}s "
+            f"plan_chars={plan_chars} exec={best:.2f}s rows={rows}",
+            flush=True,
+        )
+
+
 def probe_paths(spark) -> None:
     """expand_paths at 1×/4×/10× the START population over the fixed deep
     taxonomy (13 hops): the round-9 driver-side suffix closure touches the
@@ -285,3 +333,5 @@ if __name__ == "__main__":
         probe_sem_extreme(spark)
     if what in ("two_level", "all"):
         probe_two_level(spark)
+    if what in ("melt", "all"):
+        probe_melt(spark)

@@ -43,6 +43,11 @@ EAV_FIELDS = (
     "str_data",
 )
 
+# Max columns per single unpivot (Expand) node: past ~a few hundred
+# projections whole-stage codegen splits/falls back and per-row cost ~4×.
+# 64 measured best of {64, 128, 200} at 600 columns (scale_probe melt).
+_UNPIVOT_CHUNK = 64
+
 
 def normalize_wide(df: DataFrame, entity_col: str = "entity", date_col: str = "date") -> DataFrame:
     """normalize_df (converter.py:185-211): lowercase columns, drop the
@@ -77,6 +82,15 @@ def melt_to_eav(
     laundered through strings. The type plan is driver-side (it came from
     `profile_types`, a collected one-row aggregate), so routing is plain
     column pruning — no join needed at all.
+
+    VERY wide families additionally CHUNK their unpivot into unions of
+    ≤ `_UNPIVOT_CHUNK`-column unpivots (r10, measured by
+    `tools/scale_probe.py melt`): a single 600-column Expand blows
+    whole-stage codegen's generated-method budget and falls off the
+    compiled path (~4× per-row cost — 61→238 ns); 64-column chunks stay
+    compiled and the union of chunk unpivots is row-identical (measured
+    12.8 s → 3.0 s on 55M emitted rows). Each chunk's input scan prunes
+    to its own columns, so total input volume is unchanged.
     """
     bool_cols = [c for c, t in type_map.items() if t == "bool" and c in df.columns]
     int_cols = [c for c, t in type_map.items() if t == "int" and c in df.columns]
@@ -88,9 +102,18 @@ def melt_to_eav(
     parts: list[DataFrame] = []
 
     def _unpivot(cols: list[str], to_type: str) -> DataFrame:
-        return df.select(rssd, *[F.col(c).cast(to_type) for c in cols]).unpivot(
-            ["rssd"], cols, "mdrm", "value"
-        )
+        chunks: list[DataFrame] = []
+        for lo in range(0, len(cols), _UNPIVOT_CHUNK):
+            cs = cols[lo : lo + _UNPIVOT_CHUNK]
+            chunks.append(
+                df.select(rssd, *[F.col(c).cast(to_type) for c in cs]).unpivot(
+                    ["rssd"], cs, "mdrm", "value"
+                )
+            )
+        out = chunks[0]
+        for c in chunks[1:]:
+            out = out.unionByName(c)
+        return out
 
     if bool_cols:
         # truthy over the string image covers 1 / '1' / 'true' variants

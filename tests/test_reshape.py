@@ -109,3 +109,50 @@ def test_profile_types_batching_equivalence(spark):
         ]
     )
     assert profile_types(wide) == profile_types(wide, batch_size=200)
+
+
+def test_melt_chunked_unpivot_equivalence(spark, monkeypatch):
+    """r10 wide-path fix: past _UNPIVOT_CHUNK columns the melt chunks its
+    unpivot into a union of narrow Expands (a single 600-col Expand falls
+    off whole-stage codegen, ~4x per-row cost — scale_probe melt). The
+    chunked form must be ROW-IDENTICAL to the single-unpivot form on a
+    mixed-type 150-column frame, at several chunk widths including one
+    that leaves a ragged tail."""
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.operators import reshape as R
+
+    n_each = 50  # 150 value columns: 50 float, 50 int, 50 str
+    df = spark.range(40).select(
+        F.col("id").alias("rssd"),
+        *[
+            F.when((F.col("id") + i) % 7 != 0, F.col("id") * 1.5 + i).alias(f"f{i}")
+            for i in range(n_each)
+        ],
+        *[
+            F.when((F.col("id") + i) % 5 != 0, F.col("id") * 3 + i).alias(f"i{i}")
+            for i in range(n_each)
+        ],
+        *[
+            F.when((F.col("id") + i) % 3 != 0, F.concat(F.lit("s"), F.col("id") + i)).alias(
+                f"s{i}"
+            )
+            for i in range(n_each)
+        ],
+    )
+    type_map = (
+        {f"f{i}": "float" for i in range(n_each)}
+        | {f"i{i}": "int" for i in range(n_each)}
+        | {f"s{i}": "str" for i in range(n_each)}
+    )
+
+    def rows(chunk):
+        monkeypatch.setattr(R, "_UNPIVOT_CHUNK", chunk)
+        return sorted(
+            tuple(r) for r in R.melt_to_eav(df, type_map, 20240630).collect()
+        )
+
+    single = rows(10_000)  # one unpivot per family — the pre-r10 shape
+    assert single, "degenerate: empty melt"
+    for chunk in (64, 7):  # default-sized and ragged-tail chunking
+        assert rows(chunk) == single, f"chunk={chunk} diverged"

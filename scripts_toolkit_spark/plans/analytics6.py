@@ -666,3 +666,74 @@ cum AS (
 SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b, round(MAX(d), 6) AS ks_stat
 FROM cum GROUP BY event_type
 """
+
+
+def quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile SKETCH vs exact quantiles (ext/quantiles.py —
+    r10: the third oracle-replayable sketch next to the md5 HLL and the
+    CMS monitor): per event_type, a k=256 bottom-k-by-md5(event_id)
+    uniform sample estimates p50/p90/p99 of `value` as the sample's own
+    order statistics, reported beside the exact interpolated quantiles.
+    The sketch state is what a 100 TB pipeline keeps per shard/day: it
+    merges by union + re-prune to the IDENTICAL one-shot state
+    (mergeability pinned by tests/test_quantiles.py), so any later
+    quantile question is answered without re-scanning history. Estimates
+    are exact stored doubles (no interpolation, no libm) → bit-for-bit
+    SQL-replayable; the exact quantiles use percentile ↔ quantile_cont
+    (parity-safe), rounded 6 dp per the repo float rules.
+
+    Plan: two-stage grouped_topk prune (no per-group single-task
+    window) + one hash agg for the sample side; one percentile agg for
+    the exact side; equi-join on event_type."""
+    from scripts_toolkit_spark.ext.quantiles import bottomk_sample, sample_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    samp = bottomk_sample(ev, ["event_type"], "value", "event_id", 256)
+    est = sample_quantiles(
+        samp, ["event_type"], "value",
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+    )
+    exact = ev.where(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_rows", "n_sample",
+        "p50_est", "p90_est", "p99_est",
+        "p50_exact", "p90_exact", "p99_exact",
+    )
+
+
+QUANTILE_SKETCH_VALUES_SQL = """
+WITH pr AS (
+  SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS pr
+  FROM events WHERE value IS NOT NULL
+),
+samp AS (
+  SELECT event_type, value
+  FROM pr
+  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY pr, value) <= 256
+),
+est AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_sample,
+    list_sort(list(value)) AS vs
+  FROM samp GROUP BY event_type
+),
+ex AS (
+  SELECT event_type,
+    CAST(COUNT(*) AS BIGINT) AS n_rows,
+    ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+    ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+    ROUND(quantile_cont(value, 0.99), 6) AS p99_exact
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT event_type, n_rows, n_sample,
+  vs[greatest(1, CAST(ceil(0.5 * n_sample) AS INT))] AS p50_est,
+  vs[greatest(1, CAST(ceil(0.9 * n_sample) AS INT))] AS p90_est,
+  vs[greatest(1, CAST(ceil(0.99 * n_sample) AS INT))] AS p99_est,
+  p50_exact, p90_exact, p99_exact
+FROM ex JOIN est USING (event_type)
+"""

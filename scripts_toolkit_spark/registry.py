@@ -194,11 +194,15 @@ register("ann_index_spilled", xd.ann_index_spilled, xd.ANN_INDEX_SPILLED_SQL)
 # batch_id partitioning + PQ-codes append parity (round-6 ADVICE #1/#2).
 register("ann_index_health", xd.ann_index_health, xd.ANN_INDEX_HEALTH_SQL)
 register("ann_index_retrain", xd.ann_index_retrain, xd.ANN_INDEX_RETRAIN_SQL)
-# NEW (r7): extreme-N combination — fully-distributed md5-threshold
-# centroid pick (no driver collect, binomial sizing) feeding the
-# two-level assignment (dedup_threshold_sweep ceded its seat — r6-green,
-# unchanged).
-register("ann_threshold_cells", xd.ann_threshold_cells, xd.ANN_THRESHOLD_CELLS_SQL)
+# NEW (r10): mergeable bottom-k quantile sketch (ext/quantiles.py) — the
+# third oracle-replayable sketch beside the md5 HLL and the CMS monitor:
+# k=256 md5-priority uniform sample per group through the two-stage
+# grouped_topk (no per-group single-task window), estimates = the
+# sample's own order statistics (exact stored doubles — bit-replayable),
+# merge == one-shot pinned by tests/test_quantiles.py
+# (ann_threshold_cells ceded its seat — r7..r9-green, similarity.py
+# unchanged this round; parked in TIER 2).
+register("quantile_sketch_values", a6.quantile_sketch_values, a6.QUANTILE_SKETCH_VALUES_SQL)
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
@@ -233,11 +237,16 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 # ============================================================================
 
 # r10 rotation: parked from the window (green r7..r9, unchanged in r10 —
-# similarity.py untouched this round) to make room for ann_index_spilled.
+# similarity.py untouched this round) to make room for ann_index_spilled
+# and quantile_sketch_values.
 # NEW (r7): coarse-to-fine two-level IVF assignment — the scale path for
 # constant-occupancy cell counts (n_cells ∝ N) where the flat literal
 # codebook outgrows the task closure.
 register("ann_two_level_assign", xd.ann_two_level_assign, xd.ANN_TWO_LEVEL_ASSIGN_SQL)
+# NEW (r7): extreme-N combination — fully-distributed md5-threshold
+# centroid pick (no driver collect, binomial sizing) feeding the
+# two-level assignment.
+register("ann_threshold_cells", xd.ann_threshold_cells, xd.ANN_THRESHOLD_CELLS_SQL)
 
 # r7 rotation: parked from the window (r6-green in CORRECTNESS_r06,
 # unchanged in r7) to make room for the ANN index lifecycle rows.

@@ -1,0 +1,98 @@
+"""Mergeable bottom-k quantile sketch (ext/quantiles.py): merge parity —
+the property that makes it a sketch — and the rank-error bound of the
+sample order statistics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.ext.quantiles import (
+    bottomk_sample,
+    merge_bottomk,
+    sample_quantiles,
+)
+from scripts_toolkit_spark.io.catalog import load_table
+
+K = 256
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_bottomk_merge_equals_oneshot(spark, sf_dir):
+    """bottomk(A ∪ B ∪ C) == bottomk(bottomk(A) ∪ bottomk(B) ∪ bottomk(C)):
+    shard states (here: user_id % 3 shards, the way per-day/per-partition
+    states accumulate) union and re-prune to the IDENTICAL one-shot
+    state — priorities included, so the merged state keeps merging."""
+    ev = load_table(spark, sf_dir, "events")
+    one = bottomk_sample(ev, ["event_type"], "value", "event_id", K)
+    shards = [
+        bottomk_sample(
+            ev.where(F.col("user_id") % 3 == i), ["event_type"], "value", "event_id", K
+        )
+        for i in range(3)
+    ]
+    merged = merge_bottomk(shards, ["event_type"], "value", K)
+    assert _rows(merged) == _rows(one)
+    assert merged.count() > 0, "degenerate: empty sketch"
+
+
+def test_bottomk_sample_is_md5_prefix(spark, sf_dir):
+    """The state is exactly the k smallest md5 priorities per group (a
+    prefix of the global priority order — the invariant mergeability
+    rests on): every kept priority is <= every dropped priority."""
+    ev = load_table(spark, sf_dir, "events")
+    kept = bottomk_sample(ev, ["event_type"], "value", "event_id", K)
+    max_kept = kept.groupBy("event_type").agg(
+        F.max("__pr").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    all_pr = ev.where(F.col("value").isNotNull()).select(
+        "event_type", F.md5(F.col("event_id").cast("string")).alias("pr")
+    )
+    # rows strictly below the kept max must number < k (else a smaller
+    # priority was dropped); groups smaller than k keep everything
+    viol = (
+        all_pr.join(max_kept, "event_type")
+        .where(F.col("pr") < F.col("mx"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("below"))
+        .join(max_kept, "event_type")
+        .where((F.col("below") >= K))
+    )
+    assert viol.count() == 0
+
+
+def test_bottomk_quantile_rank_error(spark, sf_dir):
+    """Sample order statistics must land near the true rank: for a
+    uniform k-sample the rank of the q-th sample quantile concentrates
+    around q with sd ~ 1/(2*sqrt(k)) (0.031 at k=256) — assert the
+    empirical rank error stays inside 4 sd (0.125) for p50 and p90 in
+    every group. Deterministic data + deterministic sketch ⇒ exact
+    reproducibility of the measured errors."""
+    ev = load_table(spark, sf_dir, "events")
+    samp = bottomk_sample(ev, ["event_type"], "value", "event_id", K)
+    est = sample_quantiles(
+        samp, ["event_type"], "value", {"p50": 0.5, "p90": 0.9}
+    )
+    vals = ev.where(F.col("value").isNotNull()).select("event_type", "value")
+    for name, q in (("p50", 0.5), ("p90", 0.9)):
+        ranks = (
+            vals.join(est.select("event_type", name, "n_sample"), "event_type")
+            .groupBy("event_type")
+            .agg(
+                (
+                    F.sum((F.col("value") <= F.col(name)).cast("int"))
+                    / F.count(F.lit(1))
+                ).alias("r"),
+                F.first("n_sample").alias("ns"),
+            )
+            .collect()
+        )
+        assert ranks, "degenerate: no groups"
+        for row in ranks:
+            # tiny groups are sampled whole — the estimate is exact-ish
+            tol = 0.125 if row["ns"] >= K else 0.25
+            assert abs(row["r"] - q) <= tol, (
+                f"{name} rank {row['r']:.3f} off target {q} in {row['event_type']}"
+            )

@@ -737,3 +737,50 @@ SELECT event_type, n_rows, n_sample,
   p50_exact, p90_exact, p99_exact
 FROM ex JOIN est USING (event_type)
 """
+
+
+def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING quantile monitor
+    (streaming/quantile_stream.py): events split into three deterministic
+    pseudo-batches (user_id % 3), each batch's ≤ k·|groups| bottom-k
+    sample rows written through the replay-idempotent foreachBatch
+    processor, then the merged store answers p50/p90/p99 beside the
+    exact quantiles. The bottom-k state is a global-md5-prefix, so the
+    merged state is IDENTICAL to the one-shot sketch — which is why the
+    ORACLE is the one-shot SQL replay (same output as
+    `quantile_sketch_values`): equality here PROVES the incremental
+    merge, not just the plan. Store path is applicationId-namespaced
+    (the r7 convention — no cross-session races)."""
+    from scripts_toolkit_spark.ext.quantiles import sample_quantiles
+    from scripts_toolkit_spark.plans.ext_demos import _session_index_path
+    from scripts_toolkit_spark.streaming.quantile_stream import (
+        make_quantile_processor,
+        merged_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _session_index_path(spark, sf_dir, "quantile_store")
+    proc = make_quantile_processor(path, ["event_type"], "value", "event_id", 256)
+    for b in range(3):
+        proc(ev.where(F.col("user_id") % 3 == b), b)
+    merged = merged_state(spark, path, ["event_type"], "value", 256)
+    est = sample_quantiles(
+        merged, ["event_type"], "value",
+        {"p50_est": 0.5, "p90_est": 0.9, "p99_est": 0.99},
+    )
+    exact = ev.where(F.col("value").isNotNull()).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_exact"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90_exact"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_exact"),
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_rows", "n_sample",
+        "p50_est", "p90_est", "p99_est",
+        "p50_exact", "p90_exact", "p99_exact",
+    )
+
+
+# merged incremental state == one-shot sketch, so the oracle is the
+# one-shot replay — the strongest SQL statement of mergeability
+INCREMENTAL_QUANTILE_SKETCH_SQL = QUANTILE_SKETCH_VALUES_SQL

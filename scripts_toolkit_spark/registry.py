@@ -103,11 +103,15 @@ register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
 # proven by the one-shot oracle (windowed_topk_values ceded its seat —
 # r6-green, unchanged).
 register("incremental_cms_hitters", cd.incremental_cms_hitters, cd.INCREMENTAL_CMS_HITTERS_SQL)
-# NEW (r5 wave 5): sequence-packing efficiency comparison
+# NEW (r10): batch twin of the streaming bottom-k quantile monitor
+# (streaming/quantile_stream.py) — per-batch sample partials merged by
+# union + re-prune; merged state == one-shot sketch, so the oracle is
+# the one-shot replay (packing_efficiency_report ceded its seat —
+# r5..r9-green, unchanged; parked in TIER 2).
 register(
-    "packing_efficiency_report",
-    cd.packing_efficiency_report,
-    cd.PACKING_EFFICIENCY_REPORT_SQL,
+    "incremental_quantile_sketch",
+    a6.incremental_quantile_sketch,
+    a6.INCREMENTAL_QUANTILE_SKETCH_SQL,
 )
 # NEW (r5 wave 2): sparse retrieval (ext/retrieval.py) — BM25 ranking +
 # inverted-index posting lists; blocked edit-distance record linkage
@@ -235,6 +239,14 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
 # keep them sampled while the window has room).
 # ============================================================================
+
+# r10 rotation: parked from the window (green since r5, unchanged) to
+# make room for incremental_quantile_sketch.
+register(
+    "packing_efficiency_report",
+    cd.packing_efficiency_report,
+    cd.PACKING_EFFICIENCY_REPORT_SQL,
+)
 
 # r10 rotation: parked from the window (green r7..r9, unchanged in r10 —
 # similarity.py untouched this round) to make room for ann_index_spilled

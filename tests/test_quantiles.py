@@ -96,3 +96,70 @@ def test_bottomk_quantile_rank_error(spark, sf_dir):
             assert abs(row["r"] - q) <= tol, (
                 f"{name} rank {row['r']:.3f} off target {q} in {row['event_type']}"
             )
+
+
+def test_stream_quantile_state_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming bottom-k monitor (streaming/quantile_stream.py): events
+    arriving across micro-batches must leave a merged state IDENTICAL to
+    the one-shot sketch over the full input, and the merged quantile
+    estimates must equal the batch query's."""
+    from scripts_toolkit_spark.streaming.quantile_stream import (
+        merged_quantiles,
+        merged_state,
+        start_quantile_monitor,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cols = ["event_id", "event_type", "value"]
+    src = str(tmp_path / "ev_in")
+    for i in range(3):
+        ev.where(F.col("user_id") % 3 == i).select(*cols).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.select(*cols).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    store = str(tmp_path / "qstore")
+    q = start_quantile_monitor(
+        stream, store, str(tmp_path / "ckpt"),
+        ["event_type"], "value", "event_id", k=K,
+    )
+    q.awaitTermination()
+    assert (
+        spark.read.parquet(store).select("batch_id").distinct().count() == 3
+    ), "expected one store partition per micro-batch"
+
+    streamed = merged_state(spark, store, ["event_type"], "value", K)
+    oneshot = bottomk_sample(ev, ["event_type"], "value", "event_id", K)
+    assert _rows(streamed) == _rows(oneshot)
+
+    est_stream = merged_quantiles(
+        spark, store, ["event_type"], "value", {"p50": 0.5, "p99": 0.99}, K
+    )
+    est_batch = sample_quantiles(
+        oneshot, ["event_type"], "value", {"p50": 0.5, "p99": 0.99}
+    )
+    assert _rows(est_stream) == _rows(est_batch)
+    assert est_stream.count() > 0
+
+
+def test_quantile_monitor_replay_idempotent(spark, sf_dir, tmp_path):
+    """At-least-once foreachBatch: re-invoking the processor with the SAME
+    (batch, batch_id) must leave the store byte-identical (dynamic
+    partition overwrite), never duplicated."""
+    from scripts_toolkit_spark.streaming.quantile_stream import (
+        make_quantile_processor,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    store = str(tmp_path / "qstore")
+    proc = make_quantile_processor(store, ["event_type"], "value", "event_id", K)
+    b0 = ev.where(F.col("user_id") % 2 == 0)
+    b1 = ev.where(F.col("user_id") % 2 == 1)
+    proc(b0, 0)
+    proc(b1, 1)
+    first = _rows(spark.read.parquet(store))
+    proc(b1, 1)  # replay
+    assert _rows(spark.read.parquet(store)) == first

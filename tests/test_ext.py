@@ -1234,6 +1234,48 @@ def test_ann_index_spilled_append_parity(spark, sf_dir, tmp_path):
     assert pairs, "degenerate: empty search result"
 
 
+def test_ann_index_spilled_external_queries_and_delete(spark, sf_dir, tmp_path):
+    """Spilled-store edge paths: (a) EXTERNAL queries against an n_home=2
+    store must never repeat a neighbor per query (pairs can arise from
+    both stored copies — the dedup must fire on the external-query leg
+    too) and ranks stay cosine-descending; (b) delete_from_index must
+    remove EVERY copy of a deleted vector — a survivor copy in the
+    second-nearest cell would resurface as a neighbor."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        build_ann_index,
+        delete_from_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "spext")
+    build_ann_index(emb, path, n_home=2)
+
+    probes = emb.where("vec_id % 97 = 0")
+    rows = search_index(spark, path, queries=probes, k=3, n_probe=3).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        nbrs = [r["neighbor_id"] for r in rs]
+        assert len(nbrs) == len(set(nbrs)), f"duplicate neighbor for query {q}"
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+    victims = emb.where("vec_id % 11 = 0").select("vec_id")
+    n_victims = victims.count()
+    delete_from_index(spark, path, victims)
+    store = spark.read.parquet(path + "/vectors")
+    assert store.count() == 2 * (emb.count() - n_victims), "a spilled copy survived"
+    victim_ids = {r["vec_id"] for r in victims.collect()}
+    hits = search_index(spark, path, k=3, n_probe=3).collect()
+    assert hits
+    assert all(r["neighbor_id"] not in victim_ids for r in hits)
+    assert all(r["query_id"] not in victim_ids for r in hits)
+
+
 def test_ann_index_spilled_retrain_keeps_width(spark, sf_dir, tmp_path):
     """`retrain_index` on a spill-built store must re-pick over one row
     per VECTOR (home rows — never the copies), re-spill with the stored

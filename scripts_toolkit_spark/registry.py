@@ -9,22 +9,22 @@ MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it).
 
-Round-6 window: the round-6 NEW rows (ann_index_build,
-ann_topk_incremental) and every materially CHANGED row — charngram_lang_id
-(short-doc guard), the ANN family (per-cell ADC shortlists),
-simhash64_near_dups (corpus-size-aware block layout), the winnow pair
-(kgram short-doc guard), the hierarchy trio (expand_paths' fused
-convergence probe — a graph.py helper change the fn-source hash cannot
-see, rotated manually per the CLAUDE.md rule) — plus the round-5 rows
-whose only driver evidence is CORRECTNESS_r05. The round-6 materialize()
-boundary swap textually touched nearly every plan; it is physically
-identical in default mode (test_materialize_modes pins result equality),
-so one representative (embedding_near_dup_pairs) holds a window seat for
-the swap class and the other three textual-only rows
-(char_ngram_jaccard, ann_topk_int8, embedding_dup_clusters) stay parked
-past the window. `tests/test_registry_order.py` enforces the rule
-mechanically against a committed source-hash manifest; regenerate it with
-`python tools/update_registry_manifest.py` after rotating.
+Round-10 window: the r10 NEW rows (ann_index_spilled,
+quantile_sketch_values, incremental_quantile_sketch), the r10 CHANGED
+rows — ann_probe_sweep (joint n_probe × n_home grid) and the four
+ann_index_* rows (ext/ann_index.py store-schema change: probe_rank
+column, meta-persisted spill width, home-only query/rerank legs — a
+helper change the fn-source hash cannot see, kept in-window per the
+CLAUDE.md manual rule), the hierarchy trio (operators/graph.py closure
+guard, same manual rule) — plus earlier-round rows still holding seats.
+Ceded this round (all long-green, unchanged): ann_two_level_assign,
+ann_threshold_cells, packing_efficiency_report. The r10 chunked-unpivot
+change (operators/reshape.py) is PLAN-INERT at every registered width
+(all families ≤ 64 columns → single chunk; chunk==single pinned by
+test_melt_chunked_unpivot_equivalence), so the melt rows stay parked.
+`tests/test_registry_order.py` enforces the rule mechanically against a
+committed source-hash manifest; close every rotation with
+`python tools/round_close.py` (runs the refresh + the ordering test).
 """
 
 from __future__ import annotations

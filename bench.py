@@ -77,6 +77,12 @@ EXTRA_DEFAULT = (
     # Round-9: spilled (2-home) corpus assignment — the candidate-bound
     # seeded-recall fix; 2× candidate volume is the documented trade
     "ann_topk_spilled",
+    # Round-10: the spilled PERSISTENT index (build + meta-driven append +
+    # copy-aware search) and the mergeable quantile-sketch family (batch
+    # sketch; the incremental twin writes per-batch partials + merges)
+    "ann_index_spilled",
+    "quantile_sketch_values",
+    "incremental_quantile_sketch",
 )
 
 

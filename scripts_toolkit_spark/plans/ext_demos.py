@@ -1217,6 +1217,160 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def ann_topk_residual_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL encoding × SPILLED assignment — the engine's best-recall
+    IVF-PQ configuration (round-9 verdict Next #2: the two knobs were
+    pytest-proven separately; composed they stack to 0.965 measured
+    recall at the trained config, pytest floor ≥ 0.9) — here in its
+    SEEDED, fully deterministic form so the RESIDUAL CODE PATH gains a
+    complete SQL oracle (it was pytest-only before r10): each vector
+    encodes v − c(cell) PER STORED CELL (FAISS-default residual PQ;
+    codewords are the md5-picked seeds' residuals wrt their own home
+    centroid), the corpus spills to its 2 nearest cells, the query
+    builds one LUT per probed cell from its own residual wrt that cell,
+    and ADC + per-(query, cell) shortlists + pair DISTINCT + exact
+    cosine rerank finish as in `ann_topk_spilled`. The oracle replays
+    the whole chain — seed homes (argmax dot, ties low cell), residual
+    codebook slices, per-(vector, cell) residual codes, per-cell
+    residual LUT distances, the fixed-order ADC sum, top-48 per-cell
+    shortlists, DISTINCT, rerank — in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return SIM.ivfpq_topk(
+        emb, n_cells=None, n_probe=4, k=3, m=4, sub_dim=16,
+        rerank_factor=16, pq_n_codes=64, residual=True, n_home=2,
+    )
+
+
+ANN_TOPK_RESIDUAL_SPILLED_SQL = f"""
+WITH nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
+  FROM embeddings
+),
+cents64 AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+         vec_id
+  FROM nv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+    <= greatest(64, (SELECT n FROM nc))
+),
+centv AS (
+  SELECT code AS cell_id, nvec AS centroid
+  FROM cents64 JOIN nv USING (vec_id)
+  WHERE code < (SELECT n FROM nc)
+),
+seeds AS (
+  SELECT code, nvec FROM cents64 JOIN nv USING (vec_id) WHERE code < 64
+),
+-- each seed's home cell: argmax affinity, ties to the lower cell_id
+seed_home AS (
+  SELECT s.code, c.cell_id
+  FROM seeds s, centv c
+  QUALIFY row_number() OVER (PARTITION BY s.code ORDER BY
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(s.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+    c.cell_id) = 1
+),
+-- residual codebook: the seeds' residuals wrt their OWN home centroid
+resid_seeds AS (
+  SELECT s.code,
+    list_transform(range(1, 65),
+      i -> CAST(s.nvec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rv
+  FROM seeds s JOIN seed_home h USING (code) JOIN centv c ON c.cell_id = h.cell_id
+),
+cb AS (
+  SELECT s, code, rv[s*16+1 : s*16+16] AS csub
+  FROM resid_seeds, UNNEST(range(4)) AS t(s)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM nv e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
+  FROM aff
+  QUALIFY r <= 4
+),
+-- residual of every vector wrt EVERY cell it is assigned/probing —
+-- residual mode builds one LUT (and one code set) per (vector, cell)
+resid AS (
+  SELECT a.vec_id, a.cell_id, a.r,
+    list_transform(range(1, 65),
+      i -> CAST(e.nvec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rv
+  FROM assigned a
+  JOIN nv e USING (vec_id)
+  JOIN centv c ON c.cell_id = a.cell_id
+),
+subs AS (
+  SELECT vec_id, cell_id, r, s, rv[s*16+1 : s*16+16] AS sub
+  FROM resid, UNNEST(range(4)) AS t(s)
+),
+d2 AS (
+  SELECT vec_id, cell_id, r, s, code, {_PQ_L2_SQL} AS d2
+  FROM subs JOIN cb USING (s)
+),
+-- corpus codes: per STORED COPY (r <= 2), from the copy's residual wrt
+-- the cell it is stored in; ties to the lower code
+codes AS (
+  SELECT vec_id AS neighbor_id, cell_id, s, code
+  FROM d2 WHERE r <= 2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, cell_id, s ORDER BY d2, code) = 1
+),
+cand AS (
+  -- query probes r <= 4, spilled corpus leg r <= 2
+  SELECT q.vec_id AS query_id, q.cell_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE r <= 2) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+pivoted AS (
+  -- ADC wrt the SHARED cell: the query's residual LUT for that cell
+  -- looked up at the neighbor copy's codes for that cell
+  SELECT c.query_id, c.cell_id, c.neighbor_id,
+    MAX(CASE WHEN nc.s = 0 THEN l.d2 END) AS p0,
+    MAX(CASE WHEN nc.s = 1 THEN l.d2 END) AS p1,
+    MAX(CASE WHEN nc.s = 2 THEN l.d2 END) AS p2,
+    MAX(CASE WHEN nc.s = 3 THEN l.d2 END) AS p3
+  FROM cand c
+  JOIN codes nc ON nc.neighbor_id = c.neighbor_id AND nc.cell_id = c.cell_id
+  JOIN d2 l ON l.vec_id = c.query_id AND l.cell_id = c.cell_id
+           AND l.s = nc.s AND l.code = nc.code
+  GROUP BY c.query_id, c.cell_id, c.neighbor_id
+),
+shortlist AS (
+  -- per-(query, probed cell) top-48, then pair DISTINCT: with two homes
+  -- a pair can arise from both shared cells
+  SELECT DISTINCT query_id, neighbor_id
+  FROM pivoted
+  QUALIFY row_number() OVER (PARTITION BY query_id, cell_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 48
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(q.nvec[i] AS DOUBLE) * CAST(n.nvec[i] AS DOUBLE)), (x, y) -> x + y) AS cos_sim
+  FROM shortlist s
+  JOIN nv q ON q.vec_id = s.query_id
+  JOIN nv n ON n.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM reranked
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
 _PROBE_LADDER = (1, 2, 4, 8)
 _HOME_LADDER = (1, 2)
 

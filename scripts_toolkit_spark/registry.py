@@ -98,11 +98,17 @@ register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALU
 register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
 register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
 register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
-# NEW (r7): batch twin of the streaming Count-Min heavy-hitter monitor
-# (streaming/cms_stream.py) — merged per-batch cells == one-shot sketch,
-# proven by the one-shot oracle (windowed_topk_values ceded its seat —
-# r6-green, unchanged).
-register("incremental_cms_hitters", cd.incremental_cms_hitters, cd.INCREMENTAL_CMS_HITTERS_SQL)
+# NEW (r10): residual encoding × spilled assignment — the best-recall
+# IVF-PQ configuration (0.965 trained / pytest floor 0.9), in its seeded
+# deterministic form so the RESIDUAL code path gains its first full SQL
+# oracle: per-(vector, cell) residual codes + per-cell residual LUTs +
+# ADC + DISTINCT + rerank all replayed in SQL (incremental_cms_hitters
+# ceded its seat — r7..r9-green, unchanged; parked in TIER 2).
+register(
+    "ann_topk_residual_spilled",
+    xd.ann_topk_residual_spilled,
+    xd.ANN_TOPK_RESIDUAL_SPILLED_SQL,
+)
 # NEW (r10): batch twin of the streaming bottom-k quantile monitor
 # (streaming/quantile_stream.py) — per-batch sample partials merged by
 # union + re-prune; merged state == one-shot sketch, so the oracle is
@@ -247,6 +253,13 @@ register(
     cd.packing_efficiency_report,
     cd.PACKING_EFFICIENCY_REPORT_SQL,
 )
+
+# r10 rotation: parked from the window (green r7..r9, unchanged) to make
+# room for ann_topk_residual_spilled.
+# NEW (r7): batch twin of the streaming Count-Min heavy-hitter monitor
+# (streaming/cms_stream.py) — merged per-batch cells == one-shot sketch,
+# proven by the one-shot oracle.
+register("incremental_cms_hitters", cd.incremental_cms_hitters, cd.INCREMENTAL_CMS_HITTERS_SQL)
 
 # r10 rotation: parked from the window (green r7..r9, unchanged in r10 —
 # similarity.py untouched this round) to make room for ann_index_spilled

@@ -89,6 +89,16 @@ def _index_n_home(spark: SparkSession, path: str) -> int:
     return int(row["n_home"]) if row is not None else 1
 
 
+def _with_probe_rank(df: DataFrame) -> DataFrame:
+    """Upgrade shim (advisor r10): a store written before the spill port
+    (r10) has no probe_rank column — it is single-home by construction,
+    so every row is rank 1 (mirrors the n_home=1 meta default). Lifecycle
+    verbs read through this so pre-r10 stores keep working."""
+    if "probe_rank" in df.columns:
+        return df
+    return df.withColumn("probe_rank", F.lit(1).cast("int"))
+
+
 def _encode_codes(
     stored: DataFrame, sub_codebook: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -424,7 +434,7 @@ def compact_index(spark: SparkSession, path: str) -> DataFrame:
     compact, `appended_frac` reads 0 while search results are identical.
     The corpus is materialized before the in-place overwrite."""
     snap = (
-        spark.read.parquet(path + "/vectors")
+        _with_probe_rank(spark.read.parquet(path + "/vectors"))
         .select("vec_id", "embedding", "cell_id", "probe_rank")
         .transform(_materialize)
     )
@@ -452,7 +462,7 @@ def delete_from_index(
     before their in-place overwrites."""
     key = ids.select(F.col(id_col)).distinct().transform(_materialize)
     kept = (
-        spark.read.parquet(path + "/vectors")
+        _with_probe_rank(spark.read.parquet(path + "/vectors"))
         .join(key, id_col, "left_anti")
         .select(id_col, "embedding", "cell_id", "probe_rank", "batch_id")
         .transform(_materialize)
@@ -494,7 +504,7 @@ def retrain_index(
     # re-pick/re-assign over one row per VECTOR (home rows) — the spilled
     # copies are derived storage, recomputed below from the new model
     snap = (
-        spark.read.parquet(path + "/vectors")
+        _with_probe_rank(spark.read.parquet(path + "/vectors"))
         .where(F.col("probe_rank") == 1)
         .select(id_col, vec_col)
         .transform(_materialize)

@@ -79,10 +79,13 @@ def _expand_paths_closure(
        join: N (edge, suffix) combinations ⇒ N rows.
 
     Two deliberate strictness differences from the shuffle loop, both
-    conservative: a cycle ANYWHERE in the internal domain raises (the
-    loop only noticed cycles reachable from a start), and an internal
-    suffix longer than max_depth-1 hops raises even if no start routes
-    through it. A graph whose internal domain is corpus-scale takes
+    conservative: a cycle anywhere in the ROOT-REACHING internal domain
+    raises (the loop only noticed cycles reachable from a start), and a
+    root-reaching internal suffix longer than max_depth-1 hops raises
+    even if no start routes through it. Dead-end structure — chains or
+    cycles with no path to the root — is pruned by a reverse BFS from
+    the root before the DFS (advisor r10): it can contribute no suffix,
+    so it must neither raise nor recurse. A graph whose internal domain is corpus-scale takes
     `broadcast_edges=False` and the one-hop shuffle loop below — and the
     premise is now GUARDED, not assumed (round-9 verdict "What's wrong"
     #1): the internal-edge collect runs under a LIMIT of
@@ -108,6 +111,28 @@ def _expand_paths_closure(
         children.setdefault(r["src"], []).append(r["dst"])
     for v in children.values():
         v.sort()
+    # Restrict the DFS domain to nodes that CAN reach the root (one
+    # reverse BFS over the already-collected edges — advisor r10): a
+    # dead-end chain deeper than the budget contributes no suffixes and
+    # must not trip the convergence raise below; after this prune, budget
+    # exhaustion mid-descent always witnesses a genuine root-reaching
+    # suffix longer than max_depth-1 hops. (A cycle with no exit to the
+    # root is pruned too — like the shuffle loop, which never saw it.)
+    parents: dict = {}
+    for u, vs in children.items():
+        for v in vs:
+            parents.setdefault(v, []).append(u)
+    reach = {root}
+    frontier = [root]
+    while frontier:
+        nxt = []
+        for x in frontier:
+            for p in parents.get(x, ()):
+                if p not in reach:
+                    reach.add(p)
+                    nxt.append(p)
+        frontier = nxt
+    children = {u: [v for v in vs if v in reach] for u, vs in children.items()}
     sys.setrecursionlimit(max(sys.getrecursionlimit(), 4 * max_depth + 1000))
     memo: dict = {}
     visiting: set = set()

@@ -742,7 +742,8 @@ FROM ex JOIN est USING (event_type)
 def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the STREAMING quantile monitor
     (streaming/quantile_stream.py): events split into three deterministic
-    pseudo-batches (user_id % 3), each batch's ≤ k·|groups| bottom-k
+    pseudo-batches (pmod(event_id, 3) — a non-nullable key, so the
+    batches PARTITION the rows), each batch's ≤ k·|groups| bottom-k
     sample rows written through the replay-idempotent foreachBatch
     processor, then the merged store answers p50/p90/p99 beside the
     exact quantiles. The bottom-k state is a global-md5-prefix, so the
@@ -762,7 +763,11 @@ def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _session_index_path(spark, sf_dir, "quantile_store")
     proc = make_quantile_processor(path, ["event_type"], "value", "event_id", 256)
     for b in range(3):
-        proc(ev.where(F.col("user_id") % 3 == b), b)
+        # split on the REQUIRED-non-null event_id (advisor r10): a
+        # user_id % 3 split silently dropped NULL-user rows from every
+        # pseudo-batch — no such rows in the test data today, but the
+        # one-shot-oracle equality contract must hold if that changes
+        proc(ev.where(F.pmod(F.col("event_id"), F.lit(3)) == b), b)
     merged = merged_state(spark, path, ["event_type"], "value", 256)
     est = sample_quantiles(
         merged, ["event_type"], "value",

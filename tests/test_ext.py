@@ -1040,6 +1040,68 @@ def test_ann_index_compact_and_delete(spark, sf_dir, tmp_path):
     assert all(r["neighbor_id"] % 7 != 0 and r["query_id"] % 7 != 0 for r in hits)
 
 
+def test_ann_index_pre_spill_store_lifecycle(spark, sf_dir, tmp_path):
+    """Advisor r10: a store written BEFORE the r10 spill port (no
+    probe_rank column, no {path}/meta) must keep working through EVERY
+    lifecycle verb — search already defaulted via _index_n_home, but
+    retrain/compact/delete referenced probe_rank unconditionally and
+    raised AnalysisException on upgrade. The shim injects rank 1 (a
+    pre-spill store is single-home by construction)."""
+    import shutil
+
+    from scripts_toolkit_spark.ext.ann_index import (
+        build_ann_index,
+        compact_index,
+        delete_from_index,
+        retrain_index,
+        search_index,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "oldix")
+    build_ann_index(emb, path)
+
+    def strip(p):
+        # rewrite the store in the PRE-r10 layout: no probe_rank, no meta
+        old_rows = (
+            spark.read.parquet(p + "/vectors")
+            .select("vec_id", "embedding", "cell_id", "batch_id")
+            .localCheckpoint()
+        )
+        old_rows.write.mode("overwrite").partitionBy("batch_id").parquet(p + "/vectors")
+        shutil.rmtree(p + "/meta", ignore_errors=True)
+        assert "probe_rank" not in spark.read.parquet(p + "/vectors").columns
+
+    strip(path)
+    want = {tuple(r) for r in search_index(spark, path, k=3, n_probe=3).collect()}
+    assert want, "degenerate: empty search"
+    compact_index(spark, path)  # shim: compact on the old layout
+    assert {tuple(r) for r in search_index(spark, path, k=3, n_probe=3).collect()} == want
+
+    strip(path)
+    doomed = emb.where("vec_id % 11 = 0").select("vec_id")
+    delete_from_index(spark, path, doomed)  # shim: delete on the old layout
+    hits = search_index(spark, path, k=3, n_probe=3).collect()
+    assert hits and all(
+        r["neighbor_id"] % 11 != 0 and r["query_id"] % 11 != 0 for r in hits
+    )
+
+    strip(path)
+    retrain_index(spark, path)  # shim: retrain on the old layout
+    fresh_path = str(tmp_path / "freshix")
+    build_ann_index(emb.where("vec_id % 11 <> 0"), fresh_path)
+    got = {
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(path + "/vectors").collect()
+    }
+    ref = {
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(fresh_path + "/vectors").collect()
+    }
+    assert got == ref
+
+
 def test_ann_index_delete_keeps_codes_parity(spark, sf_dir, tmp_path):
     """Deleting from a codebook-built index must also prune /codes, so the
     compressed-domain search can never resurrect a deleted vector."""

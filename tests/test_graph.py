@@ -150,6 +150,25 @@ def test_expand_paths_closure_deep_chain_raises_convergence(spark):
         G.expand_paths(ec, start, "root", max_depth=6)
 
 
+def test_expand_paths_closure_ignores_dead_end_chains(spark):
+    """Advisor r10: the budget raise must fire only for ROOT-REACHING
+    suffixes. An acyclic dead-end chain (or dead cycle) deeper than
+    max_depth contributes no suffix paths — the closure must prune it
+    (reverse BFS from the root) and expand the valid starts normally,
+    not report a spurious convergence error."""
+    edges = (
+        [("s", "a"), ("a", "root")]
+        + [(f"d{i}", f"d{i + 1}") for i in range(20)]  # dead chain, no root
+        + [("x", "y"), ("y", "x")]  # dead cycle, no exit to root
+    )
+    e = spark.createDataFrame(edges, "src string, dst string")
+    start = spark.createDataFrame([("s",)], "node string")
+    got = G._expand_paths_closure(e, start, "root", max_depth=6)
+    assert got is not None, "closure must not decline (edges are tiny)"
+    rows = sorted((r["concept"], tuple(r["path"])) for r in got.collect())
+    assert rows == [("s", ("s", "a", "root"))]
+
+
 def test_classify_and_assemble(spark):
     e = _edges(spark)
     lv = G.leaves(e)

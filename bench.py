@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+compact summary as the FINAL stdout line: {"metric": ..., "value": N,
+"unit": "sec", "queries": {...}, "sf": ...}. A verbose
+{"bench_provenance": ...} line (medians, cold runs, warm spreads, load
+averages) prints BEFORE it — the recorded artifact keeps only the tail
+of stdout, so the compact line lands last and always survives intact
+(round-10 verdict "What's wrong" #1).
 
 Each query is executed to completion (collect of the aggregated result —
 results are small by construction) and timed wall-clock. A warmup pass runs
@@ -196,13 +200,13 @@ def main() -> None:
     # min vs median spread makes an inflated run self-diagnosing: high
     # load + median >> min ⇒ contention, not a code regression
     # (SCALING.md "host wall-clock variance").
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "provenance": {
+    # Output contract (round-10 verdict "What's wrong" #1): the driver's
+    # artifact keeps only the TAIL of stdout, which used to truncate the
+    # headline total and the first queries' warm mins out of BENCH_r*.json.
+    # So the VERBOSE provenance block prints FIRST (own JSON line) and the
+    # compact {metric, value, unit, queries, sf} summary prints LAST — the
+    # tail capture always retains the full per-query dict + total.
+    provenance = {
             "repeat": repeat,
             "estimator": "per-query min over repeats",
             "loadavg_1m_before": round(load_before[0], 2),
@@ -233,7 +237,14 @@ def main() -> None:
             )
             if any(s is not None for s in spreads.values())
             else None,
-        },
+    }
+    print(json.dumps({"bench_provenance": provenance}), flush=True)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
 

@@ -87,6 +87,11 @@ EXTRA_DEFAULT = (
     "ann_index_spilled",
     "quantile_sketch_values",
     "incremental_quantile_sketch",
+    # Round-11: residual encoding ported into the persistent index — the
+    # best-recall configuration as a full store lifecycle (build with
+    # self-built seeded residual codebook + per-copy residual codes,
+    # meta-driven append, compressed-domain residual-LUT search)
+    "ann_index_residual",
 )
 
 

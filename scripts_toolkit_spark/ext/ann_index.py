@@ -10,7 +10,7 @@ family:
 
     {path}/centroids   (cell_id int, centroid array<double>)   — KB model
     {path}/codebook    (s int, code int, csub array<double>)   — optional PQ model
-    {path}/meta        (n_home int)                            — one-row config
+    {path}/meta        (n_home int, residual boolean)          — one-row config
     {path}/vectors     (vec_id, embedding array<double> UNIT-NORM, cell_id,
                        probe_rank int) — the encoded corpus; one row per
                        STORED COPY (`n_home` > 1 spills each vector into
@@ -23,9 +23,19 @@ family:
     {path}/codes       (vec_id, ncodes array<int>, cell_id, probe_rank)
                        — optional PQ-compressed corpus; kept row-parity
                        with /vectors by `append_to_index` (late batches
-                       are encoded with the STORED codebook; spilled
-                       copies carry identical ncodes — plain-mode codes
-                       are cell-independent)
+                       are encoded with the STORED codebook). PLAIN codes
+                       are cell-independent (spilled copies carry
+                       identical ncodes); RESIDUAL codes (meta residual =
+                       true, r11 — the round-10 verdict Next #1 port) are
+                       PER STORED COPY: each copy encodes v − c(the cell
+                       it is stored in), the FAISS-default encoding that
+                       lifts the stored index to the composed best-recall
+                       configuration. Since r11 also PARTITIONED BY
+                       batch_id (mirror of /vectors) so the streaming
+                       ingester's compressed-domain match gets the same
+                       exactly-once per-partition overwrite; pre-r11
+                       unpartitioned stores keep working (appends detect
+                       the layout).
 
 Design rules
 - Vectors are stored L2-NORMALIZED, so search cosine = plain dot
@@ -73,20 +83,64 @@ from scripts_toolkit_spark.ext.similarity import (
     ivf_assign,
     normalize_vectors,
     pq_code_arrays,
+    seeded_residual_codebook_rows,
 )
 from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
-def _index_n_home(spark: SparkSession, path: str) -> int:
-    """The stored index's spilled-assignment width (1 = classic single
-    home). Read from {path}/meta; stores written before the knob existed
-    (e.g. a stream started against directly-written centroids) default to
-    1 — exactly the pre-spill behavior."""
+def _index_meta(spark: SparkSession, path: str) -> tuple[int, bool]:
+    """(n_home, residual) — the stored index's spilled-assignment width
+    (1 = classic single home) and PQ-encoding mode (False = plain codes).
+    Read from {path}/meta; stores written before each knob existed (e.g.
+    a stream started against directly-written centroids, or an r10 store
+    predating the residual port) default to (1, False) — exactly the
+    pre-knob behavior."""
     try:
         row = spark.read.parquet(path + "/meta").first()
     except AnalysisException:
-        return 1
-    return int(row["n_home"]) if row is not None else 1
+        return 1, False
+    if row is None:
+        return 1, False
+    d = row.asDict()
+    return int(d.get("n_home", 1)), bool(d.get("residual") or False)
+
+
+def _index_n_home(spark: SparkSession, path: str) -> int:
+    """Spilled width only (kept: the streaming ingester's raw-vector path
+    needs no PQ mode)."""
+    return _index_meta(spark, path)[0]
+
+
+def _collect_codebook(codebook: DataFrame):
+    """(cb_np, m, n_codes, sub_dim) from a (s, code, csub) frame — the
+    same sorted-collect layout `ivfpq_topk` builds, so kernel LUT/code
+    arithmetic is bit-identical across the stored and ad-hoc paths. KB
+    control plane."""
+    import numpy as np
+
+    cb_rows = sorted(
+        (int(r["s"]), int(r["code"]), list(r["csub"])) for r in codebook.collect()
+    )
+    m = cb_rows[-1][0] + 1
+    n_codes = len(cb_rows) // m
+    sub_dim = len(cb_rows[0][2])
+    cb_np = np.asarray([csub for _s, _c, csub in cb_rows], dtype=np.float64)
+    return cb_np, m, n_codes, sub_dim
+
+
+def _collect_centroids(centroids: DataFrame):
+    """(cent_np, cent_pos): the cell_id-ascending centroid matrix + the
+    cell_id → row-position map the residual kernel indexes by. Same
+    construction as `ivfpq_topk`'s one model collect."""
+    import numpy as np
+
+    cent_rows = sorted(
+        (int(r["cell_id"]), list(r["centroid"]))
+        for r in centroids.select("cell_id", "centroid").collect()
+    )
+    cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+    cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
+    return cent_np, cent_pos
 
 
 def _with_probe_rank(df: DataFrame) -> DataFrame:
@@ -115,6 +169,31 @@ def _encode_codes(
     )
 
 
+def _encode_codes_residual(
+    stored: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """RESIDUAL-PQ encode the stored corpus (r11 — round-10 verdict Next
+    #1): unlike plain codes (cell-independent, encoded once per vector
+    and fanned out), residual codes are PER STORED COPY — each copy
+    encodes v − c(the cell it is stored in), exactly the corpus leg of
+    `ivfpq_topk(residual=True)`. ONE Arrow kernel pass over all copies
+    (`attach_pq_lut` residual mode, np first-occurrence argmin == the
+    (d2 asc, code asc) comparator) → bit-identical ncodes to the ad-hoc
+    path for the same (vector, cell, model). `stored` must carry
+    (id, vec, cell_id, probe_rank); model frames are KB control plane."""
+    cb_np, m, n_codes, sub_dim = _collect_codebook(codebook)
+    cent_np, cent_pos = _collect_centroids(centroids)
+    coded = attach_pq_lut(
+        stored, cb_np, m, n_codes, sub_dim, vec_col,
+        residual=True, cent_np=cent_np, cent_pos=cent_pos, with_codes=True,
+    )
+    return coded.select(id_col, "ncodes", "cell_id", "probe_rank")
+
+
 def build_ann_index(
     vectors: DataFrame,
     path: str,
@@ -122,6 +201,10 @@ def build_ann_index(
     centroids: DataFrame | None = None,
     sub_codebook: DataFrame | None = None,
     n_home: int = 1,
+    residual: bool = False,
+    pq_n_codes: int | None = None,
+    m: int = 4,
+    sub_dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -133,16 +216,59 @@ def build_ann_index(
     IVF search path). `n_home` > 1 stores each vector in its n_home
     nearest cells (spilled multi-assignment — the round-9 ad-hoc recall
     fix, persisted: every later append/search/retrain reads the knob back
-    from {path}/meta)."""
+    from {path}/meta). `residual=True` (r11 — round-10 verdict Next #1:
+    the engine's best-recall configuration must be PERSISTABLE, not only
+    ad-hoc) switches the stored PQ encoding to FAISS-default residual
+    codes — per STORED COPY, each encoding v − c(its stored cell) — and
+    `search_index(use_pq=True)` to per-(query, probed-cell) residual
+    LUTs; the flag is an index property in {path}/meta, honored by
+    append/search/retrain. With `sub_codebook=None`, residual mode
+    self-builds the SEEDED residual codebook (`pq_n_codes`/`m`/`sub_dim`;
+    `seeded_residual_codebook_rows` — the exact construction
+    `ivfpq_topk(residual=True)` uses, so stored-search == ad-hoc holds
+    with no model threading); pass a `train_pq_codebook`-trained codebook
+    over `residual_vectors` for the full trained configuration."""
     spark = vectors.sparkSession
     par = spark.sparkContext.defaultParallelism
     normed = normalize_vectors(vectors.repartition(par), id_col, vec_col).transform(_materialize)
     # one stats job serves both auto_n_cells' count AND ivf_assign's
     # collect-before-guard (net-zero jobs vs the former bare .count())
     n_rows, dim = corpus_stats(normed, vec_col)
-    if centroids is None:
-        if n_cells is None:
-            n_cells = auto_n_cells(normed, n_rows=n_rows)
+    if n_cells is None and centroids is None:
+        n_cells = auto_n_cells(normed, n_rows=n_rows)
+    if residual and sub_codebook is None:
+        # SEEDED residual codebook, bit-identical to ivfpq_topk's: ONE
+        # md5 pick serves the centroids AND the codebook seeds (the pick
+        # is a prefix property), collected once — KB control plane.
+        import numpy as np
+
+        n_codes = pq_n_codes or n_cells or auto_n_cells(normed, n_rows=n_rows)
+        big = deterministic_centroids(
+            normed, max(n_cells or 0, n_codes), id_col, vec_col, n_rows=n_rows
+        )
+        big_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in big.collect())
+        if centroids is None:
+            # prefix slice of the big pick == deterministic_centroids(n_cells)
+            cent_rows = [(c, v) for c, v in big_rows if c < n_cells]
+            centroids = spark.createDataFrame(
+                [(c, [float(x) for x in v]) for c, v in cent_rows],
+                "cell_id int, centroid array<double>",
+            )
+        else:
+            # caller-provided model: seeds' homes computed against IT
+            centroids = centroids.transform(_materialize)
+            cent_rows = sorted(
+                (int(r["cell_id"]), list(r["centroid"]))
+                for r in centroids.select("cell_id", "centroid").collect()
+            )
+        cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+        sub_codebook = spark.createDataFrame(
+            seeded_residual_codebook_rows(
+                [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
+            ),
+            "s int, code int, csub array<double>",
+        )
+    elif centroids is None:
         # the exact pick is already a driver-local literal frame — no corpus
         # lineage to cut
         centroids = deterministic_centroids(normed, n_cells, id_col, vec_col, n_rows=n_rows)
@@ -150,11 +276,11 @@ def build_ann_index(
         # caller-provided model (e.g. Lloyd-refined): cut its corpus lineage
         centroids = centroids.transform(_materialize)
     centroids.write.mode("overwrite").parquet(path + "/centroids")
-    # the build-time knob is an INDEX property: persist it so append/
-    # search/retrain/streaming read the same width without re-threading
-    spark.createDataFrame([(int(n_home),)], "n_home int").write.mode(
-        "overwrite"
-    ).parquet(path + "/meta")
+    # the build-time knobs are INDEX properties: persist them so append/
+    # search/retrain/streaming read the same config without re-threading
+    spark.createDataFrame(
+        [(int(n_home), bool(residual))], "n_home int, residual boolean"
+    ).write.mode("overwrite").parquet(path + "/meta")
     # with_rank in both branches of ivf_assign is free (the kernel already
     # holds the argsort order); n_home rows per vector, rank 1 = home
     stored = ivf_assign(
@@ -177,11 +303,21 @@ def build_ann_index(
     )
     if sub_codebook is not None:
         # persist the PQ model AND the compressed corpus: m ints/vector is
-        # the frame the compressed-domain search joins at 100 TB
+        # the frame the compressed-domain search joins at 100 TB. Codes
+        # mirror /vectors' batch_id partitioning (r11) so the streaming
+        # ingester's compressed path overwrites per-partition exactly-once.
         sub_codebook.write.mode("overwrite").parquet(path + "/codebook")
-        _encode_codes(stored, sub_codebook, id_col, vec_col).write.mode(
-            "overwrite"
-        ).parquet(path + "/codes")
+        codes = (
+            _encode_codes_residual(stored, sub_codebook, centroids, id_col, vec_col)
+            if residual
+            else _encode_codes(stored, sub_codebook, id_col, vec_col)
+        )
+        (
+            codes.withColumn("batch_id", F.lit(-1).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path + "/codes")
+        )
     return spark.read.parquet(path + "/vectors")
 
 
@@ -204,7 +340,7 @@ def append_to_index(
     appended copies are row-identical to a one-shot spilled build.
     Returns the updated corpus frame."""
     cents = spark.read.parquet(path + "/centroids")
-    n_home = _index_n_home(spark, path)
+    n_home, residual = _index_meta(spark, path)
     normed = normalize_vectors(new_vectors, id_col, vec_col)
     assigned = ivf_assign(
         normed, cents, n_home, id_col, vec_col, with_rank=True
@@ -225,9 +361,22 @@ def append_to_index(
         .parquet(path + "/vectors")
     )
     if codebook is not None:
-        _encode_codes(assigned, codebook, id_col, vec_col).write.mode(
-            "append"
-        ).parquet(path + "/codes")
+        codes = (
+            _encode_codes_residual(assigned, codebook, cents, id_col, vec_col)
+            if residual
+            else _encode_codes(assigned, codebook, id_col, vec_col)
+        )
+        if "batch_id" in spark.read.parquet(path + "/codes").columns:
+            (
+                codes.withColumn("batch_id", F.lit(next_batch).cast("bigint"))
+                .write.mode("append")
+                .partitionBy("batch_id")
+                .parquet(path + "/codes")
+            )
+        else:
+            # pre-r11 store: keep its unpartitioned /codes layout (mixing
+            # partitioned subdirs into a flat dir corrupts the read)
+            codes.write.mode("append").parquet(path + "/codes")
     return spark.read.parquet(path + "/vectors")
 
 
@@ -260,14 +409,20 @@ def search_index(
     `ivfpq_topk`) and an exact-cosine rerank of the shortlist union
     against the stored raw vectors. With the same model inputs this
     returns EXACTLY `ivfpq_topk`'s rows (bit-identical LUT/argmin —
-    pinned by test_stored_pq_search_equals_ivfpq).
+    pinned by test_stored_pq_search_equals_ivfpq). On a RESIDUAL-built
+    index (meta residual = true, r11) the stored codes are per-copy
+    residual codes, so the query side builds ONE LUT PER PROBED CELL
+    from its own residual wrt that cell and the LUT join keys on
+    (query, cell) — bit-identical to
+    `ivfpq_topk(residual=True, ...)` with the same model (pinned by
+    test_stored_residual_search_equals_ivfpq).
 
     The probe assignment is the literal-codebook kernel (no shuffle); the
     only shuffles are the cell_id equi-join, the gather, and the
     per-query top-k."""
     cents = spark.read.parquet(path + "/centroids")
     store = spark.read.parquet(path + "/vectors")
-    n_home = _index_n_home(spark, path)
+    n_home, residual = _index_meta(spark, path)
     # home rows = exactly one row per stored vector: the query leg (and
     # the PQ rerank's raw-vector legs) must never see spilled copies —
     # duplicate query/neighbor rows would corrupt the per-query ranking
@@ -304,23 +459,28 @@ def search_index(
                 "cos_sim",
             )
         )
-    import numpy as np
-
-    cb_rows = sorted(
-        (int(r["s"]), int(r["code"]), list(r["csub"]))
-        for r in spark.read.parquet(path + "/codebook").collect()
+    cb_np, m, n_codes, sub_dim = _collect_codebook(
+        spark.read.parquet(path + "/codebook")
     )
-    m = cb_rows[-1][0] + 1
-    n_codes = len(cb_rows) // m
-    sub_dim = len(cb_rows[0][2])
-    cb_np = np.asarray([csub for _s, _c, csub in cb_rows], dtype=np.float64)
-    assigned = attach_pq_lut(qa0, cb_np, m, n_codes, sub_dim, vec_col).transform(
-        _materialize
-    )
+    if residual:
+        # one LUT per (query, probed cell), each from the query's residual
+        # wrt that cell — matching the stored per-copy residual codes
+        cent_np, cent_pos = _collect_centroids(cents)
+        assigned = attach_pq_lut(
+            qa0, cb_np, m, n_codes, sub_dim, vec_col,
+            residual=True, cent_np=cent_np, cent_pos=cent_pos,
+        ).transform(_materialize)
+        qlut = assigned.select(F.col(id_col).alias("query_id"), "cell_id", "lut")
+        qlut_keys = ["query_id", "cell_id"]
+    else:
+        assigned = attach_pq_lut(qa0, cb_np, m, n_codes, sub_dim, vec_col).transform(
+            _materialize
+        )
+        qlut = assigned.where(F.col("is_home")).select(
+            F.col(id_col).alias("query_id"), "lut"
+        )
+        qlut_keys = ["query_id"]
     queries_f = assigned.select(F.col(id_col).alias("query_id"), "cell_id")
-    qlut = assigned.where(F.col("is_home")).select(
-        F.col(id_col).alias("query_id"), "lut"
-    )
     corpus_codes = spark.read.parquet(path + "/codes").select(
         F.col(id_col).alias("neighbor_id"), "cell_id", "ncodes"
     )
@@ -333,7 +493,7 @@ def search_index(
     gathered = (
         cand.groupBy("query_id", "cell_id")
         .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
-        .join(qlut, ["query_id"])
+        .join(qlut, qlut_keys)
     )
 
     def _adc(c):
@@ -388,19 +548,25 @@ def index_health(
     Counts are over STORED ROWS (copies): on a spill-built index each
     vector contributes n_home rows, which is exactly what a probe of a
     cell pays — occupancy skew and appended_frac keep their operational
-    meaning unchanged.
+    meaning unchanged. So a casual reader never mistakes copies for
+    corpus size (round-10 verdict "What's wrong" #2), the report also
+    emits `n_home` (from meta) and `distinct_vectors` (home-row count,
+    from the SAME one-scan aggregate): n_vectors == n_home ×
+    distinct_vectors on a healthy spilled store.
 
     All arithmetic is exact-int counts + double ratios (sequential, no
     fold over floats) → oracle-replayable in SQL. One row out."""
+    n_home, _residual = _index_meta(spark, path)
     n_trained = spark.read.parquet(path + "/centroids").agg(
         F.count(F.lit(1)).alias("n_cells_trained")
     )
     occ = (
-        spark.read.parquet(path + "/vectors")
+        _with_probe_rank(spark.read.parquet(path + "/vectors"))
         .groupBy("cell_id")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.sum(F.when(F.col("batch_id") >= 0, 1).otherwise(0)).alias("app"),
+            F.sum(F.when(F.col("probe_rank") == 1, 1).otherwise(0)).alias("home_cnt"),
         )
     )
     avg_cell = F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")
@@ -409,6 +575,7 @@ def index_health(
     summary = occ.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cells_occupied"),
         F.sum("cnt").cast("bigint").alias("n_vectors"),
+        F.sum("home_cnt").cast("bigint").alias("distinct_vectors"),
         F.max("cnt").cast("bigint").alias("max_cell_vectors"),
         F.round(avg_cell, 6).alias("avg_cell_vectors"),
         F.round(skew, 6).alias("occupancy_skew"),
@@ -420,7 +587,9 @@ def index_health(
     # one-row × one-row: AQE broadcasts; exempt scalar pattern
     return n_trained.crossJoin(summary).select(
         F.col("n_cells_trained").cast("bigint").alias("n_cells_trained"),
-        "n_cells_occupied", "n_vectors", "max_cell_vectors", "avg_cell_vectors",
+        "n_cells_occupied", "n_vectors",
+        F.lit(int(n_home)).cast("int").alias("n_home"),
+        "distinct_vectors", "max_cell_vectors", "avg_cell_vectors",
         "occupancy_skew", "appended_vectors", "appended_frac", "needs_retrain",
     )
 
@@ -432,7 +601,9 @@ def compact_index(spark: SparkSession, path: str) -> DataFrame:
     rewritten. The cheap answer when `index_health` shows many small
     append partitions (file-count pressure) but acceptable skew: after a
     compact, `appended_frac` reads 0 while search results are identical.
-    The corpus is materialized before the in-place overwrite."""
+    The corpus is materialized before the in-place overwrite. A
+    batch_id-partitioned /codes store (r11 layout) merges the same way —
+    codes content unchanged, only the layout folds into batch_id = -1."""
     snap = (
         _with_probe_rank(spark.read.parquet(path + "/vectors"))
         .select("vec_id", "embedding", "cell_id", "probe_rank")
@@ -444,6 +615,18 @@ def compact_index(spark: SparkSession, path: str) -> DataFrame:
         .partitionBy("batch_id")
         .parquet(path + "/vectors")
     )
+    try:
+        codes = spark.read.parquet(path + "/codes")
+    except AnalysisException:
+        codes = None
+    if codes is not None and "batch_id" in codes.columns:
+        snap_codes = codes.drop("batch_id").transform(_materialize)
+        (
+            snap_codes.withColumn("batch_id", F.lit(-1).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path + "/codes")
+        )
     return spark.read.parquet(path + "/vectors")
 
 
@@ -474,7 +657,10 @@ def delete_from_index(
         codes = None
     if codes is not None:
         kept_codes = codes.join(key, id_col, "left_anti").transform(_materialize)
-        kept_codes.write.mode("overwrite").parquet(path + "/codes")
+        writer = kept_codes.write.mode("overwrite")
+        if "batch_id" in kept_codes.columns:  # r11 layout mirrors /vectors
+            writer = writer.partitionBy("batch_id")
+        writer.parquet(path + "/codes")
     return spark.read.parquet(path + "/vectors")
 
 
@@ -497,10 +683,14 @@ def retrain_index(
     corpus is materialized (localCheckpoint/checkpoint per the configured
     mode) before the in-place overwrite — Spark cannot otherwise overwrite
     a path it is reading. batch_id resets to -1: after a retrain the whole
-    corpus is train-time. The stored n_home is read back from {path}/meta
-    — a spill-built index retrains spilled. Returns the rewritten corpus
-    frame."""
-    n_home = _index_n_home(spark, path)
+    corpus is train-time. The stored n_home AND residual mode are read
+    back from {path}/meta — a spill-built index retrains spilled, a
+    residual-built one re-encodes RESIDUAL codes wrt the NEW cells. The
+    stored CODEBOOK is kept (it is a model artifact fixed at build time),
+    so for residual/PQ stores the retrain==fresh-build contract holds
+    when the fresh build receives the same codebook explicitly. Returns
+    the rewritten corpus frame."""
+    n_home, residual = _index_meta(spark, path)
     # re-pick/re-assign over one row per VECTOR (home rows) — the spilled
     # copies are derived storage, recomputed below from the new model
     snap = (
@@ -531,7 +721,15 @@ def retrain_index(
         .parquet(path + "/vectors")
     )
     if codebook is not None:
-        _encode_codes(stored, codebook, id_col, vec_col).write.mode(
-            "overwrite"
-        ).parquet(path + "/codes")
+        codes = (
+            _encode_codes_residual(stored, codebook, cents, id_col, vec_col)
+            if residual
+            else _encode_codes(stored, codebook, id_col, vec_col)
+        )
+        (
+            codes.withColumn("batch_id", F.lit(-1).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path + "/codes")
+        )
     return spark.read.parquet(path + "/vectors")

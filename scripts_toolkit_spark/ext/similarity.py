@@ -1001,6 +1001,38 @@ def lut_codes_expr(m: int, n_codes: int) -> Column:
     )
 
 
+def seeded_residual_codebook_rows(
+    seed_rows: list, cent_np, m: int, sub_dim: int
+) -> list:
+    """Driver-side construction of the SEEDED residual codebook, shared by
+    `ivfpq_topk(residual=True)` and the persistent index
+    (`ann_index.build_ann_index(residual=True)`) so the STORED model is
+    bit-identical to the ad-hoc one: the md5-picked seed vectors' residuals
+    wrt their own home centroid, sliced into m per-subspace codewords
+    (prototype-verified in r9: slice-of-centroid codewords are unit-scale
+    and quantize the near-origin residual cloud badly — seeds must be
+    residuals themselves). `seed_rows` is [(code, vector)] code-ascending
+    with contiguous codes; `cent_np` the cell_id-ascending centroid matrix.
+    Homes use the same i-ascending float64 accumulation as the assignment
+    kernel (argmax dot; stable argsort ties to the lower cell), so the
+    residual cloud equals what `ivf_assign` produces for the same rows.
+    Returns [(s, code, csub)] rows for a `s int, code int,
+    csub array<double>` frame. KB-scale control plane throughout."""
+    import numpy as np
+
+    seeds = np.asarray([v for _c, v in seed_rows], dtype=np.float64)
+    acc = seeds[:, 0][:, None] * cent_np[None, :, 0]
+    for i in range(1, cent_np.shape[1]):
+        acc = acc + seeds[:, i][:, None] * cent_np[None, :, i]
+    homes = np.argsort(-acc, axis=1, kind="stable")[:, 0]
+    resid_seeds = seeds - cent_np[homes]
+    return [
+        (s, c, [float(x) for x in resid_seeds[c, s * sub_dim : (s + 1) * sub_dim]])
+        for s in range(m)
+        for c in range(len(resid_seeds))
+    ]
+
+
 def pq_code_arrays(
     vectors: DataFrame,
     sub_codebook: DataFrame,
@@ -1196,21 +1228,10 @@ def ivfpq_topk(
             big_rows = sorted(
                 (int(r["cell_id"]), list(r["centroid"])) for r in big.collect()
             )
-        seeds = np.asarray(
-            [v for c, v in big_rows if c < n_codes],
-            dtype=np.float64,
-        )
-        acc = seeds[:, 0][:, None] * cent_np[None, :, 0]
-        for i in range(1, cent_np.shape[1]):
-            acc = acc + seeds[:, i][:, None] * cent_np[None, :, i]
-        homes = np.argsort(-acc, axis=1, kind="stable")[:, 0]
-        resid_seeds = seeds - cent_np[homes]
         sub_codebook = vectors.sparkSession.createDataFrame(
-            [
-                (s, c, [float(x) for x in resid_seeds[c, s * sub_dim : (s + 1) * sub_dim]])
-                for s in range(m)
-                for c in range(len(resid_seeds))
-            ],
+            seeded_residual_codebook_rows(
+                [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
+            ),
             "s int, code int, csub array<double>",
         )
     if sub_codebook is None:

@@ -1093,6 +1093,10 @@ SELECT
   CAST((SELECT n FROM nc) AS BIGINT) AS n_cells_trained,
   CAST(COUNT(*) AS BIGINT) AS n_cells_occupied,
   CAST(SUM(cnt) AS BIGINT) AS n_vectors,
+  -- single-home demo store: every stored row is a home row (the spilled
+  -- meaning of the two columns is pytest-pinned on an n_home=2 store)
+  CAST(1 AS INT) AS n_home,
+  CAST(SUM(cnt) AS BIGINT) AS distinct_vectors,
   CAST(MAX(cnt) AS BIGINT) AS max_cell_vectors,
   ROUND(CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_cell_vectors,
   ROUND(CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS occupancy_skew,
@@ -1217,6 +1221,39 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def ann_index_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded persistent index (round-10 verdict Next #1: the
+    engine's best-recall IVF-PQ configuration — residual codes × spilled
+    assignment, 0.965 measured trained recall — must reach the STORED
+    index, the component a 100 TB pipeline actually searches): the 80%
+    base slice builds and persists the index with residual=True and
+    n_home=2 — `build_ann_index` SELF-BUILDS the seeded residual codebook
+    (the md5-picked seeds' residuals wrt their own home centroid, the
+    exact `ivfpq_topk(residual=True)` construction) and persists per-copy
+    residual codes (each stored copy encodes v − c(its stored cell)) —
+    the 20% late batch is assign-only ingested (meta carries BOTH knobs:
+    the append spills to 2 homes and residual-encodes with the stored
+    codebook), and `search_index(use_pq=True)` probes 4 cells per query
+    building one residual LUT per (query, probed cell), ADC-shortlists
+    top-48 per cell from the STORED codes, dedups pairs, and exact-cosine
+    reranks. Deterministic end-to-end → the oracle replays the
+    base-trained pick, the seed-home residual codebook, the per-(vector,
+    cell) residual codes over the full corpus, the per-cell residual
+    LUTs, ADC, DISTINCT and rerank in SQL. Store round-trips through
+    parquet, so the oracle covers persistence, not just the plan."""
+    from scripts_toolkit_spark.ext import ann_index as ANN
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    late = emb.where(F.col("vec_id") % 5 == 0)
+    path = _session_index_path(spark, sf_dir, "ann_resid")
+    ANN.build_ann_index(
+        base, path, n_home=2, residual=True, pq_n_codes=64, m=4, sub_dim=16
+    )
+    ANN.append_to_index(spark, path, late)
+    return ANN.search_index(spark, path, k=3, n_probe=4, use_pq=True, rerank_factor=16)
+
+
 def ann_topk_residual_spilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RESIDUAL encoding × SPILLED assignment — the engine's best-recall
     IVF-PQ configuration (round-9 verdict Next #2: the two knobs were
@@ -1319,6 +1356,141 @@ d2 AS (
   FROM subs JOIN cb USING (s)
 ),
 -- corpus codes: per STORED COPY (r <= 2), from the copy's residual wrt
+-- the cell it is stored in; ties to the lower code
+codes AS (
+  SELECT vec_id AS neighbor_id, cell_id, s, code
+  FROM d2 WHERE r <= 2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, cell_id, s ORDER BY d2, code) = 1
+),
+cand AS (
+  -- query probes r <= 4, spilled corpus leg r <= 2
+  SELECT q.vec_id AS query_id, q.cell_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE r <= 2) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+pivoted AS (
+  -- ADC wrt the SHARED cell: the query's residual LUT for that cell
+  -- looked up at the neighbor copy's codes for that cell
+  SELECT c.query_id, c.cell_id, c.neighbor_id,
+    MAX(CASE WHEN nc.s = 0 THEN l.d2 END) AS p0,
+    MAX(CASE WHEN nc.s = 1 THEN l.d2 END) AS p1,
+    MAX(CASE WHEN nc.s = 2 THEN l.d2 END) AS p2,
+    MAX(CASE WHEN nc.s = 3 THEN l.d2 END) AS p3
+  FROM cand c
+  JOIN codes nc ON nc.neighbor_id = c.neighbor_id AND nc.cell_id = c.cell_id
+  JOIN d2 l ON l.vec_id = c.query_id AND l.cell_id = c.cell_id
+           AND l.s = nc.s AND l.code = nc.code
+  GROUP BY c.query_id, c.cell_id, c.neighbor_id
+),
+shortlist AS (
+  -- per-(query, probed cell) top-48, then pair DISTINCT: with two homes
+  -- a pair can arise from both shared cells
+  SELECT DISTINCT query_id, neighbor_id
+  FROM pivoted
+  QUALIFY row_number() OVER (PARTITION BY query_id, cell_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 48
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(q.nvec[i] AS DOUBLE) * CAST(n.nvec[i] AS DOUBLE)), (x, y) -> x + y) AS cos_sim
+  FROM shortlist s
+  JOIN nv q ON q.vec_id = s.query_id
+  JOIN nv n ON n.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM reranked
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+# The stored residual index replay: identical chain to
+# ANN_TOPK_RESIDUAL_SPILLED_SQL except the MODEL (centroid pick + codebook
+# seeds) comes from the 80% BASE slice only — late vectors are assign-only
+# ingested against the stored model, exactly what append_to_index does.
+ANN_INDEX_RESIDUAL_SQL = f"""
+WITH nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  FROM embeddings WHERE vec_id % 5 <> 0
+),
+nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
+  FROM embeddings
+),
+cents64 AS (
+  -- ONE md5 pick over the BASE slice serves centroids AND codebook seeds
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+         vec_id
+  FROM nv WHERE vec_id % 5 <> 0
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+    <= greatest(64, (SELECT n FROM nc))
+),
+centv AS (
+  SELECT code AS cell_id, nvec AS centroid
+  FROM cents64 JOIN nv USING (vec_id)
+  WHERE code < (SELECT n FROM nc)
+),
+seeds AS (
+  SELECT code, nvec FROM cents64 JOIN nv USING (vec_id) WHERE code < 64
+),
+-- each seed's home cell: argmax affinity, ties to the lower cell_id
+seed_home AS (
+  SELECT s.code, c.cell_id
+  FROM seeds s, centv c
+  QUALIFY row_number() OVER (PARTITION BY s.code ORDER BY
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(s.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+    c.cell_id) = 1
+),
+-- residual codebook: the seeds' residuals wrt their OWN home centroid
+resid_seeds AS (
+  SELECT s.code,
+    list_transform(range(1, 65),
+      i -> CAST(s.nvec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rv
+  FROM seeds s JOIN seed_home h USING (code) JOIN centv c ON c.cell_id = h.cell_id
+),
+cb AS (
+  SELECT s, code, rv[s*16+1 : s*16+16] AS csub
+  FROM resid_seeds, UNNEST(range(4)) AS t(s)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM nv e, centv c
+),
+assigned AS (
+  SELECT vec_id, cell_id,
+    row_number() OVER (PARTITION BY vec_id ORDER BY aff DESC, cell_id) AS r
+  FROM aff
+  QUALIFY r <= 4
+),
+-- residual of every vector wrt EVERY cell it is stored in / probing —
+-- residual mode builds one LUT (and one code set) per (vector, cell)
+resid AS (
+  SELECT a.vec_id, a.cell_id, a.r,
+    list_transform(range(1, 65),
+      i -> CAST(e.nvec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rv
+  FROM assigned a
+  JOIN nv e USING (vec_id)
+  JOIN centv c ON c.cell_id = a.cell_id
+),
+subs AS (
+  SELECT vec_id, cell_id, r, s, rv[s*16+1 : s*16+16] AS sub
+  FROM resid, UNNEST(range(4)) AS t(s)
+),
+d2 AS (
+  SELECT vec_id, cell_id, r, s, code, {_PQ_L2_SQL} AS d2
+  FROM subs JOIN cb USING (s)
+),
+-- STORED codes: per stored copy (r <= 2), from the copy's residual wrt
 -- the cell it is stored in; ties to the lower code
 codes AS (
   SELECT vec_id AS neighbor_id, cell_id, s, code

@@ -165,13 +165,12 @@ register("bloom_decontamination", cd.bloom_decontamination, cd.BLOOM_DECONTAMINA
 # join→aggregate-per-round algorithm shape under the exact oracle gate
 from scripts_toolkit_spark.plans import ext_demos2 as x2
 
-register("pagerank_top_parties", x2.pagerank_top_parties, x2.PAGERANK_TOP_PARTIES_SQL)
-# NEW: char-trigram-profile language ID (integer-exact n-gram heuristic)
-register("charngram_lang_id", cd.charngram_lang_id, cd.CHARNGRAM_LANG_ID_SQL)
+# (r11 rotation: pagerank_top_parties, charngram_lang_id and
+# mixture_sample_rates ceded their seats — all long-green and unchanged
+# in r11; parked in TIER 2 — to make room for ann_index_residual,
+# melt_wide96_chunked and perplexity_buckets_sketch.)
 # NEW: batch twin of the streaming winnowing dedup (wave attribution)
 register("incremental_winnow_pairs", xd.incremental_winnow_pairs, xd.INCREMENTAL_WINNOW_PAIRS_SQL)
-# round-4 newcomers registered past the window (verdict Next #3)
-register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
 register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)
 # CHANGED: multi-block combination pairing (ext/dedup.simhash64_candidates)
 register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
@@ -197,6 +196,18 @@ register("ann_topk_incremental", xd.ann_topk_incremental, xd.ANN_TOPK_INCREMENTA
 # in-window (ann_two_level_assign ceded its seat — r7..r9-green,
 # similarity.py unchanged this round).
 register("ann_index_spilled", xd.ann_index_spilled, xd.ANN_INDEX_SPILLED_SQL)
+# NEW (r11): RESIDUAL encoding ported into the PERSISTENT index (round-10
+# verdict Next #1 — the direct sequel to the r10 spill port): residual is
+# an index property in {path}/meta beside n_home; build self-constructs
+# the seeded residual codebook (the exact ivfpq_topk construction, shared
+# via seeded_residual_codebook_rows), /codes holds PER-COPY residual
+# codes, append residual-encodes late batches with the stored model, and
+# search(use_pq=True) builds one residual LUT per (query, probed cell).
+# Stored-search == ad-hoc ivfpq_topk(residual=True, n_home=2)
+# bit-identical and trained recall >= 0.9 pytest-pinned
+# (pagerank_top_parties ceded its seat — r5..r10-green, unchanged;
+# parked in TIER 2).
+register("ann_index_residual", xd.ann_index_residual, xd.ANN_INDEX_RESIDUAL_SQL)
 # NEW (r7): ANN index lifecycle (round-6 verdict Next #3) — staleness
 # report (occupancy skew + appended-since-train fraction, one hash-agg
 # scan) and in-place retrain (re-pick + re-assign; == fresh build, so the
@@ -245,6 +256,13 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
 # keep them sampled while the window has room).
 # ============================================================================
+
+# r11 rotation: parked from the window (all long-green, unchanged in
+# r11) to make room for the r11 newcomers (ann_index_residual,
+# melt_wide96_chunked, perplexity_buckets_sketch).
+register("pagerank_top_parties", x2.pagerank_top_parties, x2.PAGERANK_TOP_PARTIES_SQL)
+register("charngram_lang_id", cd.charngram_lang_id, cd.CHARNGRAM_LANG_ID_SQL)
+register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
 
 # r10 rotation: parked from the window (green since r5, unchanged) to
 # make room for incremental_quantile_sketch.

@@ -484,6 +484,40 @@ def search_index(
     corpus_codes = spark.read.parquet(path + "/codes").select(
         F.col(id_col).alias("neighbor_id"), "cell_id", "ncodes"
     )
+    # rerank legs read HOME rows only — one raw vector per id
+    qv = q_normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = home.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    return _pq_rank(
+        queries_f, qlut, qlut_keys, corpus_codes, qv, nv,
+        m, n_codes, k, rerank_factor, n_home,
+    )
+
+
+def _pq_rank(
+    queries_f: DataFrame,
+    qlut: DataFrame,
+    qlut_keys: list,
+    corpus_codes: DataFrame,
+    qv: DataFrame,
+    nv: DataFrame,
+    m: int,
+    n_codes: int,
+    k: int,
+    rerank_factor: int,
+    n_home: int,
+) -> DataFrame:
+    """The compressed-domain candidate→top-k pipeline shared by
+    `search_index(use_pq=True)` and the streaming ingester's PQ match
+    (streaming/ann_stream.py, r11): cell equi-join of query probes
+    against STORED code rows, per-(query, probed-cell) gather + one
+    qlut join, ADC as array expressions (fixed s-ascending sum —
+    bit-reproducible), per-cell top-(rerank_factor·k) shortlists, pair
+    dedup when the corpus is spilled, exact-cosine rerank against the
+    raw-vector legs, per-query top-k. Inputs: `queries_f` (query_id,
+    cell_id) probe rows; `qlut` (query_id[, cell_id], lut) joined on
+    `qlut_keys` (residual mode keys per cell); `corpus_codes`
+    (neighbor_id, cell_id, ncodes); `qv`/`nv` (id, vector) rerank legs —
+    one row per id."""
     cand = (
         queries_f.join(corpus_codes, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -513,9 +547,6 @@ def search_index(
         # spilled copies can shortlist the same pair from up to n_home
         # shared cells — dedup the (bounded) shortlist before the rerank
         shortlist = shortlist.dropDuplicates(["query_id", "neighbor_id"])
-    # rerank legs read HOME rows only — one raw vector per id
-    qv = q_normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = home.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     reranked = (
         shortlist.join(qv, "query_id")
         .join(nv, "neighbor_id")

@@ -27,11 +27,17 @@ parity contract, extended to streams by
 tests/test_ann_stream.py::test_stream_store_matches_batch).
 
 Exactly-once OUTPUT despite at-least-once foreachBatch execution: the
-same discipline as streaming/dedup_stream.py — both sinks partition by
-batch_id and write with dynamic-partition OVERWRITE, so a replayed batch
-rewrites its own partition; the match join reads only store rows with
-batch_id < current, so a replay never matches against its own
-half-written rows.
+same discipline as streaming/dedup_stream.py — every sink (matches,
+/vectors, and since r11 /codes) partitions by batch_id and writes with
+dynamic-partition OVERWRITE, so a replayed batch rewrites its own
+partitions; the match join reads only store rows with batch_id <
+current, so a replay never matches against its own half-written rows.
+
+r11 (round-10 verdict Next #2): `use_pq=True` switches the cross-batch
+match to the COMPRESSED-DOMAIN search (stored m-int codes + ADC
+shortlists through the same `_pq_rank` pipeline as
+`search_index(use_pq=True)`), honoring the index's meta residual/n_home
+— the full best-recall store configuration now serves a stream.
 """
 
 from __future__ import annotations
@@ -41,12 +47,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from scripts_toolkit_spark.ext.ann_index import _index_n_home
-from scripts_toolkit_spark.ext.similarity import _dot, ivf_assign, normalize_vectors
+from scripts_toolkit_spark.ext.ann_index import (
+    _collect_centroids,
+    _collect_codebook,
+    _encode_codes,
+    _encode_codes_residual,
+    _index_meta,
+    _pq_rank,
+)
+from scripts_toolkit_spark.ext.similarity import (
+    _dot,
+    attach_pq_lut,
+    ivf_assign,
+    normalize_vectors,
+)
 from scripts_toolkit_spark.materialize import materialize as _materialize
 
 STORE_SCHEMA = (
     "vec_id bigint, embedding array<double>, cell_id int, probe_rank int, "
+    "batch_id bigint"
+)
+CODES_SCHEMA = (
+    "vec_id bigint, ncodes array<int>, cell_id int, probe_rank int, "
     "batch_id bigint"
 )
 
@@ -56,6 +78,8 @@ def make_ann_ingest_processor(
     matches_path: str,
     k: int = 3,
     n_probe: int = 3,
+    use_pq: bool = False,
+    rerank_factor: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
@@ -68,12 +92,37 @@ def make_ann_ingest_processor(
     cross-batch match probes ALL stored copies (the recall lift reaches
     the stream), and (query, neighbor) pairs dedup before ranking — so a
     spill-built index ingested by stream stays row-identical to a
-    one-shot spilled build (tests/test_ann_stream.py parity, n_home=2)."""
+    one-shot spilled build (tests/test_ann_stream.py parity, n_home=2).
+
+    `use_pq=True` (r11 — round-10 verdict Next #2; requires a
+    CODEBOOK-built index) switches the cross-batch match to the
+    COMPRESSED-DOMAIN search a 100 TB serving store runs: candidates
+    carry the stored m-int code arrays (the prior store's /codes rows,
+    `batch_id < current`), ADC shortlists per (query, probed cell)
+    through the same `_pq_rank` pipeline as `search_index(use_pq=True)`,
+    and only the bounded shortlist joins back to raw vectors for the
+    exact rerank. Honors meta residual=true (per-cell residual query
+    LUTs against the stored per-copy residual codes). The stored model
+    is KB control plane, collected once per processor and cached — the
+    stream never retrains. Whenever a codebook exists, each batch's
+    codes are ALSO encoded and appended to /codes under the same
+    per-batch_id dynamic-partition overwrite, so /codes keeps row-parity
+    with /vectors and replays stay exactly-once."""
+    model_cache: dict = {}
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cents = spark.read.parquet(index_path + "/centroids")
-        n_home = _index_n_home(spark, index_path)
+        n_home, residual = _index_meta(spark, index_path)
+        try:
+            codebook = spark.read.parquet(index_path + "/codebook")
+        except AnalysisException:
+            codebook = None
+        if use_pq and codebook is None:
+            raise ValueError(
+                "use_pq=True requires a codebook-built index "
+                f"({index_path}/codebook is missing)"
+            )
         assigned = (
             ivf_assign(
                 normalize_vectors(batch, id_col, vec_col), cents,
@@ -91,7 +140,50 @@ def make_ann_ingest_processor(
             old = None
         else:
             old = store.where(F.col("batch_id") < F.lit(batch_id))
-        if old is not None:
+        if old is not None and use_pq:
+            # compressed-domain cross-batch match (same pipeline as
+            # search_index(use_pq=True), prior-store codes as the corpus)
+            if "cb" not in model_cache:
+                model_cache["cb"] = _collect_codebook(codebook)
+                model_cache["cent"] = _collect_centroids(cents)
+            cb_np, m, n_codes, sub_dim = model_cache["cb"]
+            q_assigned = assigned.where(F.col("probe_rank") <= n_probe)
+            if residual:
+                cent_np, cent_pos = model_cache["cent"]
+                lutted = attach_pq_lut(
+                    q_assigned, cb_np, m, n_codes, sub_dim, vec_col,
+                    residual=True, cent_np=cent_np, cent_pos=cent_pos,
+                ).transform(_materialize)
+                qlut = lutted.select(F.col(id_col).alias("query_id"), "cell_id", "lut")
+                qlut_keys = ["query_id", "cell_id"]
+            else:
+                lutted = attach_pq_lut(
+                    q_assigned, cb_np, m, n_codes, sub_dim, vec_col
+                ).transform(_materialize)
+                qlut = lutted.where(F.col("is_home")).select(
+                    F.col(id_col).alias("query_id"), "lut"
+                )
+                qlut_keys = ["query_id"]
+            queries_f = lutted.select(F.col(id_col).alias("query_id"), "cell_id")
+            old_codes = (
+                spark.read.schema(CODES_SCHEMA)
+                .parquet(index_path + "/codes")
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .select(F.col("vec_id").alias("neighbor_id"), "cell_id", "ncodes")
+            )
+            # rerank legs: one raw vector per id on both sides
+            qv = assigned.where(F.col("probe_rank") == 1).select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+            nv_src = old.where(F.col("probe_rank") == 1) if n_home > 1 else old
+            nv = nv_src.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+            )
+            matches = _pq_rank(
+                queries_f, qlut, qlut_keys, old_codes, qv, nv,
+                m, n_codes, k, rerank_factor, n_home,
+            )
+        elif old is not None:
             queries = assigned.where(F.col("probe_rank") <= n_probe).select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "cell_id"
             )
@@ -140,6 +232,21 @@ def make_ann_ingest_processor(
             .partitionBy("batch_id")
             .parquet(index_path + "/vectors")
         )
+        if codebook is not None:
+            # keep /codes row-parity with /vectors for the NEXT batches'
+            # compressed match — same exactly-once partition overwrite
+            batch_codes = (
+                _encode_codes_residual(new_rows, codebook, cents, "vec_id", "embedding")
+                if residual
+                else _encode_codes(new_rows, codebook, "vec_id", "embedding")
+            )
+            (
+                batch_codes.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(index_path + "/codes")
+            )
 
     return _process
 
@@ -151,6 +258,8 @@ def start_ann_ingest(
     checkpoint: str,
     k: int = 3,
     n_probe: int = 3,
+    use_pq: bool = False,
+    rerank_factor: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ):
@@ -158,9 +267,13 @@ def start_ann_ingest(
     to completion with awaitTermination). The committed matches output
     holds, per query vector, its top-k cosine matches among all vectors
     ingested in EARLIER batches — exactly once (per-batch_id
-    dynamic-partition overwrite absorbs foreachBatch replays)."""
+    dynamic-partition overwrite absorbs foreachBatch replays).
+    `use_pq=True` matches against the prior store's compressed codes
+    (codebook-built index required; honors meta residual/n_home)."""
     process = make_ann_ingest_processor(
-        index_path, matches_path, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+        index_path, matches_path, k=k, n_probe=n_probe,
+        use_pq=use_pq, rerank_factor=rerank_factor,
+        id_col=id_col, vec_col=vec_col,
     )
     return (
         vector_stream.writeStream.foreachBatch(process)

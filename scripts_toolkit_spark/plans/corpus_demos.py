@@ -1047,6 +1047,36 @@ GROUP BY doc_id
 """
 
 
+def _doc_avg_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_words, avg_nll): the unigram avg-NLL document
+    score shared by `perplexity_buckets` (exact tertile cut) and
+    `perplexity_buckets_sketch` (bottom-k rank-sample cut) — same float
+    discipline as `unigram_nll_scores` (6-dp-rounded per-token ln p cast
+    to DECIMAL before the per-doc SUM, so the sum is order-free)."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tok = d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
+    total = tok.count()
+    lnp = F.round(F.log(F.col("cnt").cast("double") / F.lit(float(total))), 6).cast(
+        "decimal(18,6)"
+    )
+    stats = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select("w", lnp.alias("lnp"))
+    return (
+        tok.join(stats, "w")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("lnp").alias("s"))
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round(-F.col("s").cast("double") / F.col("n_words").cast("double"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail corpus partitioning (Wenzek et al.,
     2020, public): score every document with the unigram avg-NLL proxy
@@ -1065,28 +1095,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself cuts on a sample; at open-web scale swap in the bounded-state
     histogram cut (`histogram_quantiles`'s fixed-bin machinery) or
     `approx_percentile`, trading the exact-replay property."""
-    d = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    tok = d.select("doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("w"))
-    total = tok.count()
-    lnp = F.round(F.log(F.col("cnt").cast("double") / F.lit(float(total))), 6).cast(
-        "decimal(18,6)"
-    )
-    stats = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt")).select("w", lnp.alias("lnp"))
-    nll = (
-        tok.join(stats, "w")
-        .groupBy("doc_id", "lang")
-        .agg(F.count(F.lit(1)).alias("n_words"), F.sum("lnp").alias("s"))
-        .select(
-            "doc_id",
-            "lang",
-            "n_words",
-            F.round(-F.col("s").cast("double") / F.col("n_words").cast("double"), 6).alias(
-                "avg_nll"
-            ),
-        )
-    )
+    nll = _doc_avg_nll(spark, sf_dir)
     th = nll.groupBy("lang").agg(
         F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("t1"),
         F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("t2"),
@@ -1141,6 +1150,118 @@ SELECT lang,
   round(CAST(SUM(CAST(avg_nll AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_nll
 FROM nll JOIN th USING (lang)
 GROUP BY 1, 2
+"""
+
+
+def perplexity_buckets_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-thresholded CCNet bucketing (round-10 verdict Next #8):
+    `perplexity_buckets`' exact per-lang interpolated tertile is the ONE
+    remaining per-group full-buffer aggregate state at 100 TB — Spark's
+    exact `percentile` holds every score of a language in memory. This
+    variant cuts at the BOTTOM-K RANK-SAMPLE tertiles instead
+    (ext/quantiles.py, k=256: bounded state, mergeable across
+    shards/days, ~1/(2√k) rank error) and reports, per language, the
+    BUCKET-ASSIGNMENT AGREEMENT RATE against the exact cut — the
+    accuracy trade made measurable instead of asserted (pytest pins
+    agreement ≥ 0.875 = 1 − 2/√k, the two-threshold rank-error bound;
+    measured ≥0.95 at sf0.001). Deterministic end-to-end: the sample is
+    an md5-prefix, the sketch tertile an exact stored double (the
+    sample's own order statistic), and the agreement an int-count ratio
+    — so DuckDB replays BOTH cuts and the comparison."""
+    from scripts_toolkit_spark.ext.quantiles import bottomk_sample, sample_quantiles
+
+    nll = _doc_avg_nll(spark, sf_dir)
+    # two consumers (sample + per-doc bucket compare) — cut the scoring once
+    nll = nll.transform(_materialize)
+    th_exact = nll.groupBy("lang").agg(
+        F.percentile("avg_nll", F.lit(1.0 / 3.0)).alias("t1"),
+        F.percentile("avg_nll", F.lit(2.0 / 3.0)).alias("t2"),
+    )
+    sample = bottomk_sample(nll, ["lang"], "avg_nll", "doc_id", 256)
+    th_sketch = sample_quantiles(
+        sample, ["lang"], "avg_nll", {"t1_sketch": 1.0 / 3.0, "t2_sketch": 2.0 / 3.0}
+    ).select("lang", "t1_sketch", "t2_sketch")
+
+    def bucket(lo, hi):
+        return (
+            F.when(F.col("avg_nll") < F.col(lo), "head")
+            .when(F.col("avg_nll") < F.col(hi), "middle")
+            .otherwise("tail")
+        )
+
+    joined = nll.join(th_exact, "lang").join(th_sketch, "lang")
+    agree = F.sum(
+        F.when(bucket("t1", "t2") == bucket("t1_sketch", "t2_sketch"), 1).otherwise(0)
+    ).cast("bigint")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        agree.alias("n_agree"),
+        F.round(agree.cast("double") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "agreement"
+        ),
+        F.first("t1_sketch").alias("t1_sketch"),
+        F.first("t2_sketch").alias("t2_sketch"),
+    )
+
+
+PERPLEXITY_BUCKETS_SKETCH_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM tok),
+stats AS (
+  SELECT w,
+    CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / (SELECT t FROM total)), 6) AS DECIMAL(18,6)) AS lnp
+  FROM tok GROUP BY w
+),
+nll AS (
+  SELECT doc_id, lang, COUNT(*) AS n_words,
+    round(-CAST(SUM(lnp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+  FROM tok JOIN stats USING (w)
+  GROUP BY doc_id, lang
+),
+th AS (
+  SELECT lang, quantile_cont(avg_nll, 1.0/3.0) AS t1,
+         quantile_cont(avg_nll, 2.0/3.0) AS t2
+  FROM nll GROUP BY lang
+),
+samp AS (
+  SELECT lang, avg_nll
+  FROM nll
+  QUALIFY row_number() OVER (
+    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), avg_nll) <= 256
+),
+sk AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sample,
+    list_sort(list(avg_nll)) AS vs
+  FROM samp GROUP BY lang
+),
+thsk AS (
+  -- literals are repr(1/3)/repr(2/3): the ceil argument is the SAME
+  -- IEEE double product Spark's F.ceil(F.lit(q) * n) computes
+  SELECT lang,
+    vs[greatest(1, CAST(ceil(0.3333333333333333 * n_sample) AS INT))] AS t1_sketch,
+    vs[greatest(1, CAST(ceil(0.6666666666666666 * n_sample) AS INT))] AS t2_sketch
+  FROM sk
+),
+cmp AS (
+  SELECT n.lang, n.avg_nll,
+    CASE WHEN avg_nll < t1 THEN 'head'
+         WHEN avg_nll < t2 THEN 'middle' ELSE 'tail' END AS b_exact,
+    CASE WHEN avg_nll < t1_sketch THEN 'head'
+         WHEN avg_nll < t2_sketch THEN 'middle' ELSE 'tail' END AS b_sketch,
+    t1_sketch, t2_sketch
+  FROM nll n JOIN th USING (lang) JOIN thsk USING (lang)
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN b_exact = b_sketch THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+  round(CAST(SUM(CASE WHEN b_exact = b_sketch THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS agreement,
+  MIN(t1_sketch) AS t1_sketch,
+  MIN(t2_sketch) AS t2_sketch
+FROM cmp
+GROUP BY lang
 """
 
 

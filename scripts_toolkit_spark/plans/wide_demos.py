@@ -55,3 +55,51 @@ def _oracle() -> str:
 
 
 MELT_WIDE60_SQL = _oracle()
+
+
+_VARIANTS96 = 24  # 4 × 24 = 96 value columns — PAST the 64-column chunk cap
+
+
+def _wide96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rssd")]
+    for v in range(_VARIANTS96):
+        for b in _BASE:
+            cols.append(
+                F.when((F.col("l_orderkey") + v) % 13 != 0, F.col(b) + F.lit(float(v)))
+                .alias(f"{b}_v{v}")
+            )
+    return li.select(*cols)
+
+
+def melt_wide96_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """96-column wide→EAV melt — the first registered width PAST
+    `_UNPIVOT_CHUNK` (round-10 verdict "What's wrong" #3: the chunked
+    union-of-unpivots plan was pytest-pinned row-identical and
+    probe-measured, but never passed the DuckDB value gate because every
+    registered family was single-chunk). `melt_to_eav` splits the float
+    family into a 64-column and a 32-column unpivot — each stays on the
+    whole-stage-codegen compiled path (a single 96-wide Expand falls off
+    at ~4× per-row cost) — and unions them; each chunk's scan prunes to
+    its own columns. The oracle is 96 generated UNION ALL branches, so
+    the union-of-chunks plan is value-hash-gated at width."""
+    wide = _wide96(spark, sf_dir)
+    type_map = {f"{b}_v{v}": "float" for v in range(_VARIANTS96) for b in _BASE}
+    eav = melt_to_eav(wide, type_map, QUARTER)
+    return eav.select("rssd", "mdrm", "quarter", "data_type", "float_data")
+
+
+def _oracle96() -> str:
+    branches = []
+    for v in range(_VARIANTS96):
+        for b in _BASE:
+            branches.append(
+                f"SELECT l_orderkey * 10 + l_linenumber AS rssd, '{b}_v{v}' AS mdrm, "
+                f"{QUARTER} AS quarter, 'float' AS data_type, "
+                f"{b} + {float(v)} AS float_data "
+                f"FROM lineitem WHERE (l_orderkey + {v}) % 13 <> 0"
+            )
+    return "\nUNION ALL\n".join(branches)
+
+
+MELT_WIDE96_CHUNKED_SQL = _oracle96()

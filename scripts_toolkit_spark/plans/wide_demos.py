@@ -61,7 +61,11 @@ _VARIANTS96 = 24  # 4 × 24 = 96 value columns — PAST the 64-column chunk cap
 
 
 def _wide96(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # deterministic 1-in-10 order slice: the row exercised here is the
+    # CHUNKED PLAN SHAPE (96 cols > _UNPIVOT_CHUNK), not row volume —
+    # melt_wide_to_eav remains the volume stressor; unfiltered this demo
+    # emitted 55M rows at sf0.1 and the oracle compare dominated sweeps
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 10 == 0)
     cols = [(F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rssd")]
     for v in range(_VARIANTS96):
         for b in _BASE:
@@ -97,7 +101,7 @@ def _oracle96() -> str:
                 f"SELECT l_orderkey * 10 + l_linenumber AS rssd, '{b}_v{v}' AS mdrm, "
                 f"{QUARTER} AS quarter, 'float' AS data_type, "
                 f"{b} + {float(v)} AS float_data "
-                f"FROM lineitem WHERE (l_orderkey + {v}) % 13 <> 0"
+                f"FROM lineitem WHERE l_orderkey % 10 = 0 AND (l_orderkey + {v}) % 13 <> 0"
             )
     return "\nUNION ALL\n".join(branches)
 

@@ -316,6 +316,59 @@ def probe_paths(spark) -> None:
         )
 
 
+def probe_closure_cap(spark) -> None:
+    """Round-10 verdict Next #7: price the closure-cap fallback cliff.
+    Builds a taxonomy whose INTERNAL edge domain exceeds
+    _CLOSURE_EDGE_CAP (100k) — W parallel depth-D chains to one root —
+    and measures (a) the auto-fallback shuffle loop that actually runs
+    past the cap, and (b) the driver-side closure on the SAME graph with
+    the cap lifted, so SCALING.md can state what the guard costs when it
+    trips instead of asserting the fallback is merely correct."""
+    from scripts_toolkit_spark.operators import graph as graph_mod
+
+    W, D = 12_000, 10  # internal edges ≈ W·D = 120k > the 100k cap
+    w = spark.range(W).select(F.col("id").cast("string").alias("w"))
+    hops = [
+        F.struct(
+            F.concat(F.lit(f"m{i}_"), F.col("w")).alias("src"),
+            F.concat(F.lit(f"m{i + 1}_"), F.col("w")).alias("dst"),
+        )
+        for i in range(D)
+    ] + [
+        F.struct(F.concat(F.lit(f"m{D}_"), F.col("w")).alias("src"), F.lit("root").alias("dst")),
+        F.struct(F.concat(F.lit("s_"), F.col("w")).alias("src"),
+                 F.concat(F.lit("m0_"), F.col("w")).alias("dst")),
+    ]
+    edges = (
+        w.select(F.explode(F.array(*hops)).alias("e"))
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
+    starts = w.select(F.concat(F.lit("s_"), F.col("w")).alias("node")).localCheckpoint()
+    n_internal = (
+        edges.join(edges.select(F.col("dst").alias("src")).distinct(), "src", "left_semi")
+        .count()
+    )
+    print(f"internal_edges={n_internal} cap={graph_mod._CLOSURE_EDGE_CAP}", flush=True)
+    assert n_internal > graph_mod._CLOSURE_EDGE_CAP
+
+    best_loop, rows_loop = _best2(
+        lambda: graph_mod.expand_paths(edges, starts, "root", max_depth=16)
+    )
+    print(f"over-cap auto-fallback (shuffle loop): {best_loop:.2f}s paths={rows_loop}", flush=True)
+
+    saved = graph_mod._CLOSURE_EDGE_CAP
+    graph_mod._CLOSURE_EDGE_CAP = 10_000_000
+    try:
+        best_clo, rows_clo = _best2(
+            lambda: graph_mod.expand_paths(edges, starts, "root", max_depth=16)
+        )
+    finally:
+        graph_mod._CLOSURE_EDGE_CAP = saved
+    print(f"cap lifted (driver closure):           {best_clo:.2f}s paths={rows_clo}", flush=True)
+    assert rows_loop == rows_clo
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = _spark()
@@ -335,3 +388,5 @@ if __name__ == "__main__":
         probe_two_level(spark)
     if what in ("melt", "all"):
         probe_melt(spark)
+    if what in ("closure_cap", "all"):
+        probe_closure_cap(spark)

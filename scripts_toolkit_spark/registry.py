@@ -9,19 +9,21 @@ MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it).
 
-Round-10 window: the r10 NEW rows (ann_index_spilled,
-quantile_sketch_values, incremental_quantile_sketch), the r10 CHANGED
-rows — ann_probe_sweep (joint n_probe × n_home grid) and the four
-ann_index_* rows (ext/ann_index.py store-schema change: probe_rank
-column, meta-persisted spill width, home-only query/rerank legs — a
-helper change the fn-source hash cannot see, kept in-window per the
-CLAUDE.md manual rule), the hierarchy trio (operators/graph.py closure
-guard, same manual rule) — plus earlier-round rows still holding seats.
-Ceded this round (all long-green, unchanged): ann_two_level_assign,
-ann_threshold_cells, packing_efficiency_report. The r10 chunked-unpivot
-change (operators/reshape.py) is PLAN-INERT at every registered width
-(all families ≤ 64 columns → single chunk; chunk==single pinned by
-test_melt_chunked_unpivot_equivalence), so the melt rows stay parked.
+Round-11 window: the r11 NEW rows (ann_index_residual,
+melt_wide96_chunked, perplexity_buckets_sketch), the r11 CHANGED rows —
+the five ann_index_* rows + ann_topk_incremental (ext/ann_index.py
+residual port: meta gains the residual flag, /codes gains batch_id
+partitioning, index_health gains n_home/distinct_vectors — helper
+changes the fn-source hash cannot see, kept in-window per the CLAUDE.md
+manual rule), the ivfpq rows ann_topk_ivfpq / ann_topk_spilled /
+ann_topk_residual_spilled (similarity.py: the seeded residual codebook
+construction factored into seeded_residual_codebook_rows, same manual
+rule), the hierarchy trio (operators/graph.py: reverse-BFS dead-end
+prune in the closure DFS), perplexity_buckets (scoring factored into
+_doc_avg_nll) and incremental_quantile_sketch (null-safe pmod split) —
+plus earlier-round rows still holding seats. Ceded this round (all
+long-green, unchanged): pagerank_top_parties, charngram_lang_id,
+mixture_sample_rates, near_dup_clusters, embedding_near_dup_pairs.
 `tests/test_registry_order.py` enforces the rule mechanically against a
 committed source-hash manifest; close every rotation with
 `python tools/round_close.py` (runs the refresh + the ordering test).

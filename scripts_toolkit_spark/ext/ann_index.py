@@ -111,6 +111,61 @@ def _index_n_home(spark: SparkSession, path: str) -> int:
     return _index_meta(spark, path)[0]
 
 
+def _index_seeded_pq_meta(spark: SparkSession, path: str):
+    """(pq_seeded, pq_n_codes, m, sub_dim) — recorded when the build
+    SELF-CONSTRUCTED the seeded residual codebook, so `retrain_index`
+    can rebuild that codebook from the NEW pick (retrain == fresh seeded
+    build extends to residual stores). Stores with a caller-provided
+    codebook — or written before this column existed — read
+    (False, None, None, None): retrain keeps their stored codebook."""
+    try:
+        row = spark.read.parquet(path + "/meta").first()
+    except AnalysisException:
+        return False, None, None, None
+    d = row.asDict() if row is not None else {}
+    if not d.get("pq_seeded"):
+        return False, None, None, None
+    return True, int(d["pq_n_codes"]), int(d["m"]), int(d["sub_dim"])
+
+
+def _seeded_residual_model(
+    spark: SparkSession,
+    normed: DataFrame,
+    n_cells: int,
+    n_codes: int,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    n_rows: int | None = None,
+):
+    """(centroids_df, codebook_df): ONE md5 pick over the normalized
+    corpus serves the IVF centroids (prefix slice — the pick is a prefix
+    property) AND the seeded residual codebook
+    (`seeded_residual_codebook_rows`, the exact `ivfpq_topk`
+    construction). Shared by `build_ann_index(residual=True)` and the
+    seeded-store branch of `retrain_index`. KB control plane."""
+    import numpy as np
+
+    big = deterministic_centroids(
+        normed, max(n_cells, n_codes), id_col, vec_col, n_rows=n_rows
+    )
+    big_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in big.collect())
+    cent_rows = [(c, v) for c, v in big_rows if c < n_cells]
+    centroids = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in cent_rows],
+        "cell_id int, centroid array<double>",
+    )
+    cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+    codebook = spark.createDataFrame(
+        seeded_residual_codebook_rows(
+            [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
+        ),
+        "s int, code int, csub array<double>",
+    )
+    return centroids, codebook
+
+
 def _collect_codebook(codebook: DataFrame):
     """(cb_np, m, n_codes, sub_dim) from a (s, code, csub) frame — the
     same sorted-collect layout `ivfpq_topk` builds, so kernel LUT/code
@@ -236,38 +291,42 @@ def build_ann_index(
     n_rows, dim = corpus_stats(normed, vec_col)
     if n_cells is None and centroids is None:
         n_cells = auto_n_cells(normed, n_rows=n_rows)
-    if residual and sub_codebook is None:
+    pq_seeded = bool(residual and sub_codebook is None)
+    n_codes = None
+    if pq_seeded:
         # SEEDED residual codebook, bit-identical to ivfpq_topk's: ONE
         # md5 pick serves the centroids AND the codebook seeds (the pick
-        # is a prefix property), collected once — KB control plane.
-        import numpy as np
-
+        # is a prefix property), collected once — KB control plane. The
+        # seeded params land in meta so retrain_index can REBUILD this
+        # codebook from the new pick (retrain == fresh seeded build).
         n_codes = pq_n_codes or n_cells or auto_n_cells(normed, n_rows=n_rows)
-        big = deterministic_centroids(
-            normed, max(n_cells or 0, n_codes), id_col, vec_col, n_rows=n_rows
-        )
-        big_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in big.collect())
         if centroids is None:
-            # prefix slice of the big pick == deterministic_centroids(n_cells)
-            cent_rows = [(c, v) for c, v in big_rows if c < n_cells]
-            centroids = spark.createDataFrame(
-                [(c, [float(x) for x in v]) for c, v in cent_rows],
-                "cell_id int, centroid array<double>",
+            centroids, sub_codebook = _seeded_residual_model(
+                spark, normed, n_cells, n_codes, m, sub_dim,
+                id_col, vec_col, n_rows=n_rows,
             )
         else:
             # caller-provided model: seeds' homes computed against IT
+            import numpy as np
+
+            big = deterministic_centroids(
+                normed, max(n_cells or 0, n_codes), id_col, vec_col, n_rows=n_rows
+            )
+            big_rows = sorted(
+                (int(r["cell_id"]), list(r["centroid"])) for r in big.collect()
+            )
             centroids = centroids.transform(_materialize)
             cent_rows = sorted(
                 (int(r["cell_id"]), list(r["centroid"]))
                 for r in centroids.select("cell_id", "centroid").collect()
             )
-        cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
-        sub_codebook = spark.createDataFrame(
-            seeded_residual_codebook_rows(
-                [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
-            ),
-            "s int, code int, csub array<double>",
-        )
+            cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+            sub_codebook = spark.createDataFrame(
+                seeded_residual_codebook_rows(
+                    [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
+                ),
+                "s int, code int, csub array<double>",
+            )
     elif centroids is None:
         # the exact pick is already a driver-local literal frame — no corpus
         # lineage to cut
@@ -279,7 +338,16 @@ def build_ann_index(
     # the build-time knobs are INDEX properties: persist them so append/
     # search/retrain/streaming read the same config without re-threading
     spark.createDataFrame(
-        [(int(n_home), bool(residual))], "n_home int, residual boolean"
+        [
+            (
+                int(n_home), bool(residual), pq_seeded,
+                int(n_codes) if pq_seeded else None,
+                int(m) if pq_seeded else None,
+                int(sub_dim) if pq_seeded else None,
+            )
+        ],
+        "n_home int, residual boolean, pq_seeded boolean, "
+        "pq_n_codes int, m int, sub_dim int",
     ).write.mode("overwrite").parquet(path + "/meta")
     # with_rank in both branches of ivf_assign is free (the kernel already
     # holds the argsort order); n_home rows per vector, rank 1 = home
@@ -716,11 +784,16 @@ def retrain_index(
     a path it is reading. batch_id resets to -1: after a retrain the whole
     corpus is train-time. The stored n_home AND residual mode are read
     back from {path}/meta — a spill-built index retrains spilled, a
-    residual-built one re-encodes RESIDUAL codes wrt the NEW cells. The
-    stored CODEBOOK is kept (it is a model artifact fixed at build time),
-    so for residual/PQ stores the retrain==fresh-build contract holds
-    when the fresh build receives the same codebook explicitly. Returns
-    the rewritten corpus frame."""
+    residual-built one re-encodes RESIDUAL codes wrt the NEW cells. A
+    SEEDED residual codebook (meta pq_seeded: the build constructed it
+    itself) is REBUILT from the new pick with the recorded
+    pq_n_codes/m/sub_dim, so retrain == fresh seeded build even for the
+    residual config (pinned by
+    test_ann_index_residual_retrain_equals_fresh_build). A
+    caller-provided codebook is kept untouched (a model artifact fixed
+    at build time) — for those stores retrain==fresh-build holds when
+    the fresh build receives the same codebook explicitly. Returns the
+    rewritten corpus frame."""
     n_home, residual = _index_meta(spark, path)
     # re-pick/re-assign over one row per VECTOR (home rows) — the spilled
     # copies are derived storage, recomputed below from the new model
@@ -733,16 +806,29 @@ def retrain_index(
     n_rows, dim = corpus_stats(snap, vec_col)
     if n_cells is None:
         n_cells = auto_n_cells(snap, n_rows=n_rows)
-    cents = deterministic_centroids(snap, n_cells, id_col, vec_col, n_rows=n_rows)
+    pq_seeded, pq_n_codes, meta_m, meta_sub_dim = _index_seeded_pq_meta(spark, path)
+    if pq_seeded and residual:
+        # the build SELF-CONSTRUCTED its seeded residual codebook (params
+        # in meta): rebuild it from the NEW pick over the current corpus,
+        # so a retrained seeded store == a fresh seeded build — the
+        # retrain==fresh-build contract extends to the residual config
+        # (a caller-provided codebook is still kept untouched)
+        cents, codebook = _seeded_residual_model(
+            spark, snap, n_cells, pq_n_codes, meta_m, meta_sub_dim,
+            id_col, vec_col, n_rows=n_rows,
+        )
+        codebook.write.mode("overwrite").parquet(path + "/codebook")
+    else:
+        cents = deterministic_centroids(snap, n_cells, id_col, vec_col, n_rows=n_rows)
+        try:
+            codebook = spark.read.parquet(path + "/codebook").transform(_materialize)
+        except AnalysisException:
+            codebook = None
     cents.write.mode("overwrite").parquet(path + "/centroids")
     stored = ivf_assign(
         snap, cents, n_home, id_col, vec_col,
         with_rank=True, n_cells=n_cells, dim=dim,
     ).select(id_col, vec_col, "cell_id", "probe_rank")
-    try:
-        codebook = spark.read.parquet(path + "/codebook").transform(_materialize)
-    except AnalysisException:
-        codebook = None
     if codebook is not None:
         stored = stored.transform(_materialize)
     (

@@ -1325,6 +1325,47 @@ def test_ann_index_residual_append_parity(spark, sf_dir, tmp_path):
     )
 
 
+def test_ann_index_residual_retrain_equals_fresh_build(spark, sf_dir, tmp_path):
+    """A SEEDED residual store records its codebook params in meta, so
+    `retrain_index` rebuilds the seeded residual codebook from the NEW
+    pick — a build+append store retrained in place must be identical
+    (centroids, codebook, vectors, codes, search) to a fresh seeded
+    residual build over the full corpus with the same knobs."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        retrain_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+    inc_path = str(tmp_path / "rretr")
+    build_ann_index(
+        base, inc_path, n_home=2, residual=True, pq_n_codes=64, m=4, sub_dim=16
+    )
+    append_to_index(spark, inc_path, late)
+    retrain_index(spark, inc_path)
+
+    fresh_path = str(tmp_path / "rfresh")
+    build_ann_index(
+        emb, fresh_path, n_home=2, residual=True, pq_n_codes=64, m=4, sub_dim=16
+    )
+    for sub in ("/centroids", "/codebook", "/vectors", "/codes"):
+        a = {tuple((tuple(v) if isinstance(v, list) else v) for v in r)
+             for r in spark.read.parquet(inc_path + sub).collect()}
+        b = {tuple((tuple(v) if isinstance(v, list) else v) for v in r)
+             for r in spark.read.parquet(fresh_path + sub).collect()}
+        assert a == b, f"{sub} differs after residual retrain"
+    inc = {tuple(r) for r in search_index(
+        spark, inc_path, k=3, n_probe=4, use_pq=True, rerank_factor=16).collect()}
+    one = {tuple(r) for r in search_index(
+        spark, fresh_path, k=3, n_probe=4, use_pq=True, rerank_factor=16).collect()}
+    assert inc == one
+    assert inc, "degenerate: empty search result"
+
+
 def test_ann_index_spilled_recall(spark, sf_dir, tmp_path):
     """Round-9 verdict "What's missing" #1: the spilled-assignment recall
     fix must reach the PERSISTED index — the component a production

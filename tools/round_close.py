@@ -18,9 +18,11 @@ registered fn's hash). This tool makes the close-out a single command:
 `--all` (round-10 verdict Next #3) additionally runs the FULL-REGISTRY
 oracle sweep at sf0.01 — the driver samples only the first 50 of the
 registry, so out-of-window correctness otherwise rests on rotation-time
-runs plus judge sampling. The sweep's counts land in FULL_SWEEP.json at
-the repo root (commit it with the round close) and any failure fails
-this tool. Takes ~10-15 min; do not overlap a bench measurement.
+runs plus judge sampling. `--all-sf` runs the full sweep at ALL THREE
+SFs (sf0.001 + sf0.01 + sf0.1 — the strongest round-close evidence; the
+sf0.1 pass alone takes ~25-35 min). Per-SF counts merge into
+FULL_SWEEP.json at the repo root (commit it with the round close) and
+any failure fails this tool. Do not overlap a bench measurement.
 
 Without --all it does NOT run verify sweeps itself: they take minutes
 each and must not overlap a bench measurement (CLAUDE.md contention
@@ -39,32 +41,51 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
 
-def full_sweep() -> int:
-    """Run verify_local over EVERY registered query at sf0.01, record the
-    summary (and any failures) in FULL_SWEEP.json."""
-    print("== full-registry oracle sweep (sf0.01) ==", flush=True)
-    r = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "verify_local.py")],
-        cwd=REPO,
-        capture_output=True,
-        text=True,
-    )
-    out = r.stdout
-    sys.stdout.write(out[-4000:])
-    m = re.search(r"(\d+) ok, (\d+) weak \(rows-only\), (\d+) FAILED of (\d+)", out)
-    summary = {
-        "sf_dir": os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01"),
-        "ok": int(m.group(1)) if m else None,
-        "weak_rows_only": int(m.group(2)) if m else None,
-        "failed": int(m.group(3)) if m else None,
-        "total": int(m.group(4)) if m else None,
-        "failed_names": re.findall(r"^FAIL (\S+):", out, re.M),
-        "rc": r.returncode,
-    }
-    with open(os.path.join(REPO, "FULL_SWEEP.json"), "w") as f:
-        json.dump(summary, f, indent=1)
-    print(f"\nfull sweep: {summary['ok']}/{summary['total']} ok -> FULL_SWEEP.json")
-    if r.returncode != 0 or (summary["failed"] or 0) > 0 or summary["ok"] is None:
+def full_sweep(sf_dirs: tuple[str, ...]) -> int:
+    """Run verify_local over EVERY registered query at each given SF,
+    merging the per-SF summaries (and any failures) into FULL_SWEEP.json
+    (existing per-SF entries for other SFs are kept, so `--all` at
+    sf0.01 and a later `--all-sf` tri-SF run compose)."""
+    path = os.path.join(REPO, "FULL_SWEEP.json")
+    merged: dict = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    if "sf_dir" in merged:  # pre-tri-SF single-summary layout
+        merged = {merged["sf_dir"]: merged}
+    red = False
+    for sf_dir in sf_dirs:
+        print(f"== full-registry oracle sweep ({sf_dir}) ==", flush=True)
+        env = dict(os.environ, SPARK_GRAFT_VERIFY_SF_DIR=sf_dir)
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "verify_local.py")],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            env=env,
+        )
+        out = r.stdout
+        sys.stdout.write(out[-2000:])
+        m = re.search(r"(\d+) ok, (\d+) weak \(rows-only\), (\d+) FAILED of (\d+)", out)
+        summary = {
+            "sf_dir": sf_dir,
+            "ok": int(m.group(1)) if m else None,
+            "weak_rows_only": int(m.group(2)) if m else None,
+            "failed": int(m.group(3)) if m else None,
+            "total": int(m.group(4)) if m else None,
+            "failed_names": re.findall(r"^FAIL (\S+):", out, re.M),
+            "rc": r.returncode,
+        }
+        merged[sf_dir] = summary
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+        print(f"\nfull sweep: {summary['ok']}/{summary['total']} ok at {sf_dir} -> FULL_SWEEP.json")
+        if r.returncode != 0 or (summary["failed"] or 0) > 0 or summary["ok"] is None:
+            red = True
+    if red:
         print("FULL SWEEP RED — fix before closing the round", file=sys.stderr)
         return 1
     return 0
@@ -73,6 +94,7 @@ def full_sweep() -> int:
 def main(argv: list[str]) -> int:
     changed = [a for a in argv if not a.startswith("-")]
     run_all = "--all" in argv
+    run_all_sf = "--all-sf" in argv
 
     print("== 1/3 refresh registry manifest ==", flush=True)
     r = subprocess.run(
@@ -110,11 +132,14 @@ def main(argv: list[str]) -> int:
             "(no changed queries named — pass them as arguments to print "
             "the three verify commands; CLAUDE.md requires all three SFs)"
         )
-    if run_all:
-        rc = full_sweep()
+    if run_all or run_all_sf:
+        rc = full_sweep(SFS if run_all_sf else ("/root/testdata/sf0.01",))
         if rc != 0:
             return rc
-    print("round_close: manifest + ordering green" + (" + full sweep" if run_all else ""))
+    print(
+        "round_close: manifest + ordering green"
+        + (" + full sweep" if run_all or run_all_sf else "")
+    )
     return 0
 
 

@@ -316,6 +316,90 @@ def probe_paths(spark) -> None:
         )
 
 
+def probe_residual_store(spark, tmp_base: str = "/tmp/spark_graft_probe_resid") -> None:
+    """Residual vs plain PQ PERSISTENT-store lifecycle at 1×/4× corpus
+    (r11): prices what the stored best-recall configuration costs where
+    it is paid — build (codes per COPY instead of per vector), append
+    (kernel re-encode wrt stored cells) and compressed search (n_probe
+    LUTs per query instead of one, (query, cell)-keyed LUT join) —
+    beside the recall each store configuration buys vs brute force."""
+    import shutil
+
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        search_index,
+    )
+    from scripts_toolkit_spark.ext.similarity import brute_force_topk
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    for mult in (m for m in MULTS if m <= 4):
+        parts = [emb] + [
+            emb.select(
+                (F.col("vec_id") + 1_000_000 * i).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", i + 1, 64 - i), F.slice("embedding", 1, i)
+                ).alias("embedding"),
+            )
+            for i in range(1, mult)
+        ]
+        c = reduce(lambda a, b: a.unionByName(b), parts).repartition(32).localCheckpoint()
+        n = c.count()
+        base = c.where(F.col("vec_id") % 5 != 0)
+        late = c.where(F.col("vec_id") % 5 == 0)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in brute_force_topk(c, c, k=3).collect()
+        }
+        for name, residual in (("plain", False), ("residual", True)):
+            path = f"{tmp_base}/{name}_{mult}"
+            shutil.rmtree(path, ignore_errors=True)
+            t0 = time.time()
+            if residual:
+                # self-builds the seeded residual codebook (meta-recorded)
+                build_ann_index(
+                    base, path, n_home=2, residual=True,
+                    pq_n_codes=64, m=4, sub_dim=16,
+                )
+            else:
+                # plain PQ: the seeded slice codebook (64 codewords), the
+                # same model family the residual build seeds from
+                from scripts_toolkit_spark.ext.similarity import (
+                    auto_n_cells,
+                    deterministic_centroids,
+                    normalize_vectors,
+                    pq_subspace_codebook,
+                )
+
+                normed = normalize_vectors(base).localCheckpoint()
+                big = deterministic_centroids(
+                    normed, max(auto_n_cells(normed), 64)
+                ).localCheckpoint()
+                cb = pq_subspace_codebook(
+                    big.select(F.col("cell_id").alias("code"), "centroid"),
+                    m=4, sub_dim=16,
+                )
+                build_ann_index(base, path, n_home=2, sub_codebook=cb)
+            t_build = time.time() - t0
+            t0 = time.time()
+            append_to_index(spark, path, late)
+            t_append = time.time() - t0
+            t0 = time.time()
+            rows = search_index(
+                spark, path, k=3, n_probe=4, use_pq=True, rerank_factor=16
+            ).collect()
+            t_search = time.time() - t0
+            got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+            rec = len(exact & got) / max(len(exact), 1)
+            print(
+                f"mult={mult} n_vecs={n} store[{name}]: build={t_build:.2f}s "
+                f"append={t_append:.2f}s search={t_search:.2f}s recall={rec:.3f}",
+                flush=True,
+            )
+            shutil.rmtree(path, ignore_errors=True)
+
+
 def probe_closure_cap(spark) -> None:
     """Round-10 verdict Next #7: price the closure-cap fallback cliff.
     Builds a taxonomy whose INTERNAL edge domain exceeds
@@ -390,3 +474,5 @@ if __name__ == "__main__":
         probe_melt(spark)
     if what in ("closure_cap", "all"):
         probe_closure_cap(spark)
+    if what in ("residual_store", "all"):
+        probe_residual_store(spark)

@@ -1265,6 +1265,148 @@ GROUP BY lang
 """
 
 
+_DSIR_B = 1024  # hashed n-gram feature buckets (DSIR keeps B small on purpose)
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public — Data Selection
+    with Importance Resampling): score every document by its hashed-ngram
+    importance weight between a TARGET distribution (here lang='en', the
+    in-domain slice) and the RAW corpus, log w(doc) = Σ_features
+    c_doc(b) · ln(p̂_target(b) / p̂_raw(b)) over B=1024 md5-bucketed
+    unigram+bigram features with add-1 smoothing; report the global
+    top-200 docs by weight — the selection a curation pipeline feeds to
+    training. The standard alternative to classifier-based filtering
+    when the target domain is small.
+
+    Determinism/oracle: buckets are md5-prefix ints (the repo's
+    conv↔'0x'-cast parity pair); each bucket's log-ratio is ONE ln of a
+    quotient of two exactly-representable ints (products ≤ 1e14 < 2^53)
+    rounded to 6 dp and cast DECIMAL, so the per-doc Σ c·λ is an exact
+    decimal sum (order-free); ranking ties break on doc_id.
+
+    Scale shape: one explode pass → three hash-aggs (doc×bucket, raw
+    bucket counts, target bucket counts; the model is B=1024 rows — KB
+    control plane, AQE broadcasts it into the per-doc join), then the
+    two-stage `global_topk` — no single-task window over the corpus, no
+    all-pairs anything. At 100 TB the bucket tables stay 1024 rows no
+    matter the corpus."""
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = d.select("doc_id", "lang", F.split(F.lower("text"), " ").alias("w"))
+    tail = F.greatest(F.size("w") - 1, F.lit(0))
+    grams = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("w"),
+                F.zip_with(
+                    F.slice("w", 1, tail), F.slice("w", 2, tail),
+                    lambda x, y: F.concat_ws(" ", x, y),
+                ),
+            )
+        ).alias("g"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir|"), F.col("g"))), 1, 8), 16, 10)
+        .cast("long") % _DSIR_B
+    )
+    feats = grams.select("doc_id", "lang", bucket.alias("b")).transform(_materialize)
+    doc_b = feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        feats.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("n_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
+    )
+    # one ln per bucket of a quotient of EXACT ints (≤1e14 < 2^53): both
+    # engines divide the same doubles and ln the same value
+    lam = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(tot)  # 1024 × one-row scalar: AQE broadcasts, exempt
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("n_r") + F.lit(_DSIR_B))
+                    ).cast("double")
+                    / ((F.col("cr") + 1) * (F.col("n_t") + F.lit(_DSIR_B))).cast("double")
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lam"),
+        )
+    )
+    wts = (
+        doc_b.join(lam, "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_feats"),
+            F.round(F.sum(F.col("c") * F.col("lam")).cast("double"), 6).alias("weight"),
+        )
+    )
+    return global_topk(
+        wts, [F.desc("weight"), F.asc("doc_id")], 200
+    ).select("doc_id", "lang", "n_feats", "weight", F.col("rank").cast("int").alias("rank"))
+
+
+DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, lang,
+    unnest(w || list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM toks
+),
+feats AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5('dsir|' || g), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+  FROM grams
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+  FROM feats
+),
+raw AS (SELECT b, COUNT(*) AS cr FROM feats GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY b),
+lam AS (
+  SELECT b,
+    CAST(round(ln(
+      CAST((COALESCE(ct, 0) + 1) * (n_r + {_DSIR_B}) AS DOUBLE)
+      / CAST((cr + 1) * (n_t + {_DSIR_B}) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lam
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot
+),
+docb AS (
+  SELECT doc_id, lang, b, COUNT(*) AS c FROM feats GROUP BY doc_id, lang, b
+),
+wts AS (
+  SELECT doc_id, lang,
+    CAST(SUM(c) AS BIGINT) AS n_feats,
+    round(CAST(SUM(c * lam) AS DOUBLE), 6) AS weight
+  FROM docb JOIN lam USING (b)
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_feats, weight,
+  CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank
+FROM wts
+QUALIFY rank <= 200
+"""
+
+
 # ------------------------------------------------- Bloom-filter membership --
 # Completes the sketch family (HLL = cardinality, CMS = frequency,
 # histogram = quantiles, Bloom = MEMBERSHIP): a 2^15-bit / 3-hash Bloom

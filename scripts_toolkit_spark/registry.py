@@ -10,7 +10,8 @@ MATERIALLY CHANGED in the current round MUST sit inside that window
 round-4 newcomers registered past it).
 
 Round-11 window: the r11 NEW rows (ann_index_residual,
-melt_wide96_chunked, perplexity_buckets_sketch), the r11 CHANGED rows —
+melt_wide96_chunked, perplexity_buckets_sketch,
+dsir_importance_weights), the r11 CHANGED rows —
 the five ann_index_* rows + ann_topk_incremental (ext/ann_index.py
 residual port: meta gains the residual flag, /codes gains batch_id
 partitioning, index_health gains n_home/distinct_vectors — helper
@@ -23,7 +24,8 @@ prune in the closure DFS), perplexity_buckets (scoring factored into
 _doc_avg_nll) and incremental_quantile_sketch (null-safe pmod split) —
 plus earlier-round rows still holding seats. Ceded this round (all
 long-green, unchanged): pagerank_top_parties, charngram_lang_id,
-mixture_sample_rates, near_dup_clusters, embedding_near_dup_pairs.
+mixture_sample_rates, containment_dup_pairs, near_dup_clusters,
+embedding_near_dup_pairs.
 `tests/test_registry_order.py` enforces the rule mechanically against a
 committed source-hash manifest; close every rotation with
 `python tools/round_close.py` (runs the refresh + the ordering test).
@@ -107,6 +109,18 @@ register(
     cd.perplexity_buckets_sketch,
     cd.PERPLEXITY_BUCKETS_SKETCH_SQL,
 )
+# NEW (r11): DSIR-style data selection (public: Xie et al. 2023) —
+# hashed-ngram importance weights between the lang='en' target slice and
+# the raw corpus (B=1024 md5 buckets, add-1 smoothing, exact-decimal
+# per-doc Σ c·λ), global top-200 through the two-stage partial top-k.
+# The classifier-free curation selector beside quality scoring and the
+# mixture sampler (near_dup_clusters left the window — green since r3,
+# unchanged, judge re-verified in r10; parked position unchanged).
+register(
+    "dsir_importance_weights",
+    cd.dsir_importance_weights,
+    cd.DSIR_IMPORTANCE_WEIGHTS_SQL,
+)
 # NEW (r5 wave 5): winsorized stats
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
@@ -187,7 +201,9 @@ from scripts_toolkit_spark.plans import ext_demos2 as x2
 # melt_wide96_chunked and perplexity_buckets_sketch.)
 # NEW: batch twin of the streaming winnowing dedup (wave attribution)
 register("incremental_winnow_pairs", xd.incremental_winnow_pairs, xd.INCREMENTAL_WINNOW_PAIRS_SQL)
-register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)
+# (r11: containment_dup_pairs ceded its seat too — r4..r10-green,
+# unchanged — so the hierarchy trio stays fully in-window after
+# dsir_importance_weights took a seat; parked in TIER 2.)
 # CHANGED: multi-block combination pairing (ext/dedup.simhash64_candidates)
 register("simhash64_near_dups", xd.simhash64_near_dups, xd.SIMHASH64_NEAR_DUPS_SQL)
 # CHANGED (r6): per-(query, probed cell) ADC shortlists + union rerank
@@ -286,10 +302,12 @@ register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMB
 
 # r11 rotation: parked from the window (all long-green, unchanged in
 # r11) to make room for the r11 newcomers (ann_index_residual,
-# melt_wide96_chunked, perplexity_buckets_sketch).
+# melt_wide96_chunked, perplexity_buckets_sketch,
+# dsir_importance_weights).
 register("pagerank_top_parties", x2.pagerank_top_parties, x2.PAGERANK_TOP_PARTIES_SQL)
 register("charngram_lang_id", cd.charngram_lang_id, cd.CHARNGRAM_LANG_ID_SQL)
 register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
+register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)
 
 # r10 rotation: parked from the window (green since r5, unchanged) to
 # make room for incremental_quantile_sketch.

@@ -176,6 +176,7 @@ _BNLJ_ALLOWLIST = {
     "hybrid_rrf_search": "dense leg = bounded exact baseline (absolute query cap); lexical leg banded",
     "ann_index_health": "one-row centroid-count x one-row occupancy-summary attach",
     "join_size_probe": "one-row degree-sum x one-row per-side key-count attaches",
+    "dsir_importance_weights": "scalar (n_r, n_t) feature-totals attach (one row) onto the 1024-row bucket model",
 }
 
 
@@ -216,3 +217,31 @@ def test_melt_branches_prune_columns(spark, sf_dir):
     # not read o_totalprice
     read_schemas = [seg[:200] for seg in plan.split("ReadSchema: ")[1:]]
     assert any("o_orderstatus" in rs and "o_totalprice" not in rs for rs in read_schemas)
+
+
+def test_dsir_selects_target_domain(spark, sf_dir):
+    """DSIR importance resampling (r11) must actually SELECT the target:
+    the lang='en' share of the top-200 must strictly exceed the corpus
+    base rate (measured 0.715 vs 0.39 at sf0.001), weights must be
+    finite, and ranks a 1..200 permutation with deterministic ordering
+    (weight desc, doc_id asc)."""
+    import math
+
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.plans.corpus_demos import dsir_importance_weights
+
+    rows = dsir_importance_weights(spark, sf_dir).collect()
+    assert len(rows) == 200
+    assert [r["rank"] for r in rows] != sorted(
+        {r["rank"] for r in rows}
+    ) or len({r["rank"] for r in rows}) == 200
+    ordered = sorted(rows, key=lambda r: r["rank"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a["weight"], -a["doc_id"]) >= (b["weight"], -b["doc_id"])
+    assert all(math.isfinite(r["weight"]) for r in rows)
+
+    docs = load_table(spark, sf_dir, "documents").select("lang").collect()
+    base_rate = sum(1 for r in docs if r["lang"] == "en") / len(docs)
+    top_rate = sum(1 for r in rows if r["lang"] == "en") / len(rows)
+    assert top_rate > base_rate, f"no enrichment: top {top_rate:.2f} vs base {base_rate:.2f}"
+    assert top_rate >= 0.55, f"weak target enrichment: {top_rate:.2f}"

@@ -90,8 +90,11 @@ EXTRA_DEFAULT = (
     # Round-11: residual encoding ported into the persistent index — the
     # best-recall configuration as a full store lifecycle (build with
     # self-built seeded residual codebook + per-copy residual codes,
-    # meta-driven append, compressed-domain residual-LUT search)
+    # meta-driven append, compressed-domain residual-LUT search) — and
+    # DSIR importance resampling (explode → three hash-aggs → scalar
+    # log-ratio model join → two-stage top-k)
     "ann_index_residual",
+    "dsir_importance_weights",
 )
 
 

@@ -95,6 +95,19 @@ EXTRA_DEFAULT = (
     # log-ratio model join → two-stage top-k)
     "ann_index_residual",
     "dsir_importance_weights",
+    # Round-11 wave 2: the real media decoders — AVI mux/demux + pixel
+    # round-trip and the lossy IMA-ADPCM encode→decode recurrence, both
+    # per-row Python codec loops in Arrow-batched mapInPandas (the
+    # CPU-heavy decode tier a multimodal ingest pays at scale)
+    "video_decode_stats",
+    "adpcm_roundtrip_stats",
+    "video_scene_cuts",
+    # Round-11 wave 2: runtime Bloom semijoin reduction (one |keys|-row
+    # bitmap agg + map-side probe prune + exact join over survivors) and
+    # the grid-bucketed spatial radius join (9-cell neighbor explode +
+    # cell equi-join + planar refine; ~80k pairs at sf0.1)
+    "bloom_semijoin_prune",
+    "spatial_radius_pairs",
 )
 
 

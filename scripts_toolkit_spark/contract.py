@@ -38,7 +38,7 @@ def register(name: str, fn: QueryFn, oracle: str | None = None) -> None:
 
 def queries() -> dict[str, QueryFn]:
     _ensure_loaded()
-    return dict(_QUERIES)
+    return {name: _cwd_independent(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -66,6 +66,63 @@ def registry_fingerprints() -> dict[str, str]:
         sql = _ORACLES.get(name, "")
         out[name] = hashlib.md5((src + "\x00" + sql).encode()).hexdigest()
     return out
+
+
+_SHIPPED: set[int] = set()
+_PKG_ZIP: str | None = None
+
+
+def ensure_workers_can_import(spark: SparkSession) -> None:
+    """Make `scripts_toolkit_spark` importable on Python workers no matter
+    where the launching process's cwd is: zip the package once per process
+    and `addPyFile` it once per SparkContext. When the driver runs from the
+    repo root (the normal case) workers already resolve the package via
+    cwd and this is a no-op cost-wise; any other launcher (a notebook, a
+    service, `spark-submit` from elsewhere) gets the mapInPandas decoder
+    imports for free — the standard Spark mechanism for shipping Python
+    deps, and exactly what a real cluster (non-shared filesystem) needs."""
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"scripts_toolkit_spark_{os.getpid()}.zip"
+        )
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fname in files:
+                    if not fname.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fname)
+                    rel = os.path.join(
+                        "scripts_toolkit_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        _PKG_ZIP = zpath
+    sc.addPyFile(_PKG_ZIP)
+    _SHIPPED.add(id(sc))
+
+
+def _cwd_independent(fn: QueryFn) -> QueryFn:
+    """Wrap a registered query so its first invocation on a session ships
+    the package to workers (see ensure_workers_can_import). Purely a
+    session-setup side effect — the returned plan is fn's, untouched."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_workers_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
 
 
 _LOADED = False

@@ -10,10 +10,15 @@ codec (the same fallback discipline as io/xport.py and io/pdftext.py), so
 `image_pixel_stats` and `resize_media` decode actual pixel data end-to-end
 in this container; PIL, when present, simply replaces the backend. AUDIO
 decode is real for WAV/PCM16 (`ext/audiocodec.py`, stdlib `wave`):
-`audio_sample_stats` reduces actual samples. VIDEO and compressed-audio
-decode remain honestly stubbed (`decode_media_stub` raises — ffmpeg is
-genuinely absent), with `fake_decode_features` exercising the identical
-Arrow-batch plumbing for those payloads.
+`audio_sample_stats` reduces actual samples — and for IMA-ADPCM (r11),
+a real lossy compressed codec (`ext/audiocodec.encode_adpcm_wav` /
+`decode_adpcm_wav`). VIDEO demux + pixel decode is real for
+uncompressed-DIB AVI (r11, `ext/videocodec.py`): `video_frame_pixel_stats`
+explodes actual decoded frames. Only codecs that genuinely need external
+libraries (H.264/VP9 video, mp3/aac/opus audio) remain honestly stubbed
+(`decode_media_stub` raises — ffmpeg is genuinely absent), with
+`fake_decode_features` exercising the identical Arrow-batch plumbing for
+those payloads.
 """
 
 from __future__ import annotations
@@ -45,13 +50,14 @@ def binary_table_from_text(df: DataFrame, id_col: str, text_col: str) -> DataFra
 
 
 def decode_media_stub(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Production decode surface for VIDEO and COMPRESSED audio (mp3/aac/
-    opus frame extraction). ffmpeg is not in this container; image and
-    WAV payloads do NOT need this — they decode for real via
-    ext/imagecodec and ext/audiocodec."""
+    """Production decode surface for codecs that need external libraries:
+    H.264/VP9/AV1 video and mp3/aac/opus audio. ffmpeg is not in this
+    container; images (ext/imagecodec), PCM + IMA-ADPCM WAV
+    (ext/audiocodec) and uncompressed-DIB AVI video (ext/videocodec) do
+    NOT need this — they decode for real via the pure-stdlib codecs."""
     raise NotImplementedError(
-        "video/compressed-audio decoding requires ffmpeg; wire it in here "
-        "on a real cluster"
+        "compressed-codec (h264/vp9/mp3/aac/opus) decoding requires "
+        "ffmpeg; wire it in here on a real cluster"
     )
 
 
@@ -287,3 +293,50 @@ def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> Da
             yield pd.DataFrame(rows)
 
     return media.select("media_id", "content").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id bigint, frame_no int, width int, height int, "
+    "gray_sum bigint, frame_digest string"
+)
+
+
+def video_frame_pixel_stats(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL video decode over the binary column: uncompressed-DIB AVI
+    payloads demux + pixel-decode through ext/videocodec (generic RIFF
+    chunk walk), keep every `stride`-th frame, and emit one row per
+    (media_id, frame) with exact integer pixel stats and a per-frame
+    digest — the explode shape per-frame featurizers (dHash near-dup,
+    scene-cut diffing) build on. Non-AVI payloads contribute no rows
+    (total function, no poison pills)."""
+
+    def _frames(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from scripts_toolkit_spark.ext import videocodec as VC
+
+        for pdf in pdf_iter:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "frame_no", "width", "height",
+                    "gray_sum", "frame_digest",
+                )
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob)
+                if not VC.sniff_avi(blob):
+                    continue
+                w, h, _, frames = VC.decode_avi(blob)
+                for fno, fr in VC.sample_video_frames(frames, stride=stride):
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["gray_sum"].append(sum(VC.frame_gray(fr)))
+                    rows["frame_digest"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "content").mapInPandas(
+        _frames, VIDEO_FRAME_SCHEMA
+    )

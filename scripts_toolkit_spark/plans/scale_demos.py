@@ -365,3 +365,161 @@ SELECT 'hash' AS layout, COUNT(*) AS n_files,
        round(AVG((max_db - min_db + 1) / 256.0), 6) AS day_span_frac
 FROM hf
 """
+
+
+# Bloom semijoin-reduction parameters: 1024 words (8 KB bitmap),
+# k=3 md5-derived hash functions. At the demo's build-key counts the load
+# factor stays well under 0.2, so the false-positive rate is <1% — and
+# because every hash is md5 arithmetic, the EXACT candidate set (true
+# matches + the specific false positives) is deterministic and replayed
+# by the oracle, not just the final join result.
+_BLOOM_WORDS = 1024
+# 63 usable bits per word: bit index 62 is the ceiling, so `1 << bit`
+# never touches the BIGINT sign bit (DuckDB raises on 1<<63; Spark wraps —
+# sidestepping the divergence entirely beats relying on either behavior).
+_BLOOM_BITS = 63 * _BLOOM_WORDS
+_BLOOM_K = 3
+
+
+def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter semijoin reduction — the pre-shuffle fact-table
+    prune a 100 TB join lives on: the build side (urgent orders) folds its
+    keys into an 8 KB bitmap (explode k=3 hash positions → bit_or per
+    word — a |keys|-row aggregate), the bitmap rides to every probe task
+    as a one-row map (BNLJ one-row scalar attach, reviewed), and lineitem
+    rows drop MAP-SIDE unless all k bits hit — only candidates reach the
+    join shuffle. Bloom filters have no false negatives, so the join
+    result is exact; the report makes the economics visible: probe rows
+    vs candidates kept (the shuffle saved) vs true matches (the false
+    positives paid). Spark's own runtime row-level filtering does this
+    adaptively; here it is explicit, md5-deterministic, and the oracle
+    replays the bitmap bit-for-bit — false positives included.
+
+    Scale shape: one |keys|-row agg (KB bitmap), one map-only probe pass,
+    then the real equi-join over the ~20% survivors (AQE picks the
+    strategy; no forced broadcast — orders is SF-linear)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    pos = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("bl"), F.col("j"), F.lit("|"), F.col("o_orderkey").cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long") % F.lit(_BLOOM_BITS)
+    contrib = (
+        build.select("o_orderkey", js)
+        .select(pos.alias("__pos"))
+        .select(
+            F.expr("__pos div 63").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 63) AS INT))"
+            ).alias("mask"),
+        )
+    )
+    words = contrib.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
+    bloom = words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+        ).alias("bloom")
+    )  # one row, <=8 KB — the scalar that rides to every probe task
+
+    probe = li.select("l_orderkey", "l_extendedprice", "l_discount").crossJoin(bloom)
+    ok = None
+    for j in range(_BLOOM_K):
+        p = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bl{j}|"), F.col("l_orderkey").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % F.lit(_BLOOM_BITS)
+        hit = (
+            F.coalesce(F.element_at("bloom", F.expr(f"(conv(substring(md5(concat('bl{j}|', CAST(l_orderkey AS STRING))), 1, 8), 16, 10) % {_BLOOM_BITS}) div 63")), F.lit(0))
+            .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(conv(substring(md5(concat('bl{j}|', CAST(l_orderkey AS STRING))), 1, 8), 16, 10) % {_BLOOM_BITS}, 63) AS INT))"))
+            != F.lit(0)
+        )
+        ok = hit if ok is None else (ok & hit)
+    flagged = probe.withColumn("__cand", ok)
+
+    pass1 = flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("__cand").cast("long")).alias("n_candidates"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    matched = (
+        flagged.where("__cand")
+        .join(build, F.col("l_orderkey") == F.col("o_orderkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("urgent_revenue"),
+        )
+    )
+    return (
+        pass1.crossJoin(matched)
+        .select(
+            "n_probe",
+            "n_candidates",
+            "n_matched",
+            (F.col("n_candidates") - F.col("n_matched")).alias("n_false_positive"),
+            F.round(F.col("n_candidates") / F.col("n_probe"), 6).alias("kept_rate"),
+            "urgent_revenue",
+        )
+    )
+
+
+BLOOM_SEMIJOIN_PRUNE_SQL = f"""
+WITH build AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+contrib AS (
+  SELECT
+    CAST(('0x' || substr(md5('bl' || CAST(j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {_BLOOM_BITS} AS pos
+  FROM build CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+words AS (
+  SELECT pos // 63 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+  FROM contrib GROUP BY pos // 63
+),
+probe AS (
+  SELECT l_orderkey, l_extendedprice, l_discount,
+    CAST(('0x' || substr(md5('bl0|' || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS} AS p0,
+    CAST(('0x' || substr(md5('bl1|' || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS} AS p1,
+    CAST(('0x' || substr(md5('bl2|' || CAST(l_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS} AS p2
+  FROM lineitem
+),
+flagged AS (
+  SELECT p.*,
+    (COALESCE(w0.word, 0) & (CAST(1 AS BIGINT) << CAST(p0 % 63 AS INT))) != 0
+    AND (COALESCE(w1.word, 0) & (CAST(1 AS BIGINT) << CAST(p1 % 63 AS INT))) != 0
+    AND (COALESCE(w2.word, 0) & (CAST(1 AS BIGINT) << CAST(p2 % 63 AS INT))) != 0 AS cand
+  FROM probe p
+  LEFT JOIN words w0 ON w0.word_idx = p.p0 // 63
+  LEFT JOIN words w1 ON w1.word_idx = p.p1 // 63
+  LEFT JOIN words w2 ON w2.word_idx = p.p2 // 63
+),
+pass1 AS (
+  SELECT COUNT(*) AS n_probe,
+         CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates
+  FROM flagged
+),
+matched AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_matched,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS urgent_revenue
+  FROM flagged f JOIN build b ON f.l_orderkey = b.o_orderkey
+  WHERE f.cand
+)
+SELECT n_probe, n_candidates, n_matched,
+       n_candidates - n_matched AS n_false_positive,
+       round(n_candidates / CAST(n_probe AS DOUBLE), 6) AS kept_rate,
+       urgent_revenue
+FROM pass1 CROSS JOIN matched
+"""

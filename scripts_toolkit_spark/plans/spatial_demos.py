@@ -1,0 +1,84 @@
+"""Spatial join demonstrations (r11 wave 2): the grid-bucketed radius
+join (operators/spatial.py) under the driver gate.
+
+No table carries coordinates, so each customer gets a deterministic
+md5-derived point in a 10°×10° extent — the same synthesis discipline as
+the media demos (embeddings → payload): the OPERATOR under test is real,
+the inputs are derived reproducibly from the corpus so the DuckDB oracle
+can replay them exactly.
+
+Cross-engine determinism: coordinates are (md5-bigint % 10⁶) / 10⁶ × 10 —
+integer arithmetic then two IEEE double ops identical in both engines;
+the refine metric is planar squared distance (multiply/add only, no libm
+trig — see operators/spatial.py docstring for why not haversine); dist2
+is rounded to 6 dp for display while the threshold compares the
+unrounded double in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.operators.spatial import grid_radius_join
+
+_RADIUS = 0.15  # degrees; ~8 expected pairs at sf0.001, ~80k at sf0.1
+
+
+def _coord(prefix: str, key: Column) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix + "|"), key.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("long")
+    return (h % F.lit(1_000_000)) / F.lit(1_000_000.0) * F.lit(10.0)
+
+
+def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within _RADIUS degrees (planar) of each other —
+    the grid-bucketed radius self-join: cell = radius-sized square, probe
+    side explodes to its 9 neighbor cells, candidates come from the cell
+    EQUI-join (linear in N for bounded density — never an all-pairs
+    plan), refine is one codegen'd squared-distance predicate.
+
+    At 100 TB of points this is the standard spatial-join shape (PostGIS
+    ST_DWithin / Sedona gridding); a hot city is ordinary key skew on the
+    cell id — AQE skew-split applies unchanged."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        _coord("lat", F.col("c_custkey")).alias("lat"),
+        _coord("lon", F.col("c_custkey")).alias("lon"),
+    )
+    return grid_radius_join(pts, _RADIUS, "point_id", "lat", "lon")
+
+
+SPATIAL_RADIUS_PAIRS_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+    (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 1000000) / 1000000.0 * 10.0 AS lat,
+    (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 1000000) / 1000000.0 * 10.0 AS lon
+  FROM customer
+),
+cells AS (
+  SELECT pid, lat, lon,
+    CAST(floor(lat / {_RADIUS}) AS BIGINT) AS cy,
+    CAST(floor(lon / {_RADIUS}) AS BIGINT) AS cx
+  FROM pts
+),
+probe AS (
+  SELECT pid AS id_a, lat AS lat_a, lon AS lon_a, cy + dy AS jcy, cx + dx AS jcx
+  FROM cells
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy)
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx)
+)
+SELECT id_a, b.pid AS id_b,
+  round((lat_a - b.lat) * (lat_a - b.lat)
+        + (lon_a - b.lon) * (lon_a - b.lon), 6) AS dist2
+FROM probe JOIN cells b ON b.cy = probe.jcy AND b.cx = probe.jcx
+WHERE id_a < b.pid
+  AND (lat_a - b.lat) * (lat_a - b.lat)
+      + (lon_a - b.lon) * (lon_a - b.lon) <= {_RADIUS} * {_RADIUS}
+"""

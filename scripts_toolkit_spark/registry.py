@@ -11,7 +11,9 @@ round-4 newcomers registered past it).
 
 Round-11 window: the r11 NEW rows (ann_index_residual,
 melt_wide96_chunked, perplexity_buckets_sketch,
-dsir_importance_weights), the r11 CHANGED rows —
+dsir_importance_weights; wave 2 adds the media-decode trio
+video_decode_stats / video_frame_sample_stats /
+adpcm_roundtrip_stats), the r11 CHANGED rows —
 the five ann_index_* rows + ann_topk_incremental (ext/ann_index.py
 residual port: meta gains the residual flag, /codes gains batch_id
 partitioning, index_health gains n_home/distinct_vectors — helper
@@ -66,6 +68,21 @@ register("join_key_skew_report", sd.join_key_skew_report, sd.JOIN_KEY_SKEW_REPOR
 register("join_size_probe", sd.join_size_probe, sd.JOIN_SIZE_PROBE_SQL)
 register("token_budget_sample", sd.token_budget_sample, sd.TOKEN_BUDGET_SAMPLE_SQL)
 register("zorder_layout_stats", sd.zorder_layout_stats, sd.ZORDER_LAYOUT_STATS_SQL)
+# NEW (r11 wave 2): runtime Bloom-filter semijoin reduction — the
+# pre-shuffle fact-table prune (8 KB md5-deterministic bitmap folded from
+# the build keys, map-side candidate drop, exact join over survivors);
+# the oracle replays the bitmap bit-for-bit, false positives included
+# (cdc_latest_state ceded its seat — r5-green, unchanged; parked in
+# TIER 2).
+register("bloom_semijoin_prune", sd.bloom_semijoin_prune, sd.BLOOM_SEMIJOIN_PRUNE_SQL)
+# NEW (r11 wave 2): grid-bucketed spatial radius join — the all-pairs-free
+# spatial join family (operators/spatial.py): radius-sized cells, 9-cell
+# neighbor explode, cell EQUI-join candidates, planar-squared refine
+# (no libm trig — cross-engine exact). bpe_merge_table ceded its seat —
+# long-green, unchanged; parked in TIER 2.
+from scripts_toolkit_spark.plans import spatial_demos as spd
+
+register("spatial_radius_pairs", spd.spatial_radius_pairs, spd.SPATIAL_RADIUS_PAIRS_SQL)
 # NEW (r6): IVF n_probe tuning report — one ranked assignment pass sliced
 # per ladder level, candidate cost vs bounded-exact recall@3 (the sweep
 # the round-5 verdict asked for; audio_fingerprint_near_dups ceded its
@@ -155,9 +172,11 @@ register(
 from scripts_toolkit_spark.plans import retrieval_demos as rv
 
 register("bm25_top_docs", rv.bm25_top_docs, rv.BM25_TOP_DOCS_SQL)
-register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDEX_POSTINGS_SQL)
+# (r11 wave 2: inverted_index_postings ceded its seat — r5-green,
+# unchanged; parked in TIER 2 — to make room for video_scene_cuts.)
 register("fuzzy_name_matches", rv.fuzzy_name_matches, rv.FUZZY_NAME_MATCHES_SQL)
-register("weighted_sample_docs", rv.weighted_sample_docs, rv.WEIGHTED_SAMPLE_DOCS_SQL)
+# (r11 wave 2: weighted_sample_docs ceded its seat — r5-green, unchanged;
+# parked in TIER 2 — to make room for the media-decode newcomers.)
 # NEW (r5 wave 2): temporal/CDC shapes (operators/spans.py) — SCD2 interval
 # build + changelog latest-wins apply (the MERGE INTO plan)
 from scripts_toolkit_spark.plans import events_demos as ed
@@ -165,7 +184,8 @@ from scripts_toolkit_spark.plans import events_demos as ed
 register(
     "scd2_event_type_intervals", ed.scd2_event_type_intervals, ed.SCD2_EVENT_TYPE_INTERVALS_SQL
 )
-register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
+# (r11 wave 2: cdc_latest_state ceded its seat — r5-green, unchanged;
+# parked in TIER 2 — to make room for bloom_semijoin_prune.)
 # NEW (r5 wave 2): Deequ-style one-scan constraint suite (operators/checks.py)
 from scripts_toolkit_spark.plans import dq_demos as dq
 
@@ -184,7 +204,8 @@ register(
 
 # NEW: BPE subword tokenization (ext/bpe.py) — merge-table training +
 # subword-chunked twin of document_chunks
-register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
+# (r11 wave 2: bpe_merge_table ceded its seat — long-green, unchanged;
+# parked in TIER 2 — to make room for spatial_radius_pairs.)
 register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
 # NEW: winnowing substring-overlap dedup (MOSS fingerprints) + unigram-LM
 # quality scoring + Bloom-filter decontamination pre-pass
@@ -267,6 +288,30 @@ from scripts_toolkit_spark.plans import wide_demos as _wdm1
 register(
     "melt_wide96_chunked", _wdm1.melt_wide96_chunked, _wdm1.MELT_WIDE96_CHUNKED_SQL
 )
+# NEW (r11 wave 2): REAL video + REAL compressed-audio decode under the
+# driver gate (the two §2.12 modalities that previously stopped at honest
+# stubs): pure-stdlib uncompressed-DIB AVI mux/demux with generic RIFF
+# chunk walking (ext/videocodec.py — container + pixel decode both real),
+# stride-2 frame sampling in the explode shape, and a real lossy IMA-ADPCM
+# codec (ext/audiocodec.py) whose integer encode→decode recurrence the
+# oracle replays in a recursive CTE. Three seats ceded (near_dup_clusters
+# — green since r3, judge re-verified r10; embedding_near_dup_pairs —
+# r6-green, unchanged; weighted_sample_docs — r5-green, unchanged; all
+# parked in TIER 2).
+from scripts_toolkit_spark.plans import media_demos as md
+
+register("video_decode_stats", md.video_decode_stats, md.VIDEO_DECODE_STATS_SQL)
+register(
+    "video_frame_sample_stats",
+    md.video_frame_sample_stats,
+    md.VIDEO_FRAME_SAMPLE_STATS_SQL,
+)
+register("adpcm_roundtrip_stats", md.adpcm_roundtrip_stats, md.ADPCM_ROUNDTRIP_STATS_SQL)
+# NEW (r11 wave 2): temporal analysis on the decoded frames — classic
+# SAD shot-boundary detection with a hash-gated threshold flag
+# (inverted_index_postings ceded its seat — r5-green, unchanged;
+# parked in TIER 2).
+register("video_scene_cuts", md.video_scene_cuts, md.VIDEO_SCENE_CUTS_SQL)
 # CHANGED: empty-shingle-set exclusion before LSH banding (ext/dedup.py,
 # streaming/dedup_stream.py) — NULL-vs-NaN oracle divergence fix
 register("minhash_near_dups", xd.minhash_near_dups, xd.MINHASH_NEAR_DUPS_SQL)
@@ -286,19 +331,25 @@ from scripts_toolkit_spark.plans import taxonomy as _tax
 register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
 register("hierarchy_paths_deep", _tax.hierarchy_paths_deep, _tax.HIERARCHY_PATHS_DEEP_SQL)
 register("hierarchy_classify", _tax.hierarchy_classify, _tax.HIERARCHY_CLASSIFY_SQL)
-register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
-# CHANGED (r6, mechanical): the materialize() boundary swap (durable-
-# checkpoint flag) textually touched several past-window functions; the
-# window is oversubscribed this round, so ONE representative of the swap
-# class is driver-sampled here — the rest (char_ngram_jaccard,
-# ann_topk_int8, embedding_dup_clusters) are physically identical in
-# default mode and covered by test_materialize_modes' result-equality.
-register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMBEDDING_NEAR_DUP_PAIRS_SQL)
 
 # ============================================================================
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
 # keep them sampled while the window has room).
 # ============================================================================
+
+# r11 wave-2 rotation: parked from the window (all long-green, unchanged)
+# to make room for the media-decode newcomers (video_decode_stats,
+# video_frame_sample_stats, adpcm_roundtrip_stats). near_dup_clusters is
+# green since r3 (judge re-verified r10); embedding_near_dup_pairs was the
+# r6 materialize-swap representative, long since green and physically
+# identical in default mode (test_materialize_modes); weighted_sample_docs
+# r5-green, unchanged.
+register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
+register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMBEDDING_NEAR_DUP_PAIRS_SQL)
+register("weighted_sample_docs", rv.weighted_sample_docs, rv.WEIGHTED_SAMPLE_DOCS_SQL)
+register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDEX_POSTINGS_SQL)
+register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
+register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
 
 # r11 rotation: parked from the window (all long-green, unchanged in
 # r11) to make room for the r11 newcomers (ann_index_residual,

@@ -1889,3 +1889,41 @@ def test_threshold_centroids_distributed_pick(spark, sf_dir):
     assert {r["cell_id"] for r in rows} <= a
     plan = two._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_video_frame_pixel_stats_real_decode(spark):
+    """Real AVI payloads in a binary column: demux + pixel decode + stride
+    sampling through the generic operator, mixed with a non-AVI payload
+    that must contribute no rows."""
+    import hashlib
+
+    from scripts_toolkit_spark.ext import videocodec as VC
+    from scripts_toolkit_spark.ext.multimodal import video_frame_pixel_stats
+
+    def clip(seed, n_frames):
+        return [
+            bytes(((seed * 31 + f * 17 + i * 7) % 256) for i in range(4 * 2 * 3))
+            for f in range(n_frames)
+        ]
+
+    clips = {1: clip(1, 5), 2: clip(2, 3)}
+    rows = [
+        (mid, "video/avi", bytearray(VC.encode_avi(4, 2, fr, fps=6)), None)
+        for mid, fr in clips.items()
+    ] + [(3, "text/plain", bytearray(b"not a video"), None)]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, media_type string, content binary, meta map<string,string>"
+    )
+    got = video_frame_pixel_stats(media, stride=2).collect()
+    assert {r["media_id"] for r in got} == {1, 2}
+    by_clip = {}
+    for r in got:
+        by_clip.setdefault(r["media_id"], []).append(r)
+    for mid, frames in clips.items():
+        kept = sorted(by_clip[mid], key=lambda r: r["frame_no"])
+        assert [r["frame_no"] for r in kept] == list(range(0, len(frames), 2))
+        for r in kept:
+            fr = frames[r["frame_no"]]
+            assert (r["width"], r["height"]) == (4, 2)
+            assert r["gray_sum"] == sum(fr[0::3])
+            assert r["frame_digest"] == hashlib.md5(fr).hexdigest()

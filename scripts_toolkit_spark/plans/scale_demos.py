@@ -367,13 +367,15 @@ FROM hf
 """
 
 
-# Bloom semijoin-reduction parameters: 1024 words (8 KB bitmap),
-# k=3 md5-derived hash functions. At the demo's build-key counts the load
-# factor stays well under 0.2, so the false-positive rate is <1% — and
-# because every hash is md5 arithmetic, the EXACT candidate set (true
-# matches + the specific false positives) is deterministic and replayed
-# by the oracle, not just the final join result.
-_BLOOM_WORDS = 1024
+# Bloom semijoin-reduction parameters: 16384 words (128 KB bitmap), k=3
+# md5-derived hash functions — sized for the LARGEST test SF's build side
+# (~30k urgent-order keys at sf0.1 → load 3n/m ≈ 0.09, FP ≈ (1−e^−0.09)³
+# ≈ 6e−4), the sizing decision a real operator makes from expectedItems.
+# An 8 KB bitmap measurably saturates at sf0.1 (42% FP — measured before
+# this sizing). Because every hash is md5 arithmetic, the EXACT candidate
+# set (true matches + the specific false positives) is deterministic and
+# replayed by the oracle, not just the final join result.
+_BLOOM_WORDS = 16384
 # 63 usable bits per word: bit index 62 is the ceiling, so `1 << bit`
 # never touches the BIGINT sign bit (DuckDB raises on 1<<63; Spark wraps —
 # sidestepping the divergence entirely beats relying on either behavior).
@@ -384,7 +386,7 @@ _BLOOM_K = 3
 def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter semijoin reduction — the pre-shuffle fact-table
     prune a 100 TB join lives on: the build side (urgent orders) folds its
-    keys into an 8 KB bitmap (explode k=3 hash positions → bit_or per
+    keys into a 128 KB bitmap (explode k=3 hash positions → bit_or per
     word — a |keys|-row aggregate), the bitmap rides to every probe task
     as a one-row map (BNLJ one-row scalar attach, reviewed), and lineitem
     rows drop MAP-SIDE unless all k bits hit — only candidates reach the
@@ -421,47 +423,65 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     words = contrib.groupBy("word_idx").agg(F.bit_or("mask").alias("word"))
-    bloom = words.agg(
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("word_idx", "word")))
+    # DENSE positional array, not a map: Catalyst MapData has no hash
+    # index — element_at on a 16k-entry map is a per-row LINEAR scan
+    # (measured: 20 s at sf0.1 vs ~2 s with the array). Densify with a
+    # W-row left join (distributed, one-time), then probe lookups are
+    # O(1) positional reads.
+    dense = (
+        spark.range(_BLOOM_WORDS)
+        .select(F.col("id").alias("word_idx"))
+        .join(words, "word_idx", "left")
+        .select("word_idx", F.coalesce("word", F.lit(0)).alias("word"))
+    )
+    bloom = dense.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("word_idx", "word"))),
+            lambda x: x["word"],
         ).alias("bloom")
-    )  # one row, <=8 KB — the scalar that rides to every probe task
+    )  # one row, 128 KB — the scalar that rides to every probe task
 
     probe = li.select("l_orderkey", "l_extendedprice", "l_discount").crossJoin(bloom)
     ok = None
     for j in range(_BLOOM_K):
-        p = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"bl{j}|"), F.col("l_orderkey").cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long") % F.lit(_BLOOM_BITS)
+        idx1 = F.expr(
+            f"CAST((conv(substring(md5(concat('bl{j}|', CAST(l_orderkey AS STRING))), "
+            f"1, 8), 16, 10) % {_BLOOM_BITS}) div 63 + 1 AS INT)"
+        )
         hit = (
-            F.coalesce(F.element_at("bloom", F.expr(f"(conv(substring(md5(concat('bl{j}|', CAST(l_orderkey AS STRING))), 1, 8), 16, 10) % {_BLOOM_BITS}) div 63")), F.lit(0))
+            F.element_at("bloom", idx1)
             .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(conv(substring(md5(concat('bl{j}|', CAST(l_orderkey AS STRING))), 1, 8), 16, 10) % {_BLOOM_BITS}, 63) AS INT))"))
             != F.lit(0)
         )
         ok = hit if ok is None else (ok & hit)
-    flagged = probe.withColumn("__cand", ok)
-
-    pass1 = flagged.agg(
-        F.count(F.lit(1)).alias("n_probe"),
-        F.sum(F.col("__cand").cast("long")).alias("n_candidates"),
-    )
+    # ONE probe pass: survivors LEFT-join the build keys (o_orderkey is
+    # unique on the build side, so candidate rows are preserved 1:1) and
+    # one aggregate derives candidates, matches and revenue together — no
+    # second bloom evaluation, no checkpoint of the pruned fact (at 100 TB
+    # a boundary here would write the 20% survivor set to executor disk;
+    # the extra n_probe leg below prunes to ZERO columns, a parquet
+    # row-count metadata scan).
+    survivors = probe.where(ok)
     dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
-    matched = (
-        flagged.where("__cand")
-        .join(build, F.col("l_orderkey") == F.col("o_orderkey"))
+    stats = (
+        survivors.join(build, F.col("l_orderkey") == F.col("o_orderkey"), "left")
         .agg(
-            F.count(F.lit(1)).alias("n_matched"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(12,2)") - dec("l_discount")))
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count("o_orderkey").alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("o_orderkey").isNotNull(),
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(12,2)") - dec("l_discount")),
+                )
+            )
             .cast("double")
             .alias("urgent_revenue"),
         )
     )
+    n_probe = li.agg(F.count(F.lit(1)).alias("n_probe"))
     return (
-        pass1.crossJoin(matched)
+        n_probe.crossJoin(stats)
         .select(
             "n_probe",
             "n_candidates",

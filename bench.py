@@ -108,6 +108,7 @@ EXTRA_DEFAULT = (
     # cell equi-join + planar refine; ~80k pairs at sf0.1)
     "bloom_semijoin_prune",
     "spatial_radius_pairs",
+    "incremental_bloom_members",
 )
 
 

@@ -543,3 +543,94 @@ SELECT n_probe, n_candidates, n_matched,
        urgent_revenue
 FROM pass1 CROSS JOIN matched
 """
+
+
+def incremental_bloom_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming Bloom membership store
+    (streaming/bloom_stream.py): urgent-order keys split into 3
+    pseudo-batches on pmod(o_orderkey, 3) (non-nullable key — the r10
+    advisor's null-safe-split rule), each batch folds to its ≤ W word
+    partial, partials merge by bit_or — OR is associative + commutative +
+    IDEMPOTENT, so the merged bitmap is bit-exact equal to the one-shot
+    build and the pseudo-batching is invisible to the oracle. The probe
+    then flags every urgent or high order key: urgent keys MUST probe
+    true (no false negatives); high keys are true only on deterministic
+    md5 false positives (≈2.6% at sf0.1, ~0 below — the bitmap is sized
+    at ~8.6 bits/key for the largest SF).
+
+    At 100 TB this is the streaming seen-before / decontamination
+    primitive: store grows ≤ W rows per micro-batch, probes never touch
+    history."""
+    from scripts_toolkit_spark.streaming.bloom_stream import (
+        _positions,
+        word_partials,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    build = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    partials = [
+        word_partials(
+            build.where(F.pmod(F.col("o_orderkey"), F.lit(3)) == F.lit(b)), "o_orderkey"
+        )
+        for b in range(3)
+    ]
+    merged = (
+        partials[0]
+        .unionByName(partials[1])
+        .unionByName(partials[2])
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    probe = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderpriority")
+    keyed = (
+        probe.select("*", F.explode(_positions(F.col("o_orderkey"))).alias("p"))
+        .select(
+            "*",
+            F.expr("p div 63").alias("word_idx"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 63) AS INT))").alias("m"),
+        )
+        .drop("p")
+    )
+    hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("m")) != F.lit(0)).cast("int")
+    return (
+        keyed.join(merged, "word_idx", "left")
+        .select("o_orderkey", "o_orderpriority", hit.alias("__hit"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg((F.min("__hit") == F.lit(1)).alias("bloom_member"))
+    )
+
+
+# One-shot oracle: OR-idempotence makes the pseudo-batch split invisible,
+# so the SQL builds the bitmap in a single pass. Word layout identical to
+# the streaming store: k=3 'bl{j}|' md5 seeds, 63 usable bits per word.
+_BSTREAM_BITS = 63 * 4096
+INCREMENTAL_BLOOM_MEMBERS_SQL = f"""
+WITH build AS (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+contrib AS (
+  SELECT
+    CAST(('0x' || substr(md5('bl' || CAST(j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {_BSTREAM_BITS} AS pos
+  FROM build CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+),
+words AS (
+  SELECT pos // 63 AS word_idx,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS word
+  FROM contrib GROUP BY pos // 63
+),
+probe AS (
+  SELECT o_orderkey, o_orderpriority,
+    CAST(('0x' || substr(md5('bl' || CAST(j AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % {_BSTREAM_BITS} AS pos
+  FROM orders CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+)
+SELECT p.o_orderkey, p.o_orderpriority,
+  bool_and((COALESCE(w.word, 0) & (CAST(1 AS BIGINT) << CAST(p.pos % 63 AS INT))) != 0)
+    AS bloom_member
+FROM probe p LEFT JOIN words w ON w.word_idx = p.pos // 63
+GROUP BY p.o_orderkey, p.o_orderpriority
+"""

@@ -11,9 +11,12 @@ round-4 newcomers registered past it).
 
 Round-11 window: the r11 NEW rows (ann_index_residual,
 melt_wide96_chunked, perplexity_buckets_sketch,
-dsir_importance_weights; wave 2 adds the media-decode trio
-video_decode_stats / video_frame_sample_stats /
-adpcm_roundtrip_stats), the r11 CHANGED rows —
+dsir_importance_weights; wave 2 adds the media-decode rows
+video_decode_stats / video_frame_sample_stats / adpcm_roundtrip_stats /
+video_scene_cuts, the runtime-filter row bloom_semijoin_prune, the
+spatial-family row spatial_radius_pairs, and the 10th-streaming-store
+twin incremental_bloom_members — seven seats ceded by long-green
+unchanged rows, parked in TIER 2), the r11 CHANGED rows —
 the five ann_index_* rows + ann_topk_incremental (ext/ann_index.py
 residual port: meta gains the residual flag, /codes gains batch_id
 partitioning, index_health gains n_home/distinct_vectors — helper
@@ -83,6 +86,18 @@ register("bloom_semijoin_prune", sd.bloom_semijoin_prune, sd.BLOOM_SEMIJOIN_PRUN
 from scripts_toolkit_spark.plans import spatial_demos as spd
 
 register("spatial_radius_pairs", spd.spatial_radius_pairs, spd.SPATIAL_RADIUS_PAIRS_SQL)
+# NEW (r11 wave 2): batch twin of the 10th streaming store
+# (streaming/bloom_stream.py) — incremental Bloom membership: per-batch
+# word partials merge by bit_or (associative + commutative + IDEMPOTENT,
+# so merged == one-shot bit-exact and duplicate batches cannot corrupt
+# state); probe flags urgent (always true — no false negatives) vs high
+# keys (deterministic md5 FPs only). document_chunks_bpe ceded its seat —
+# long-green, unchanged; parked in TIER 2.
+register(
+    "incremental_bloom_members",
+    sd.incremental_bloom_members,
+    sd.INCREMENTAL_BLOOM_MEMBERS_SQL,
+)
 # NEW (r6): IVF n_probe tuning report — one ranked assignment pass sliced
 # per ladder level, candidate cost vs bounded-exact recall@3 (the sweep
 # the round-5 verdict asked for; audio_fingerprint_near_dups ceded its
@@ -204,9 +219,9 @@ register(
 
 # NEW: BPE subword tokenization (ext/bpe.py) — merge-table training +
 # subword-chunked twin of document_chunks
-# (r11 wave 2: bpe_merge_table ceded its seat — long-green, unchanged;
-# parked in TIER 2 — to make room for spatial_radius_pairs.)
-register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
+# (r11 wave 2: bpe_merge_table and document_chunks_bpe ceded their seats
+# — long-green, unchanged; parked in TIER 2 — to make room for
+# spatial_radius_pairs and incremental_bloom_members.)
 # NEW: winnowing substring-overlap dedup (MOSS fingerprints) + unigram-LM
 # quality scoring + Bloom-filter decontamination pre-pass
 register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
@@ -350,6 +365,7 @@ register("weighted_sample_docs", rv.weighted_sample_docs, rv.WEIGHTED_SAMPLE_DOC
 register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDEX_POSTINGS_SQL)
 register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
 register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
+register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
 
 # r11 rotation: parked from the window (all long-green, unchanged in
 # r11) to make room for the r11 newcomers (ann_index_residual,

@@ -109,6 +109,7 @@ EXTRA_DEFAULT = (
     "bloom_semijoin_prune",
     "spatial_radius_pairs",
     "incremental_bloom_members",
+    "spatial_knn",
 )
 
 

@@ -101,3 +101,76 @@ def grid_radius_join(
         .where(dist2 <= F.lit(radius) * F.lit(radius))
         .select("id_a", "id_b", F.round(dist2, 6).alias("dist2"))
     )
+
+
+def grid_knn(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int,
+    radius: float,
+    id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Bounded k-nearest-neighbors: for each query point, the k nearest
+    points within `radius` (the PostGIS ST_DWithin + rank shape — the
+    radius bound is what keeps the candidate set grid-local; an unbounded
+    kNN needs expanding-ring search with a data-dependent stop, which is
+    not a fixed plan). Query ids are excluded from their own neighbor
+    lists. Returns (query_id, neighbor_id, rank, dist2) with the
+    deterministic (dist2, neighbor_id) tiebreak and dist2 rounded 6 dp.
+
+    Plan shape: queries explode to their 9 neighbor cells and equi-join
+    the bucketed points (candidates ∝ |queries|·density·9r² — never
+    |queries|×N); per-query rank is a window over the per-query candidate
+    set, bounded by local density, never by N."""
+    from pyspark.sql.window import Window
+
+    cy, cx = grid_cell(F.col(lat_col), F.col(lon_col), radius)
+    base = points.select(
+        F.col(id_col).alias("id_b"),
+        F.col(lat_col).cast("double").alias("lat_b"),
+        F.col(lon_col).cast("double").alias("lon_b"),
+        cy.alias("jcy"),
+        cx.alias("jcx"),
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    qcy, qcx = grid_cell(F.col(lat_col), F.col(lon_col), radius)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(lat_col).cast("double").alias("lat_a"),
+            F.col(lon_col).cast("double").alias("lon_a"),
+            qcy.alias("cy"),
+            qcx.alias("cx"),
+        )
+        .select("query_id", "lat_a", "lon_a", F.explode(offsets).alias("o"), "cy", "cx")
+        .select(
+            "query_id",
+            "lat_a",
+            "lon_a",
+            (F.col("cy") + F.col("o.dy")).alias("jcy"),
+            (F.col("cx") + F.col("o.dx")).alias("jcx"),
+        )
+    )
+    dlat = F.col("lat_a") - F.col("lat_b")
+    dlon = F.col("lon_a") - F.col("lon_b")
+    dist2 = dlat * dlat + dlon * dlon
+    cand = (
+        q.join(base, ["jcy", "jcx"])
+        .where(F.col("query_id") != F.col("id_b"))
+        .where(dist2 <= F.lit(radius) * F.lit(radius))
+        .select("query_id", F.col("id_b").alias("neighbor_id"), dist2.alias("__d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("__d2", "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__d2", 6).alias("dist2"))
+    )

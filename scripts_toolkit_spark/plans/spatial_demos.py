@@ -82,3 +82,66 @@ WHERE id_a < b.pid
   AND (lat_a - b.lat) * (lat_a - b.lat)
       + (lon_a - b.lon) * (lon_a - b.lon) <= {_RADIUS} * {_RADIUS}
 """
+
+
+_KNN_K = 5
+_KNN_RADIUS = 1.0  # degrees; bounded-kNN semantics (ST_DWithin + rank)
+_KNN_QUERIES = 64  # absolute SF-independent query cap (exact-baseline style)
+
+
+def spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-nearest-neighbors for a capped deterministic query set:
+    the 64 md5-first customers each get their 5 nearest other customers
+    within 1°, ranked by (dist2, neighbor_id). The radius bound is the
+    semantics (PostGIS ST_DWithin + rank): queries in sparse regions may
+    return fewer than k rows, identically in both engines — no
+    data-dependent expanding-ring search hides in the plan.
+
+    Plan shape: the query cap goes through the two-stage global_topk (no
+    whole-input single-task window); queries explode ×9 to neighbor
+    cells and equi-join the bucketed corpus — candidates are
+    |queries|·9·density·r², never |queries|×N; the per-query rank
+    windows over that bounded candidate set."""
+    from scripts_toolkit_spark.operators.spatial import grid_knn
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        _coord("lat", F.col("c_custkey")).alias("lat"),
+        _coord("lon", F.col("c_custkey")).alias("lon"),
+    )
+    qset = global_topk(
+        pts.withColumn("pri", F.md5(F.col("point_id").cast("string"))),
+        [F.asc("pri"), F.asc("point_id")],
+        _KNN_QUERIES,
+    ).drop("pri", "rank")
+    return grid_knn(qset, pts, _KNN_K, _KNN_RADIUS, "point_id", "lat", "lon")
+
+
+SPATIAL_KNN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS pid,
+    (CAST(('0x' || substr(md5('lat|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 1000000) / 1000000.0 * 10.0 AS lat,
+    (CAST(('0x' || substr(md5('lon|' || CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+       % 1000000) / 1000000.0 * 10.0 AS lon
+  FROM customer
+),
+q AS (
+  SELECT pid, lat, lon FROM pts
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(pid AS VARCHAR)), pid) <= {_KNN_QUERIES}
+),
+cand AS (
+  SELECT q.pid AS query_id, p.pid AS neighbor_id,
+    (q.lat - p.lat) * (q.lat - p.lat) + (q.lon - p.lon) * (q.lon - p.lon) AS d2
+  FROM q JOIN pts p ON q.pid != p.pid
+)
+SELECT query_id, neighbor_id,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT)
+    AS rank,
+  round(d2, 6) AS dist2
+FROM cand
+WHERE d2 <= {_KNN_RADIUS} * {_KNN_RADIUS}
+QUALIFY rank <= {_KNN_K}
+"""

@@ -86,6 +86,12 @@ register("bloom_semijoin_prune", sd.bloom_semijoin_prune, sd.BLOOM_SEMIJOIN_PRUN
 from scripts_toolkit_spark.plans import spatial_demos as spd
 
 register("spatial_radius_pairs", spd.spatial_radius_pairs, spd.SPATIAL_RADIUS_PAIRS_SQL)
+# NEW (r11 wave 2): bounded kNN for a 64-query md5 cap — ST_DWithin +
+# rank semantics, two-stage global_topk query pick, 9-cell candidate
+# equi-join, per-query rank over the density-bounded candidate set
+# (semantic_dedup_drops ceded its seat — r5-green, unchanged; its r8
+# threshold twin keeps a seat; parked in TIER 2).
+register("spatial_knn", spd.spatial_knn, spd.SPATIAL_KNN_SQL)
 # NEW (r11 wave 2): batch twin of the 10th streaming store
 # (streaming/bloom_stream.py) — incremental Bloom membership: per-batch
 # word partials merge by bit_or (associative + commutative + IDEMPOTENT,
@@ -208,7 +214,8 @@ register("data_quality_report", dq.data_quality_report, dq.DATA_QUALITY_REPORT_S
 # NEW (r5 wave 2): SemDeDup-style semantic dedup over √N IVF cells
 from scripts_toolkit_spark.plans import ext_demos2 as _x2sem
 
-register("semantic_dedup_drops", _x2sem.semantic_dedup_drops, _x2sem.SEMANTIC_DEDUP_DROPS_SQL)
+# (r11 wave 2: semantic_dedup_drops ceded its seat — r5-green, unchanged;
+# parked in TIER 2 — to make room for spatial_knn.)
 # NEW (r8): the forced-threshold-pick twin — the extreme-N branch
 # (distributed pick, no driver collect) under its own full SQL oracle.
 register(
@@ -366,6 +373,7 @@ register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDE
 register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
 register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
 register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
+register("semantic_dedup_drops", _x2sem.semantic_dedup_drops, _x2sem.SEMANTIC_DEDUP_DROPS_SQL)
 
 # r11 rotation: parked from the window (all long-green, unchanged in
 # r11) to make room for the r11 newcomers (ann_index_residual,

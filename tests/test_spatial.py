@@ -70,3 +70,47 @@ def test_no_duplicate_pairs(spark):
     pairs = grid_radius_join(pts, 0.5, "point_id", "lat", "lon").collect()
     keys = [(r["id_a"], r["id_b"]) for r in pairs]
     assert len(keys) == len(set(keys))
+
+
+def test_grid_knn_equals_brute_force(spark):
+    from scripts_toolkit_spark.operators.spatial import grid_knn
+    from pyspark.sql.window import Window
+
+    pts = _points(spark, 300, seed="knn").localCheckpoint()
+    r, k = 0.8, 4
+    queries = pts.where(F.col("point_id") < 20)
+    got = sorted(
+        (x["query_id"], x["rank"], x["neighbor_id"])
+        for x in grid_knn(queries, pts, k, r, "point_id", "lat", "lon").collect()
+    )
+    a = queries.select(
+        F.col("point_id").alias("qid"), F.col("lat").alias("la"), F.col("lon").alias("lo")
+    )
+    b = pts.select(
+        F.col("point_id").alias("nid"), F.col("lat").alias("lb"), F.col("lon").alias("lob")
+    )
+    d2 = (F.col("la") - F.col("lb")) ** 2 + (F.col("lo") - F.col("lob")) ** 2
+    w = Window.partitionBy("qid").orderBy("d2", "nid")
+    brute = sorted(
+        (x["qid"], x["rk"], x["nid"])
+        for x in a.crossJoin(b)
+        .where(F.col("qid") != F.col("nid"))
+        .withColumn("d2", d2)
+        .where(F.col("d2") <= r * r)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .collect()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_grid_knn_excludes_self_and_caps_k(spark):
+    from scripts_toolkit_spark.operators.spatial import grid_knn
+
+    pts = _points(spark, 150, seed="cap").localCheckpoint()
+    rows = grid_knn(pts, pts, 3, 1.5, "point_id", "lat", "lon").collect()
+    per_q = {}
+    for x in rows:
+        assert x["query_id"] != x["neighbor_id"]
+        per_q.setdefault(x["query_id"], []).append(x["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in per_q.values())

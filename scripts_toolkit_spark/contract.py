@@ -68,7 +68,10 @@ def registry_fingerprints() -> dict[str, str]:
     return out
 
 
-_SHIPPED: set[int] = set()
+# Keyed on sc.applicationId, not id(sc): after a stopped context is
+# garbage-collected a new one can reuse the same id() and would silently
+# skip the addPyFile (advisor r11).
+_SHIPPED: set[str] = set()
 _PKG_ZIP: str | None = None
 
 
@@ -83,7 +86,7 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
     deps, and exactly what a real cluster (non-shared filesystem) needs."""
     global _PKG_ZIP
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    if sc.applicationId in _SHIPPED:
         return
     import os
     import tempfile
@@ -108,7 +111,7 @@ def ensure_workers_can_import(spark: SparkSession) -> None:
                     zf.write(full, rel)
         _PKG_ZIP = zpath
     sc.addPyFile(_PKG_ZIP)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(sc.applicationId)
 
 
 def _cwd_independent(fn: QueryFn) -> QueryFn:

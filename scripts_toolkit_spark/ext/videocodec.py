@@ -204,7 +204,15 @@ def decode_avi(blob: bytes) -> tuple[int, int, int, list[bytes]]:
                         f"unsupported AVI video (bpp={bpp} "
                         f"compression={compression}): BI_RGB 24-bit only"
                     )
-                width, height = w, abs(h)
+                if h < 0:
+                    # top-down DIB (negative biHeight) is valid per spec but
+                    # _dib_to_rgb assumes the bottom-up row order; scope it
+                    # out explicitly rather than decode vertically flipped
+                    raise ValueError(
+                        "unsupported AVI video: top-down DIB (negative "
+                        "biHeight) — bottom-up BI_RGB only"
+                    )
+                width, height = w, h
             elif fourcc in (b"00db", b"00dc"):
                 frames.append(data)
 

@@ -243,16 +243,75 @@ def adpcm_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IMA_STEPS_SQL = ",".join(str(v) for v in IMA_STEP_TABLE)
+# Unrolled (non-recursive) replay of the IMA recurrence — the
+# pagerank_top_parties oracle pattern, proven portable across DuckDB
+# versions. r11's recursive-CTE formulation of the same arithmetic was
+# the round's single driver-gate hash failure while green under local
+# DuckDB 1.0.0 at all three SFs (VERDICT r11 #1: an engine-version-
+# sensitive oracle); every version-fragile construct it used is gone:
+#   * no WITH RECURSIVE — 63 chained CTE layers l1..l63, each a pure
+#     projection over the previous layer (state rides in one row/vec);
+#   * no list-literal indexing `([...])[idx+1]` — the 89-entry step
+#     table is a VALUES relation equi-joined on the step index;
+#   * no `//` integer division — step>>1 / step>>2 / step>>3 are
+#     precomputed INTEGER columns of that VALUES relation, so the SQL
+#     body is integer add/mul/compare/CASE only.
+# DuckDB lists are 1-based: sample i (0-based) is smp[i + 1].
 
-# Recursive replay of the IMA recurrence: state (pred, idx) steps once per
-# sample; layered subqueries name each intermediate (step, sign bit,
-# magnitude bits b2/b1/b0, vpdiff) exactly as the codec computes them.
-# `//` is integer division on non-negative step values (== the codec's
-# right-shifts); DuckDB lists are 1-based, so sample i+1 is smp[i+2] and
-# step-table lookup is steps[idx+1].
+
+def _adpcm_steps_values() -> str:
+    rows = ", ".join(
+        f"({i}, {st}, {st >> 1}, {st >> 2}, {st >> 3})"
+        for i, st in enumerate(IMA_STEP_TABLE)
+    )
+    return f"steps(sidx, st, st2, st4, st8) AS (VALUES {rows})"
+
+
+def _adpcm_layer_blocks() -> str:
+    # newpred duplicated per accumulator: plain expression text, no state.
+    np = (
+        "CASE WHEN sgn = 1 THEN GREATEST(-32768, LEAST(32767, pred - vpdiff))"
+        " ELSE GREATEST(-32768, LEAST(32767, pred + vpdiff)) END"
+    )
+    blocks = []
+    for i in range(1, 64):
+        blocks.append(f""",
+l{i} AS (
+  SELECT vec_id, smp,
+    {np} AS pred,
+    GREATEST(0, LEAST(88,
+      idx + CASE WHEN b2 = 1 THEN 2 + 4 * b1 + 2 * b0 ELSE -1 END)) AS idx,
+    sum_abs + abs({np}) AS sum_abs,
+    pos_wsum + {i} * abs({np}) AS pos_wsum,
+    sum_abs_err + abs({np} - nxt) AS sum_abs_err
+  FROM (
+    SELECT *, st8 + b2 * st + b1 * st2 + b0 * st4 AS vpdiff
+    FROM (
+      SELECT *, CASE WHEN ad - b2 * st - b1 * st2 >= st4 THEN 1 ELSE 0 END AS b0
+      FROM (
+        SELECT *, CASE WHEN ad - b2 * st >= st2 THEN 1 ELSE 0 END AS b1
+        FROM (
+          SELECT *, CASE WHEN ad >= st THEN 1 ELSE 0 END AS b2
+          FROM (
+            SELECT l.vec_id, l.smp, l.pred, l.idx,
+                   l.sum_abs, l.pos_wsum, l.sum_abs_err,
+                   s.st, s.st2, s.st4, s.st8,
+                   CAST(l.smp[{i + 1}] AS BIGINT) AS nxt,
+                   CASE WHEN l.smp[{i + 1}] - l.pred < 0 THEN 1 ELSE 0 END AS sgn,
+                   abs(l.smp[{i + 1}] - l.pred) AS ad
+            FROM l{i - 1} l JOIN steps s ON s.sidx = l.idx
+          ) t0
+        ) t1
+      ) t2
+    ) t3
+  ) t4
+)""")
+    return "".join(blocks)
+
+
 ADPCM_ROUNDTRIP_STATS_SQL = f"""
-WITH RECURSIVE s AS (
+WITH {_adpcm_steps_values()},
+s AS (
   SELECT vec_id,
     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
     embedding
@@ -264,53 +323,16 @@ q AS (
       x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT) * 256) AS smp
   FROM s
 ),
-r AS (
-  SELECT vec_id, 0 AS i,
-    CAST(smp[1] AS BIGINT) AS pred, 0 AS idx, CAST(smp[1] AS BIGINT) AS recon,
-    CAST(0 AS BIGINT) AS err
+l0 AS (
+  SELECT vec_id, smp,
+    CAST(smp[1] AS BIGINT) AS pred, 0 AS idx,
+    abs(CAST(smp[1] AS BIGINT)) AS sum_abs,
+    CAST(0 AS BIGINT) AS pos_wsum,
+    CAST(0 AS BIGINT) AS sum_abs_err
   FROM q
-  UNION ALL
-  SELECT vec_id, i, newpred AS pred, newidx AS idx, newpred AS recon,
-         abs(newpred - nxt) AS err
-  FROM (
-    SELECT vec_id, i, nxt,
-      CASE WHEN sign THEN GREATEST(-32768, LEAST(32767, pred0 - vpdiff))
-           ELSE GREATEST(-32768, LEAST(32767, pred0 + vpdiff)) END AS newpred,
-      GREATEST(0, LEAST(88, idx0 + ([-1,-1,-1,-1,2,4,6,8])[mag + 1])) AS newidx
-    FROM (
-      SELECT *, (step // 8) + b2 * step + b1 * (step // 2) + b0 * (step // 4) AS vpdiff,
-             b2 * 4 + b1 * 2 + b0 AS mag
-      FROM (
-        SELECT *, CASE WHEN r2 - b1 * (step // 2) >= step // 4 THEN 1 ELSE 0 END AS b0
-        FROM (
-          SELECT *, CASE WHEN r2 >= step // 2 THEN 1 ELSE 0 END AS b1
-          FROM (
-            SELECT *, ad - b2 * step AS r2
-            FROM (
-              SELECT *, CASE WHEN ad >= step THEN 1 ELSE 0 END AS b2
-              FROM (
-                SELECT r.vec_id, r.i + 1 AS i, r.pred AS pred0, r.idx AS idx0,
-                  q.smp[r.i + 2] AS nxt,
-                  ([{_IMA_STEPS_SQL}])[r.idx + 1] AS step,
-                  q.smp[r.i + 2] - r.pred < 0 AS sign,
-                  abs(q.smp[r.i + 2] - r.pred) AS ad
-                FROM r JOIN q USING (vec_id)
-                WHERE r.i < 63
-              ) t0
-            ) t1
-          ) t2
-        ) t3
-      ) t4
-    ) t5
-  ) t6
-)
-SELECT vec_id,
-  CAST(COUNT(*) AS BIGINT) AS n_samples,
-  SUM(abs(recon)) AS sum_abs,
-  SUM(i * abs(recon)) AS pos_wsum,
-  SUM(err) AS sum_abs_err
-FROM r
-GROUP BY vec_id
+){_adpcm_layer_blocks()}
+SELECT vec_id, CAST(64 AS BIGINT) AS n_samples, sum_abs, pos_wsum, sum_abs_err
+FROM l63
 """
 
 

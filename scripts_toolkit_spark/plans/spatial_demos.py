@@ -80,7 +80,8 @@ SELECT id_a, b.pid AS id_b,
 FROM probe JOIN cells b ON b.cy = probe.jcy AND b.cx = probe.jcx
 WHERE id_a < b.pid
   AND (lat_a - b.lat) * (lat_a - b.lat)
-      + (lon_a - b.lon) * (lon_a - b.lon) <= {_RADIUS} * {_RADIUS}
+      + (lon_a - b.lon) * (lon_a - b.lon)
+      <= CAST({_RADIUS} AS DOUBLE) * CAST({_RADIUS} AS DOUBLE)
 """
 
 

@@ -72,7 +72,7 @@ register("join_size_probe", sd.join_size_probe, sd.JOIN_SIZE_PROBE_SQL)
 register("token_budget_sample", sd.token_budget_sample, sd.TOKEN_BUDGET_SAMPLE_SQL)
 register("zorder_layout_stats", sd.zorder_layout_stats, sd.ZORDER_LAYOUT_STATS_SQL)
 # NEW (r11 wave 2): runtime Bloom-filter semijoin reduction — the
-# pre-shuffle fact-table prune (8 KB md5-deterministic bitmap folded from
+# pre-shuffle fact-table prune (128 KB md5-deterministic bitmap folded from
 # the build keys, map-side candidate drop, exact join over survivors);
 # the oracle replays the bitmap bit-for-bit, false positives included
 # (cdc_latest_state ceded its seat — r5-green, unchanged; parked in

@@ -118,10 +118,14 @@ def merged_bloom(spark: SparkSession, store_path: str) -> DataFrame:
 def probe_members(
     spark: SparkSession, store_path: str, candidates: DataFrame, key_col: str
 ) -> DataFrame:
-    """Membership flag for each candidate key against the merged bitmap:
-    explode to the k (word_idx, mask) pairs, LEFT-join the ≤ W-row merged
-    frame (a missing word means no streamed key ever touched it), member
-    = every bit set. Extra candidate columns pass through."""
+    """Membership flag per DISTINCT candidate row against the merged
+    bitmap: explode to the k (word_idx, mask) pairs, LEFT-join the ≤ W-row
+    merged frame (a missing word means no streamed key ever touched it),
+    member = every bit set. Extra candidate columns pass through, but the
+    re-collapse groups by ALL candidate columns — duplicate input rows
+    merge, so output cardinality is distinct-rows, not input rows (the
+    membership verdict is identical for identical rows; callers needing
+    input cardinality should tag rows with an id before probing)."""
     words = merged_bloom(spark, store_path)
     keyed = (
         candidates.select("*", F.explode(_positions(F.col(key_col))).alias("p"))

@@ -290,6 +290,14 @@ register("ann_index_residual", xd.ann_index_residual, xd.ANN_INDEX_RESIDUAL_SQL)
 # batch_id partitioning + PQ-codes append parity (round-6 ADVICE #1/#2).
 register("ann_index_health", xd.ann_index_health, xd.ANN_INDEX_HEALTH_SQL)
 register("ann_index_retrain", xd.ann_index_retrain, xd.ANN_INDEX_RETRAIN_SQL)
+# NEW (r12): the extreme-N assignment chain reaches the PERSISTENT store
+# (round-11 verdict "What's missing" #1 / Next #2): build_ann_index(
+# two_level=True) picks by the distributed md5 threshold, assigns
+# coarse-to-fine, records the routing in {path}/meta; search/append/
+# retrain read it back — no store verb collects √N centroids anymore
+# (hierarchy_paths ceded its seat — green since r4, operators/graph.py
+# unchanged this round; parked in TIER 2).
+register("ann_index_two_level", xd.ann_index_two_level, xd.ANN_INDEX_TWO_LEVEL_SQL)
 # NEW (r10): mergeable bottom-k quantile sketch (ext/quantiles.py) — the
 # third oracle-replayable sketch beside the md5 HLL and the CMS monitor:
 # k=256 md5-priority uniform sample per group through the two-stage
@@ -349,10 +357,12 @@ from scripts_toolkit_spark.plans import taxonomy as _tax
 # driver-side suffix closure (operators/graph.py — a helper change the
 # fn-source hash cannot see, so the trio is rotated in-window manually
 # per the CLAUDE.md rule; near_dup_clusters ceded its seat — green since
-# r3, unchanged)
-register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
+# r3, unchanged). r12: the whole trio ceded (operators/graph.py
+# unchanged in r12, all three r11-green) — ann_index_two_level took one
+# seat and the trio now sits just past the window.
 register("hierarchy_paths_deep", _tax.hierarchy_paths_deep, _tax.HIERARCHY_PATHS_DEEP_SQL)
 register("hierarchy_classify", _tax.hierarchy_classify, _tax.HIERARCHY_CLASSIFY_SQL)
+register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
 
 # ============================================================================
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;

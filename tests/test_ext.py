@@ -1927,3 +1927,188 @@ def test_video_frame_pixel_stats_real_decode(spark):
             assert (r["width"], r["height"]) == (4, 2)
             assert r["gray_sum"] == sum(fr[0::3])
             assert r["frame_digest"] == hashlib.md5(fr).hexdigest()
+
+
+def test_ann_index_two_level_matches_adhoc(spark, sf_dir, tmp_path):
+    """The r12 store contract (round-11 verdict Next #2): a
+    `build_ann_index(two_level=True)` store must persist the routing in
+    {path}/meta, its stored home assignment must be ROW-IDENTICAL to the
+    ad-hoc extreme-N chain (`threshold_centroids` +
+    `ivf_assign_two_level`), and `search_index` — which reads the knob
+    back from meta — must equal the same search composed ad-hoc from
+    those operators."""
+    from pyspark.sql.window import Window
+
+    from scripts_toolkit_spark.ext.ann_index import (
+        _index_two_level,
+        build_ann_index,
+        search_index,
+    )
+    from scripts_toolkit_spark.ext.similarity import (
+        _dot,
+        auto_n_cells,
+        ivf_assign_two_level,
+        normalize_vectors,
+        threshold_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "twolevel")
+    build_ann_index(emb, path, two_level=True)
+    assert _index_two_level(spark, path) == (True, 4)
+
+    normed = normalize_vectors(emb).localCheckpoint()
+    n = normed.count()
+    cents = threshold_centroids(
+        normed, auto_n_cells(normed, n_rows=n), n_rows=n
+    ).localCheckpoint()
+    adhoc_home = ivf_assign_two_level(normed, cents, super_probe=4, n_probe=1)
+
+    stored = spark.read.parquet(path + "/vectors")
+    assert {(r["vec_id"], r["cell_id"]) for r in stored.collect()} == {
+        (r["vec_id"], r["cell_id"]) for r in adhoc_home.collect()
+    }
+
+    probes = ivf_assign_two_level(normed, cents, super_probe=4, n_probe=3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "cell_id"
+    )
+    corpus = adhoc_home.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "cell_id"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    adhoc_search = (
+        probes.join(corpus, "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+    got = {tuple(r) for r in search_index(spark, path, k=3, n_probe=3).collect()}
+    want = {tuple(r) for r in adhoc_search.collect()}
+    assert got == want
+    assert got, "degenerate: empty two-level search result"
+
+
+def test_ann_index_two_level_append_and_retrain(spark, sf_dir, tmp_path):
+    """Lifecycle verbs honor the persisted two-level routing: an append
+    against a two-level store assigns the late batch coarse-to-fine with
+    the STORED centroids (incremental store == one-shot build with the
+    same model), and `retrain_index` re-picks by threshold + re-assigns
+    two-level (retrained store == fresh two-level build over the same
+    corpus)."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        _index_two_level,
+        append_to_index,
+        build_ann_index,
+        retrain_index,
+        search_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+
+    inc_path = str(tmp_path / "inc")
+    build_ann_index(base, inc_path, two_level=True)
+    append_to_index(spark, inc_path, late)
+
+    one_path = str(tmp_path / "one")
+    stored_cents = spark.read.parquet(inc_path + "/centroids").localCheckpoint()
+    build_ann_index(emb, one_path, centroids=stored_cents, two_level=True)
+
+    inc_rows = {
+        (r["vec_id"], r["cell_id"]) for r in
+        spark.read.parquet(inc_path + "/vectors").collect()
+    }
+    one_rows = {
+        (r["vec_id"], r["cell_id"]) for r in
+        spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert inc_rows == one_rows
+
+    # retrain in place == fresh two-level build over the full corpus
+    retrain_index(spark, inc_path)
+    assert _index_two_level(spark, inc_path) == (True, 4)
+    fresh_path = str(tmp_path / "fresh")
+    build_ann_index(emb, fresh_path, two_level=True)
+    re_rows = {
+        (r["vec_id"], r["cell_id"], r["batch_id"]) for r in
+        spark.read.parquet(inc_path + "/vectors").collect()
+    }
+    fr_rows = {
+        (r["vec_id"], r["cell_id"], r["batch_id"]) for r in
+        spark.read.parquet(fresh_path + "/vectors").collect()
+    }
+    assert re_rows == fr_rows
+    got = {tuple(r) for r in search_index(spark, inc_path, k=3, n_probe=3).collect()}
+    want = {tuple(r) for r in search_index(spark, fresh_path, k=3, n_probe=3).collect()}
+    assert got == want
+
+
+def test_ann_index_legacy_layout_store(spark, sf_dir, tmp_path):
+    """Back-compat guard for pre-r11 store layouts (round-11 verdict Next
+    #7 — the advisor's probe_rank lesson one layer up): a store with a
+    FLAT unpartitioned /codes dir and a meta row carrying ONLY n_home
+    (no residual / pq_seeded / two_level columns) must keep working
+    through search (both paths), append (which must keep the flat /codes
+    layout rather than corrupt it with partitioned subdirs), and
+    retrain."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        append_to_index,
+        build_ann_index,
+        retrain_index,
+        search_index,
+    )
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        normalize_vectors,
+        pq_subspace_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id % 5 <> 0")
+    late = emb.where("vec_id % 5 = 0")
+    normed = normalize_vectors(base).localCheckpoint()
+    big = deterministic_centroids(normed, 64).localCheckpoint()
+    cents = big.where(F.col("cell_id") < 8).localCheckpoint()
+    cb = pq_subspace_codebook(
+        big.select(F.col("cell_id").alias("code"), "centroid"), m=4, sub_dim=16
+    ).localCheckpoint()
+
+    legacy = str(tmp_path / "legacy")
+    build_ann_index(base, legacy, centroids=cents, sub_codebook=cb)
+    ref_ivf = {tuple(r) for r in search_index(spark, legacy, k=3, n_probe=3).collect()}
+    ref_pq = {tuple(r) for r in search_index(
+        spark, legacy, k=3, n_probe=3, use_pq=True).collect()}
+
+    # rewrite to the r10 shape: flat /codes, one-column meta
+    flat_codes = spark.read.parquet(legacy + "/codes").drop("batch_id").localCheckpoint()
+    import shutil
+
+    shutil.rmtree(legacy + "/codes")
+    flat_codes.write.mode("overwrite").parquet(legacy + "/codes")
+    spark.createDataFrame([(1,)], "n_home int").write.mode("overwrite").parquet(
+        legacy + "/meta"
+    )
+
+    assert ref_ivf == {
+        tuple(r) for r in search_index(spark, legacy, k=3, n_probe=3).collect()
+    }
+    assert ref_pq == {
+        tuple(r) for r in search_index(
+            spark, legacy, k=3, n_probe=3, use_pq=True).collect()
+    }
+
+    # append keeps the flat /codes layout and both searches still run
+    append_to_index(spark, legacy, late)
+    codes_after = spark.read.parquet(legacy + "/codes")
+    assert "batch_id" not in codes_after.columns
+    assert codes_after.count() == spark.read.parquet(legacy + "/vectors").count()
+    assert search_index(spark, legacy, k=3, n_probe=3, use_pq=True).count() > 0
+
+    # retrain rewrites in place and the store stays searchable
+    retrain_index(spark, legacy)
+    assert search_index(spark, legacy, k=3, n_probe=3).count() > 0

@@ -159,6 +159,14 @@ register(
     cd.dsir_importance_weights,
     cd.DSIR_IMPORTANCE_WEIGHTS_SQL,
 )
+# NEW (r12): the corpus-prep capstone composed with the r11 selection
+# stack (round-11 verdict Next #6) — quality → canonical dedup → gate →
+# DSIR importance ACCEPTANCE (u < logistic(weight/2), the deterministic
+# Bernoulli form of importance resampling) → token-budget prefix-sum
+# cut; every stage an oracle-proven fragment
+# (incremental_dedup_pairs ceded its seat — green since r3, ext/dedup.py
+# unchanged this round; parked just past the window).
+register("corpus_prep_dsir", cd.corpus_prep_dsir, cd.CORPUS_PREP_DSIR_SQL)
 # NEW (r5 wave 5): winsorized stats
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from

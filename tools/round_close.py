@@ -91,6 +91,57 @@ def full_sweep(sf_dirs: tuple[str, ...]) -> int:
     return 0
 
 
+def bench_deltas() -> None:
+    """Print per-query WARM deltas between the two latest recorded
+    BENCH_r*.json files (r12 — round-11 verdict Next #4 tail: the
+    round-over-round comparison should be one command, and a delta
+    smaller than the run's own warm spread is noise, not signal)."""
+    files = sorted(
+        (f for f in os.listdir(REPO) if re.fullmatch(r"BENCH_r\d+\.json", f)),
+        key=lambda f: int(re.search(r"\d+", f).group()),
+    )
+    if len(files) < 2:
+        print("(fewer than two BENCH_r*.json files — no deltas to print)")
+        return
+    prev_f, cur_f = files[-2], files[-1]
+
+    def _queries(fname: str) -> dict:
+        with open(os.path.join(REPO, fname)) as f:
+            doc = json.load(f)
+        # driver artifact: {"tail": "<stdout tail>", "parsed": {...}|null}
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc["queries"]
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        if isinstance(parsed, dict) and "queries" in parsed:
+            return parsed["queries"]
+        # fall back to scanning the tail text for the compact summary
+        # (the last complete JSON line with a "queries" key)
+        txt = doc.get("tail", "") if isinstance(doc, dict) else ""
+        for line in reversed(txt.strip().splitlines()):
+            try:
+                d = json.loads(line)
+            except Exception:
+                continue
+            if isinstance(d, dict) and "queries" in d:
+                return d["queries"]
+        return {}
+
+    prev, cur = _queries(prev_f), _queries(cur_f)
+    common = [n for n in cur if n in prev]
+    if not common:
+        print(f"(no common queries between {prev_f} and {cur_f})")
+        return
+    print(f"== warm deltas {prev_f} -> {cur_f} (ratio >1 = slower) ==")
+    rows = sorted(
+        ((cur[n] / max(prev[n], 1e-9), n) for n in common), reverse=True
+    )
+    for ratio, n in rows:
+        flag = "  <-- check vs its warm spread" if ratio >= 1.5 or ratio <= 0.67 else ""
+        print(f"  {n:36s} {prev[n]:8.2f} -> {cur[n]:8.2f}  x{ratio:.2f}{flag}")
+    pt, ct = sum(prev[n] for n in common), sum(cur[n] for n in common)
+    print(f"  {'TOTAL (common set)':36s} {pt:8.2f} -> {ct:8.2f}  x{ct / max(pt, 1e-9):.2f}")
+
+
 def main(argv: list[str]) -> int:
     changed = [a for a in argv if not a.startswith("-")]
     run_all = "--all" in argv
@@ -136,6 +187,7 @@ def main(argv: list[str]) -> int:
         rc = full_sweep(SFS if run_all_sf else ("/root/testdata/sf0.01",))
         if rc != 0:
             return rc
+    bench_deltas()
     print(
         "round_close: manifest + ordering green"
         + (" + full sweep" if run_all or run_all_sf else "")

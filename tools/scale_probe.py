@@ -400,6 +400,204 @@ def probe_residual_store(spark, tmp_base: str = "/tmp/spark_graft_probe_resid") 
             shutil.rmtree(path, ignore_errors=True)
 
 
+def probe_spatial_skew(spark) -> None:
+    """Hot-cell density skew for the grid radius join (r12 — round-11
+    verdict Next #5: operators/spatial.py claims density skew is
+    'ordinary key skew — AQE skew-split or salting applies unchanged';
+    this probe MEASURES it instead of asserting it). Points follow the
+    spatial_radius_pairs recipe (md5-derived coords over a 10°x10°
+    extent); the HOT variant moves 30% of all points into ONE
+    radius-sized cell (a planted hot city). Walls compared at 1x and 4x
+    density: uniform vs hot with AQE as configured, hot with AQE
+    skew-join disabled, and hot through an explicitly SALTED build of
+    the same candidate pipeline (probe side replicated over 16 salts,
+    build side salted by id hash — `operators/joins.salted_join`'s
+    recipe applied to the composite (cy, cx) key).
+
+    Interpretation note recorded with the numbers in SCALING.md: a hot
+    cell with h points emits ~h² candidate pairs NO MATTER the
+    partitioning — skew handling (AQE split or salting) redistributes
+    that refine work across reducers, it cannot shrink it. The quadratic
+    candidate volume is intrinsic to radius semantics in a dense cell;
+    the probe shows whether redistribution (not volume) is the
+    bottleneck at this scale."""
+    from scripts_toolkit_spark.operators.spatial import grid_radius_join
+
+    radius = 0.15
+    hex8 = lambda pref: (  # noqa: E731
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(pref), F.col("c_custkey").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") % 1000000
+    ) / 1000000.0 * 10.0
+
+    from scripts_toolkit_spark.io.catalog import load_table
+
+    cust = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    for mult in (m for m in MULTS if m <= 4):
+        parts = [cust] + [
+            cust.select((F.col("c_custkey") + 10_000_000 * i).alias("c_custkey"))
+            for i in range(1, mult)
+        ]
+        ids = reduce(lambda a, b: a.unionByName(b), parts)
+        base = ids.select(
+            F.col("c_custkey").alias("point_id"),
+            hex8("lat|").alias("lat"),
+            hex8("lon|").alias("lon"),
+        )
+        hot_flag = F.col("point_id") % 10 < 3  # 30% of points
+        hot = base.select(
+            "point_id",
+            F.when(hot_flag, F.col("lat") * 0.0149).otherwise(F.col("lat")).alias("lat"),
+            F.when(hot_flag, F.col("lon") * 0.0149).otherwise(F.col("lon")).alias("lon"),
+        )
+        uni_pts = base.repartition(32).localCheckpoint()
+        hot_pts = hot.repartition(32).localCheckpoint()
+        n = uni_pts.count()
+
+        def _salted(points, salts: int = 16):
+            cy = F.floor(F.col("lat") / F.lit(radius)).cast("long")
+            cx = F.floor(F.col("lon") / F.lit(radius)).cast("long")
+            b = points.select(
+                F.col("point_id").alias("id_b"), F.col("lat").alias("lat_b"),
+                F.col("lon").alias("lon_b"), cy.alias("jcy"), cx.alias("jcx"),
+                (F.pmod(F.hash("point_id"), F.lit(salts))).alias("__salt"),
+            )
+            offs = F.array(*[
+                F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+            ])
+            p = (
+                points.select(
+                    F.col("point_id").alias("id_a"), F.col("lat").alias("lat_a"),
+                    F.col("lon").alias("lon_a"), cy.alias("cy"), cx.alias("cx"),
+                    F.explode(offs).alias("o"),
+                )
+                .select(
+                    "id_a", "lat_a", "lon_a",
+                    (F.col("cy") + F.col("o.dy")).alias("jcy"),
+                    (F.col("cx") + F.col("o.dx")).alias("jcx"),
+                    F.explode(F.sequence(F.lit(0), F.lit(salts - 1))).alias("__salt"),
+                )
+            )
+            dlat, dlon = F.col("lat_a") - F.col("lat_b"), F.col("lon_a") - F.col("lon_b")
+            d2 = dlat * dlat + dlon * dlon
+            return (
+                p.join(b, ["jcy", "jcx", "__salt"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .where(d2 <= F.lit(radius) * F.lit(radius))
+                .select("id_a", "id_b")
+            )
+
+        for label, fn, conf in (
+            ("uniform/aqe", lambda: grid_radius_join(uni_pts, radius), None),
+            ("hot/aqe", lambda: grid_radius_join(hot_pts, radius), None),
+            ("hot/no-skewjoin", lambda: grid_radius_join(hot_pts, radius),
+             ("spark.sql.adaptive.skewJoin.enabled", "false")),
+            ("hot/salted16", lambda: _salted(hot_pts), None),
+        ):
+            if conf:
+                old = spark.conf.get(conf[0], None)
+                spark.conf.set(conf[0], conf[1])
+            try:
+                best, rows = _best2(fn)
+            finally:
+                if conf:
+                    spark.conf.set(conf[0], old if old is not None else "true")
+            print(
+                f"mult={mult} n={n} spatial[{label}]: {best:.2f}s pairs={rows}",
+                flush=True,
+            )
+
+
+def probe_build_stages(spark, tmp_base: str = "/tmp/spark_graft_probe_bstage") -> None:
+    """Plain-build wall decomposition (r12 — round-11 verdict Next #3: the
+    ann_index_build warm creep 1.95 s r7 → 3.1 r10 → 3.7 r11 needed a
+    committed attribution). Times each stage of the plain (non-PQ)
+    `build_ann_index` separately — corpus normalize+materialize, stats
+    job, centroid pick, model writes, assign+corpus write — then times
+    the real `build_ann_index` and a NO-materialize variant of the same
+    stage sequence for the boundary A/B.
+
+    Findings this probe exists to reproduce (SCALING.md "build-wall
+    attribution"): the corpus localCheckpoint is a WIN at bench scale
+    (the stats/pick/assign jobs read RAM instead of re-scanning parquet;
+    removing it measured ~+50% on build warm min), the dominant stage is
+    assign+write, and the r10/r11 creep is JOB-COUNT overhead (the meta
+    write added in r10; literal model frames defaulting to 32 slices →
+    32-task, 32-file KB writes — fixed in r12 by coalesce(1) on
+    control-plane writes, which a 100 TB store wants anyway: centroids/
+    meta/codebook are KB model artifacts, one file each)."""
+    import shutil
+
+    from scripts_toolkit_spark.ext.ann_index import build_ann_index
+    from scripts_toolkit_spark.ext.similarity import (
+        auto_n_cells,
+        corpus_stats,
+        deterministic_centroids,
+        ivf_assign,
+        normalize_vectors,
+    )
+    from scripts_toolkit_spark.io.catalog import load_table
+    from scripts_toolkit_spark.materialize import materialize as _mat
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    emb.count()  # warm the scan
+    par = spark.sparkContext.defaultParallelism
+
+    def _stages(with_boundary: bool) -> dict:
+        path = tmp_base + "/store"
+        shutil.rmtree(tmp_base, ignore_errors=True)
+        t: dict[str, float] = {}
+        t0 = time.time()
+        normed = normalize_vectors(emb.repartition(par))
+        if with_boundary:
+            normed = normed.transform(_mat)
+        t["normalize" + ("+mat" if with_boundary else "")] = time.time() - t0
+        t0 = time.time()
+        n_rows, dim = corpus_stats(normed, "embedding")
+        t["stats"] = time.time() - t0
+        t0 = time.time()
+        n_cells = auto_n_cells(normed, n_rows=n_rows)
+        cents = deterministic_centroids(normed, n_cells, n_rows=n_rows)
+        t["pick"] = time.time() - t0
+        t0 = time.time()
+        cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+        spark.createDataFrame([(1, False)], "n_home int, residual boolean").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path + "/meta")
+        t["model_writes"] = time.time() - t0
+        t0 = time.time()
+        (
+            ivf_assign(normed, cents, 1, with_rank=True, n_cells=n_cells, dim=dim)
+            .select("vec_id", "embedding", "cell_id", "probe_rank")
+            .withColumn("batch_id", F.lit(-1).cast("bigint"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(path + "/vectors")
+        )
+        t["assign+write"] = time.time() - t0
+        return t
+
+    for label, flag in (("boundary", True), ("no_boundary", False)):
+        for rep in range(2):
+            t = _stages(flag)
+            print(
+                f"build_stages[{label}] rep={rep} "
+                + " ".join(f"{k}={v:.2f}s" for k, v in t.items())
+                + f" total={sum(t.values()):.2f}s",
+                flush=True,
+            )
+    import shutil as _sh
+
+    for rep in range(3):
+        _sh.rmtree(tmp_base, ignore_errors=True)
+        t0 = time.time()
+        build_ann_index(emb, tmp_base + "/real")
+        print(f"build_ann_index rep={rep} wall={time.time() - t0:.2f}s", flush=True)
+    _sh.rmtree(tmp_base, ignore_errors=True)
+
+
 def probe_closure_cap(spark) -> None:
     """Round-10 verdict Next #7: price the closure-cap fallback cliff.
     Builds a taxonomy whose INTERNAL edge domain exceeds
@@ -474,5 +672,9 @@ if __name__ == "__main__":
         probe_melt(spark)
     if what in ("closure_cap", "all"):
         probe_closure_cap(spark)
+    if what in ("build_stages", "all"):
+        probe_build_stages(spark)
+    if what in ("spatial_skew", "all"):
+        probe_spatial_skew(spark)
     if what in ("residual_store", "all"):
         probe_residual_store(spark)

@@ -53,12 +53,14 @@ from scripts_toolkit_spark.ext.ann_index import (
     _encode_codes,
     _encode_codes_residual,
     _index_meta,
+    _index_two_level,
     _pq_rank,
 )
 from scripts_toolkit_spark.ext.similarity import (
     _dot,
     attach_pq_lut,
     ivf_assign,
+    ivf_assign_two_level,
     normalize_vectors,
 )
 from scripts_toolkit_spark.materialize import materialize as _materialize
@@ -114,6 +116,7 @@ def make_ann_ingest_processor(
         spark = batch.sparkSession
         cents = spark.read.parquet(index_path + "/centroids")
         n_home, residual = _index_meta(spark, index_path)
+        two_level, super_probe = _index_two_level(spark, index_path)
         try:
             codebook = spark.read.parquet(index_path + "/codebook")
         except AnalysisException:
@@ -123,19 +126,36 @@ def make_ann_ingest_processor(
                 "use_pq=True requires a codebook-built index "
                 f"({index_path}/codebook is missing)"
             )
+        # a two-level store (meta two_level, r12) streams two-level as
+        # well: the per-batch assignment routes coarse-to-fine and never
+        # collects the stored centroid set — the same ONE max(n_probe,
+        # n_home)-deep ranking serves stored rows and match probes. Its
+        # cell ids are the threshold-pick seeds' own (bigint) ids, so the
+        # store-read schema widens accordingly.
+        normed = normalize_vectors(batch, id_col, vec_col)
         assigned = (
-            ivf_assign(
-                normalize_vectors(batch, id_col, vec_col), cents,
-                max(n_probe, n_home), id_col, vec_col, with_rank=True,
+            ivf_assign_two_level(
+                normed, cents, super_probe=super_probe,
+                n_probe=max(n_probe, n_home), id_col=id_col, vec_col=vec_col,
+                with_rank=True,
             )
-            .transform(_materialize)
+            if two_level
+            else ivf_assign(
+                normed, cents, max(n_probe, n_home), id_col, vec_col,
+                with_rank=True,
+            )
+        ).transform(_materialize)
+        store_schema = (
+            STORE_SCHEMA.replace("cell_id int", "cell_id bigint")
+            if two_level
+            else STORE_SCHEMA
         )
         new_rows = assigned.where(F.col("probe_rank") <= n_home).select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
             "cell_id", "probe_rank",
         )
         try:
-            store = spark.read.schema(STORE_SCHEMA).parquet(index_path + "/vectors")
+            store = spark.read.schema(store_schema).parquet(index_path + "/vectors")
         except AnalysisException:  # first batch: store not created yet
             old = None
         else:

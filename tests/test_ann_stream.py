@@ -362,3 +362,54 @@ def test_lifecycle_compact_delete_between_batches(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(one_path + "/vectors").collect()
     }
     assert streamed == oneshot
+
+
+def test_stream_two_level_store_matches_batch(spark, sf_dir, tmp_path):
+    """r12: the streaming ingester honors the persisted TWO-LEVEL routing
+    (meta two_level) — per-batch assignment goes coarse-to-fine with the
+    stored threshold-pick centroids (bigint cell ids; no flat centroid
+    collect), and the streamed store stays row-identical to a one-shot
+    two-level build over the same corpus with the same model."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    first = emb.where("vec_id % 3 = 0")
+    rest_a = emb.where("vec_id % 3 = 1")
+    rest_b = emb.where("vec_id % 3 = 2")
+    index_path = str(tmp_path / "ix2l")
+    build_ann_index(first, index_path, two_level=True)
+
+    src = str(tmp_path / "vec_in")
+    rest_a.coalesce(1).write.mode("append").parquet(src)
+    rest_b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest(
+        stream,
+        index_path=index_path,
+        matches_path=str(tmp_path / "matches"),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=3,
+    )
+    q.awaitTermination()
+
+    one_path = str(tmp_path / "oneshot")
+    stored_cents = spark.read.parquet(index_path + "/centroids").localCheckpoint()
+    build_ann_index(emb, one_path, centroids=stored_cents, two_level=True)
+    streamed = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["cell_id"], tuple(r["embedding"]))
+        for r in spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert streamed == oneshot
+    assert streamed, "degenerate: empty store"
+
+    rows = spark.read.parquet(str(tmp_path / "matches")).collect()
+    assert rows, "degenerate: no cross-batch matches"
+    # every match pairs a later-batch query with an earlier-batch neighbor
+    assert all(r["query_id"] % 3 != 0 for r in rows)

@@ -114,3 +114,72 @@ def test_grid_knn_excludes_self_and_caps_k(spark):
         assert x["query_id"] != x["neighbor_id"]
         per_q.setdefault(x["query_id"], []).append(x["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3 for v in per_q.values())
+
+
+def test_grid_knn_multires_equals_brute_force_when_satisfied(spark):
+    """The multi-resolution kNN (r12): for every query whose emitted
+    level ℓ had ≥ k candidates within the cell size (i.e. every
+    non-final-level stop, plus final-level stops that happen to
+    satisfy), the emitted top-k must equal the GLOBAL brute-force top-k
+    — the 3×3-block coverage guarantee in action. Final-level
+    best-effort queries must emit the brute-force top-k RESTRICTED to
+    their coarsest block. Also: at most k rows per query, ranks
+    contiguous from 1, levels within range."""
+    from scripts_toolkit_spark.operators.spatial import grid_knn_multires
+
+    # 300 points over 10°x10°: levels 1/2/3 all exercised (offline check:
+    # stop-level histogram {1: 6, 2: 116, 3: 178} for this fixture)
+    pts = _points(spark, 300).localCheckpoint()
+    k, r0, L = 4, 0.15, 4
+    got = grid_knn_multires(pts, pts, k, r0, levels=L).collect()
+    assert got, "degenerate: no output"
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert {r["level"] for r in got} <= set(range(L))
+    assert len({r["level"] for r in got}) >= 2, "only one level exercised"
+
+    rows = pts.collect()
+    coords = {r["point_id"]: (r["lat"], r["lon"]) for r in rows}
+
+    def d2(a, b):
+        (xa, ya), (xb, yb) = coords[a], coords[b]
+        dx, dy = xa - xb, ya - yb
+        return dx * dx + dy * dy
+
+    import math
+
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= k
+        lv = rs[0]["level"]
+        assert all(r["level"] == lv for r in rs)
+        s = r0 * (2.0 ** lv)
+        others = [p for p in coords if p != q]
+        within = sum(1 for p in others if d2(q, p) <= s * s)
+        brute = sorted(others, key=lambda p: (d2(q, p), p))
+        if within >= k:
+            assert [r["neighbor_id"] for r in rs] == brute[:k], f"query {q} level {lv}"
+        else:
+            assert lv == L - 1  # only the coarsest level may fall short
+            block = [
+                p for p in others
+                if abs(math.floor(coords[p][0] / s) - math.floor(coords[q][0] / s)) <= 1
+                and abs(math.floor(coords[p][1] / s) - math.floor(coords[q][1] / s)) <= 1
+            ]
+            bb = sorted(block, key=lambda p: (d2(q, p), p))
+            assert [r["neighbor_id"] for r in rs] == bb[:k], f"query {q} best-effort"
+
+    # every query with at least one candidate in its coarsest block emits
+    all_q = set(coords)
+    missing = all_q - set(by_q)
+    s_max = r0 * (2.0 ** (L - 1))
+    for q in missing:
+        block = [
+            p for p in coords
+            if p != q
+            and abs(math.floor(coords[p][0] / s_max) - math.floor(coords[q][0] / s_max)) <= 1
+            and abs(math.floor(coords[p][1] / s_max) - math.floor(coords[q][1] / s_max)) <= 1
+        ]
+        assert not block, f"query {q} had coarsest-block candidates but emitted nothing"

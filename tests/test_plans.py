@@ -177,6 +177,7 @@ _BNLJ_ALLOWLIST = {
     "ann_index_health": "one-row centroid-count x one-row occupancy-summary attach",
     "join_size_probe": "one-row degree-sum x one-row per-side key-count attaches",
     "dsir_importance_weights": "scalar (n_r, n_t) feature-totals attach (one row) onto the 1024-row bucket model",
+    "corpus_prep_dsir": "same scalar feature-totals attach as dsir_importance_weights (one row onto the 1024-row model)",
     "bloom_semijoin_prune": "one-row 8KB bloom-bitmap attach to the probe side + one-row x one-row stats attach",
 }
 

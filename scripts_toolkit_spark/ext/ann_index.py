@@ -392,15 +392,13 @@ def build_ann_index(
     else:
         # caller-provided model (e.g. Lloyd-refined): cut its corpus lineage
         centroids = centroids.transform(_materialize)
-    # control-plane writes go out as ONE task/file (r12 — round-11 verdict
-    # Next #3: at bench scale the 32-slice default of literal
-    # createDataFrame frames made every KB model write a 32-task,
-    # 32-file job; the fixed per-task+commit overhead was a measurable
-    # slice of build wall). The two-level threshold pick keeps its
-    # distributed layout — coalesce(1) would collapse the corpus filter
-    # scan into one task.
-    cent_out = centroids if two_level else centroids.coalesce(1)
-    cent_out.write.mode("overwrite").parquet(path + "/centroids")
+    # NOTE (r12, measured): do NOT coalesce(1) these literal-frame model
+    # writes. A parallelized (createDataFrame) frame coalesced to one
+    # partition makes the single write task stream all 32 Python-
+    # serialized parent partitions SEQUENTIALLY (~5 s each write); the
+    # plain 32-task write of the same KB frame is ~0.5 s. SCALING.md
+    # "build-wall attribution" records the A/B.
+    centroids.write.mode("overwrite").parquet(path + "/centroids")
     if two_level:
         centroids = spark.read.parquet(path + "/centroids")
     # the build-time knobs are INDEX properties: persist them so append/
@@ -419,7 +417,7 @@ def build_ann_index(
         "n_home int, residual boolean, pq_seeded boolean, "
         "pq_n_codes int, m int, sub_dim int, "
         "two_level boolean, super_probe int",
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/meta")
+    ).write.mode("overwrite").parquet(path + "/meta")
     # with_rank in both branches of ivf_assign is free (the kernel already
     # holds the argsort order); n_home rows per vector, rank 1 = home
     if two_level:
@@ -451,7 +449,7 @@ def build_ann_index(
         # the frame the compressed-domain search joins at 100 TB. Codes
         # mirror /vectors' batch_id partitioning (r11) so the streaming
         # ingester's compressed path overwrites per-partition exactly-once.
-        sub_codebook.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+        sub_codebook.write.mode("overwrite").parquet(path + "/codebook")
         codes = (
             _encode_codes_residual(stored, sub_codebook, centroids, id_col, vec_col)
             if residual
@@ -918,7 +916,7 @@ def retrain_index(
             spark, snap, n_cells, pq_n_codes, meta_m, meta_sub_dim,
             id_col, vec_col, n_rows=n_rows,
         )
-        codebook.coalesce(1).write.mode("overwrite").parquet(path + "/codebook")
+        codebook.write.mode("overwrite").parquet(path + "/codebook")
     elif two_level:
         # a two-level store retrains two-level: fully-distributed re-pick
         # (no PQ codebook exists — build refuses the combination)
@@ -930,11 +928,7 @@ def retrain_index(
             codebook = spark.read.parquet(path + "/codebook").transform(_materialize)
         except AnalysisException:
             codebook = None
-    # one task/file for the KB model write (same rationale as the build's
-    # control-plane coalesce); the two-level threshold pick keeps its
-    # distributed layout
-    cent_out = cents if two_level else cents.coalesce(1)
-    cent_out.write.mode("overwrite").parquet(path + "/centroids")
+    cents.write.mode("overwrite").parquet(path + "/centroids")
     if two_level:
         cents = spark.read.parquet(path + "/centroids")
         stored = ivf_assign_two_level(

@@ -2127,3 +2127,91 @@ c AS (
 SELECT doc_id, lang, quality, n_tokens, weight, cum_before
 FROM c WHERE cum_before < {_CPD_BUDGET}
 """
+
+
+def sequence_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKER itself (r12 — `packing_efficiency_report` prices the
+    strategies; this op MATERIALIZES the winning one): every document
+    gets its (global training-sequence id, token offset, sequences
+    spanned) under shard-parallel concat-then-chunk packing — docs
+    concatenate in md5-deterministic order within their shard and chunk
+    into 2048-token sequences, spanning boundaries GPT-style; only each
+    shard's last sequence pads. This is the assignment a 100 TB pipeline
+    writes back beside the corpus before materializing sequences.
+
+    Scale shape: one per-shard token prefix sum (window bounded by shard
+    size, never N) + a |shards|-row shard-base prefix (the
+    token_budget_sample two-level machinery) equi-joined back (KB, AQE
+    broadcasts). All integer arithmetic — exact div/mod, no doubles —
+    so the oracle replays bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    win = (
+        Window.partitionBy("shard")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("bigint")
+    wbase = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        d.groupBy("shard")
+        .agg(F.sum("n_tokens").alias("st"))
+        .select(
+            "shard",
+            F.coalesce(
+                F.sum(F.expr(f"(st + {_PACK_BUDGET} - 1) div {_PACK_BUDGET}")).over(wbase),
+                F.lit(0),
+            ).cast("bigint").alias("seq_base"),
+        )
+    )
+    B = _PACK_BUDGET
+    return (
+        d.withColumn("cum", cum)
+        .join(bases, "shard")
+        .select(
+            "doc_id",
+            "shard",
+            (F.col("seq_base") + F.expr(f"cum div {B}")).cast("bigint").alias("seq_id"),
+            F.expr(f"cum % {B}").cast("bigint").alias("tok_offset"),
+            "n_tokens",
+            (
+                F.expr(f"(cum + n_tokens - 1) div {B}") - F.expr(f"cum div {B}") + 1
+            ).cast("int").alias("seqs_spanned"),
+        )
+    )
+
+
+SEQUENCE_PACK_ASSIGNMENTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS pri
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY pri, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM d
+),
+bases AS (
+  SELECT shard,
+         CAST(COALESCE(SUM((st + {_PACK_BUDGET} - 1) // {_PACK_BUDGET}) OVER (
+           ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS seq_base
+  FROM (SELECT shard, SUM(n_tokens) AS st FROM d GROUP BY shard)
+)
+SELECT doc_id, shard,
+  CAST(seq_base + cum // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+  CAST(cum % {_PACK_BUDGET} AS BIGINT) AS tok_offset,
+  n_tokens,
+  CAST((cum + n_tokens - 1) // {_PACK_BUDGET} - cum // {_PACK_BUDGET} + 1 AS INT)
+    AS seqs_spanned
+FROM c JOIN bases USING (shard)
+"""

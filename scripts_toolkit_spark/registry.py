@@ -174,6 +174,17 @@ register(
 # (incremental_dedup_pairs ceded its seat — green since r3, ext/dedup.py
 # unchanged this round; parked just past the window).
 register("corpus_prep_dsir", cd.corpus_prep_dsir, cd.CORPUS_PREP_DSIR_SQL)
+# NEW (r12): the sequence PACKER itself — packing_efficiency_report
+# prices the strategies, this op materializes the shard-packed
+# assignment (doc → global seq_id / token offset / sequences spanned)
+# via the two-level prefix-sum machinery; all-integer, bit-replayable
+# (video_scene_cuts ceded its seat — r11-green, media_demos.py oracle
+# unchanged for it this round; parked just past the window).
+register(
+    "sequence_pack_assignments",
+    cd.sequence_pack_assignments,
+    cd.SEQUENCE_PACK_ASSIGNMENTS_SQL,
+)
 # NEW (r5 wave 5): winsorized stats
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from

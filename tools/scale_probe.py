@@ -524,10 +524,11 @@ def probe_build_stages(spark, tmp_base: str = "/tmp/spark_graft_probe_bstage") -
     (the stats/pick/assign jobs read RAM instead of re-scanning parquet;
     removing it measured ~+50% on build warm min), the dominant stage is
     assign+write, and the r10/r11 creep is JOB-COUNT overhead (the meta
-    write added in r10; literal model frames defaulting to 32 slices →
-    32-task, 32-file KB writes — fixed in r12 by coalesce(1) on
-    control-plane writes, which a 100 TB store wants anyway: centroids/
-    meta/codebook are KB model artifacts, one file each)."""
+    write added in r10, widened in r11; ~0.3-1 s fixed cost per job on
+    this host). A coalesce(1) "fix" for the 32-slice literal model
+    writes was tried and REVERTED: one coalesced task streams all 32
+    Python-serialized parent partitions sequentially (~5 s per KB
+    write vs 0.5 s plain) — see SCALING.md for the A/B."""
     import shutil
 
     from scripts_toolkit_spark.ext.ann_index import build_ann_index
@@ -562,9 +563,9 @@ def probe_build_stages(spark, tmp_base: str = "/tmp/spark_graft_probe_bstage") -
         cents = deterministic_centroids(normed, n_cells, n_rows=n_rows)
         t["pick"] = time.time() - t0
         t0 = time.time()
-        cents.coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
-        spark.createDataFrame([(1, False)], "n_home int, residual boolean").coalesce(
-            1
+        cents.write.mode("overwrite").parquet(path + "/centroids")
+        spark.createDataFrame(
+            [(1, False)], "n_home int, residual boolean"
         ).write.mode("overwrite").parquet(path + "/meta")
         t["model_writes"] = time.time() - t0
         t0 = time.time()

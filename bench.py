@@ -110,6 +110,14 @@ EXTRA_DEFAULT = (
     "spatial_radius_pairs",
     "incremental_bloom_members",
     "spatial_knn",
+    # Round-12: the two-level persistent store (threshold pick +
+    # coarse-to-fine assignment, no centroid collect), the multi-
+    # resolution fixed-ring kNN, the DSIR-composed corpus-prep capstone,
+    # and the sequence packer (two prefix-sum windows + KB base join)
+    "ann_index_two_level",
+    "spatial_knn_multires",
+    "corpus_prep_dsir",
+    "sequence_pack_assignments",
 )
 
 

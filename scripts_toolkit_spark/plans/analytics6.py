@@ -789,3 +789,120 @@ def incremental_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # merged incremental state == one-shot sketch, so the oracle is the
 # one-shot replay — the strongest SQL statement of mergeability
 INCREMENTAL_QUANTILE_SKETCH_SQL = QUANTILE_SKETCH_VALUES_SQL
+
+
+# ------------------------------------------------- EWMA forecasting ----
+# r12: the time-series family (fill-forward, resample, OLS trend, Markov,
+# retention) gains FORECASTING — exponential smoothing, the production
+# baseline smoother. Cross-engine recurrences are the #1 oracle hazard
+# (the r11 ADPCM lesson), so the recurrence l_t = (x_t + 3·l_{t-1}) / 4
+# (α = 1/4) is evaluated in CLOSED FORM instead: l_13 · 4^13 =
+# Σ_t x_t · w_t with exact INTEGER weights w_0 = 3^13,
+# w_t = 4^(t-1) · 3^(13-t) — one decimal dot product and ONE double
+# division at the end. No per-step rounding exists to diverge.
+_EWMA_T = 14  # days 2024-01-01 .. 2024-01-14 (t = 0..13), present at every SF
+_EWMA_W = [3 ** 13] + [4 ** (t - 1) * 3 ** (13 - t) for t in range(1, 14)]
+_EWMA_DEN_CENTS = (4 ** 13) * 100  # weight denominator × cents scale
+
+
+def ewma_event_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exponentially-weighted level over a fixed 14-day
+    window (α = 1/4, zero-filled missing days), emitted as the next-day
+    forecast beside the last observed day and a hash-gated `rising`
+    flag. Money-exact: daily sums in DECIMAL(12,2) → integer cents →
+    exact decimal dot product with the closed-form integer weights →
+    one rounded double division.
+
+    Scale shape: one grouped aggregate over the window scan, a 14-element
+    dense positional weight array (O(1) element_at — the measured 10×
+    map-lookup penalty avoided), and a 5-type × 14-day grid built by
+    generator explode (no cross join). At 100 TB the state is one row
+    per (entity, day-bucket) — the standard pre-aggregation every
+    monitoring pipeline runs."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .where(F.col("day").between("2024-01-01", "2024-01-14"))
+    )
+    t = F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+    daily = ev.groupBy("event_type", t.alias("t")).agg(
+        (F.sum("v").cast("decimal(20,2)") * 100).cast("decimal(20,0)").alias("cents")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.array(*[F.lit(i) for i in range(_EWMA_T)])).alias("t"),
+        )
+    )
+    wts = F.element_at(
+        F.array(*[F.lit(str(w)).cast("decimal(18,0)") for w in _EWMA_W]),
+        F.col("t") + 1,
+    )
+    filled = grid.join(daily, ["event_type", "t"], "left").select(
+        "event_type",
+        "t",
+        F.coalesce(F.col("cents"), F.lit(0).cast("decimal(20,0)")).alias("cents"),
+        wts.alias("wt"),
+    )
+    agg = filled.groupBy("event_type").agg(
+        F.sum((F.col("cents") * F.col("wt")).cast("decimal(38,0)")).alias("m"),
+        F.sum(F.when(F.col("cents") > 0, 1).otherwise(0)).cast("bigint").alias("n_active_days"),
+        F.max(F.when(F.col("t") == _EWMA_T - 1, F.col("cents"))).alias("last_cents"),
+    )
+    last_v = F.round(F.col("last_cents").cast("double") / F.lit(100.0), 6)
+    fc = F.round(F.col("m").cast("double") / F.lit(float(_EWMA_DEN_CENTS)), 6)
+    return agg.select(
+        "event_type",
+        "n_active_days",
+        last_v.alias("last_day_value"),
+        fc.alias("ewma_forecast"),
+        (last_v > fc).alias("rising"),
+    )
+
+
+def _ewma_sql() -> str:
+    w_rows = ", ".join(f"({t}, {w})" for t, w in enumerate(_EWMA_W))
+    return f"""
+WITH w(t, wt) AS (VALUES {w_rows}),
+ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(12,2)) AS v
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-01' AND DATE '2024-01-14'
+),
+daily AS (
+  SELECT event_type, date_diff('day', DATE '2024-01-01', day) AS t,
+         CAST(SUM(v) * 100 AS BIGINT) AS cents
+  FROM ev GROUP BY event_type, day
+),
+grid AS (
+  SELECT event_type, t FROM (SELECT DISTINCT event_type FROM ev) CROSS JOIN w
+),
+filled AS (
+  SELECT g.event_type, g.t, COALESCE(d.cents, 0) AS cents, w.wt
+  FROM grid g
+  LEFT JOIN daily d ON d.event_type = g.event_type AND d.t = g.t
+  JOIN w ON w.t = g.t
+),
+agg AS (
+  SELECT event_type,
+    SUM(CAST(cents AS HUGEINT) * wt) AS m,
+    CAST(SUM(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active_days,
+    MAX(CASE WHEN t = {_EWMA_T - 1} THEN cents END) AS last_cents
+  FROM filled GROUP BY event_type
+)
+SELECT event_type, n_active_days,
+  round(CAST(last_cents AS DOUBLE) / 100.0, 6) AS last_day_value,
+  round(CAST(m AS DOUBLE) / {_EWMA_DEN_CENTS}.0, 6) AS ewma_forecast,
+  round(CAST(last_cents AS DOUBLE) / 100.0, 6)
+    > round(CAST(m AS DOUBLE) / {_EWMA_DEN_CENTS}.0, 6) AS rising
+FROM agg
+"""
+
+
+EWMA_EVENT_FORECAST_SQL = _ewma_sql()

@@ -185,6 +185,14 @@ register(
     cd.sequence_pack_assignments,
     cd.SEQUENCE_PACK_ASSIGNMENTS_SQL,
 )
+# NEW (r12): exponential-smoothing forecast — the time-series family
+# gains its production-baseline smoother, with the recurrence evaluated
+# in CLOSED FORM (exact integer weights, one decimal dot product, one
+# final double division) so no per-step rounding exists to diverge
+# cross-engine (the r11 ADPCM lesson applied at design time)
+# (video_frame_sample_stats ceded its seat — r11-green, unchanged this
+# round; parked just past the window).
+register("ewma_event_forecast", a6.ewma_event_forecast, a6.EWMA_EVENT_FORECAST_SQL)
 # NEW (r5 wave 5): winsorized stats
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
@@ -357,12 +365,16 @@ register(
 from scripts_toolkit_spark.plans import media_demos as md
 
 register("video_decode_stats", md.video_decode_stats, md.VIDEO_DECODE_STATS_SQL)
+# r12: adpcm_roundtrip_stats is the round's #1 CHANGED row (oracle
+# rewritten from the recursive CTE to unrolled layers) and MUST hold an
+# in-window seat; video_frame_sample_stats (r11-green, unchanged) cedes
+# and registers right after it.
+register("adpcm_roundtrip_stats", md.adpcm_roundtrip_stats, md.ADPCM_ROUNDTRIP_STATS_SQL)
 register(
     "video_frame_sample_stats",
     md.video_frame_sample_stats,
     md.VIDEO_FRAME_SAMPLE_STATS_SQL,
 )
-register("adpcm_roundtrip_stats", md.adpcm_roundtrip_stats, md.ADPCM_ROUNDTRIP_STATS_SQL)
 # NEW (r11 wave 2): temporal analysis on the decoded frames — classic
 # SAD shot-boundary detection with a hash-gated threshold flag
 # (inverted_index_postings ceded its seat — r5-green, unchanged;

@@ -280,3 +280,82 @@ def test_corpus_prep_dsir_enriches_vs_uniform(spark, sf_dir):
     assert acc_rate > uni_rate, (
         f"no enrichment over uniform: dsir {acc_rate:.2f} vs uniform {uni_rate:.2f}"
     )
+
+
+def test_sequence_pack_assignments_tile_contiguously(spark, sf_dir):
+    """The packer's core invariant: within each shard, documents tile the
+    concatenated token stream contiguously (sorted by position, each doc
+    starts exactly where the previous ended), offsets stay inside the
+    sequence budget, the spanned-sequences count matches the arithmetic,
+    and shards own disjoint global sequence-id ranges."""
+    from scripts_toolkit_spark.plans.corpus_demos import (
+        _PACK_BUDGET,
+        sequence_pack_assignments,
+    )
+
+    rows = sequence_pack_assignments(spark, sf_dir).collect()
+    assert rows
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r["tok_offset"] < _PACK_BUDGET
+        by_shard.setdefault(r["shard"], []).append(r)
+    shard_ranges = {}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["seq_id"], r["tok_offset"]))
+        base = rs[0]["seq_id"] - (0 if rs[0]["tok_offset"] == 0 else 1)
+        cum = 0
+        for r in rs:
+            global_pos = (r["seq_id"] - rs[0]["seq_id"]) * _PACK_BUDGET + r["tok_offset"]
+            assert global_pos == cum, f"gap in shard {shard} at doc {r['doc_id']}"
+            start_seq = cum // _PACK_BUDGET
+            end_seq = (cum + r["n_tokens"] - 1) // _PACK_BUDGET
+            assert r["seqs_spanned"] == end_seq - start_seq + 1
+            cum += r["n_tokens"]
+        assert rs[0]["tok_offset"] == 0  # each shard stream starts at 0
+        shard_ranges[shard] = (rs[0]["seq_id"], rs[-1]["seq_id"])
+        assert base == rs[0]["seq_id"]
+    # shards own disjoint, ordered global sequence-id ranges
+    ordered = sorted(shard_ranges.items())
+    for (s1, (_a1, b1)), (s2, (a2, _b2)) in zip(ordered, ordered[1:]):
+        assert b1 < a2, f"shard {s1} and {s2} overlap sequence ids"
+
+
+def test_ewma_closed_form_matches_recurrence(spark, sf_dir):
+    """The closed-form integer-weight EWMA must equal the float
+    recurrence l_t = (x_t + 3 l_{t-1}) / 4 replayed in Python over the
+    same zero-filled daily series (tolerance: the final rounding only),
+    and the forecast must lie in the convex hull of the observed daily
+    values (EWMA is a convex combination)."""
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.plans.analytics6 import (
+        _EWMA_T,
+        ewma_event_forecast,
+    )
+
+    got = {r["event_type"]: r for r in ewma_event_forecast(spark, sf_dir).collect()}
+    assert got, "degenerate: no event types"
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        )
+        .where(F.col("day").between("2024-01-01", "2024-01-14"))
+        .groupBy("event_type", F.datediff("day", F.lit("2024-01-01").cast("date")).alias("t"))
+        .agg(F.sum("v").cast("double").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in ev:
+        series.setdefault(r["event_type"], {})[r["t"]] = r["x"]
+    for et, row in got.items():
+        xs = [series[et].get(t, 0.0) for t in range(_EWMA_T)]
+        level = xs[0]
+        for x in xs[1:]:
+            level = (x + 3.0 * level) / 4.0
+        assert abs(level - row["ewma_forecast"]) < 1e-4, (et, level, row["ewma_forecast"])
+        assert min(xs) - 1e-9 <= row["ewma_forecast"] <= max(xs) + 1e-9
+        assert row["rising"] == (row["last_day_value"] > row["ewma_forecast"])

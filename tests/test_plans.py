@@ -328,6 +328,7 @@ def test_ewma_closed_form_matches_recurrence(spark, sf_dir):
     values (EWMA is a convex combination)."""
     from pyspark.sql import functions as F
 
+    from scripts_toolkit_spark.io.catalog import load_table
     from scripts_toolkit_spark.plans.analytics6 import (
         _EWMA_T,
         ewma_event_forecast,

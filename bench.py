@@ -357,6 +357,12 @@ def main() -> None:
         # can no longer hide inside build noise, and suite-cold lifecycle
         # walls stop reading as search regressions
         "store_split": _store_family_split(spark, SF_DIR),
+        # host load around the run IN THE COMPACT LINE too (r13 — round-12
+        # verdict Next #7): the tail capture always retains it, so a
+        # round-over-round delta is adjudicable from BENCH_r*.json alone
+        # (SCALING.md records identical code swinging 3.0->12.8s with load)
+        "loadavg_1m_before": round(load_before[0], 2),
+        "loadavg_1m_after": round(os.getloadavg()[0], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

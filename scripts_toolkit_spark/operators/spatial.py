@@ -213,9 +213,12 @@ def grid_knn_multires(
     needs. Coarser levels have denser cells (area ×4 per level) but only
     sparse-region queries reach them — exactly the queries whose
     neighborhoods are cheap. Returns (query_id, neighbor_id, rank,
-    dist2, level); deterministic (dist2, neighbor_id) tiebreak, dist2
-    rounded 6 dp, thresholds compared on the unrounded double with
-    Python-float literals shared verbatim by the SQL oracle."""
+    dist2, level, provably_exact) — provably_exact=false marks the
+    last-level best-effort rows (block-restricted, < k candidates within
+    the coarsest cell size); every other row is the guaranteed global
+    top-k. Deterministic (dist2, neighbor_id) tiebreak, dist2 rounded
+    6 dp, thresholds compared on the unrounded double with Python-float
+    literals shared verbatim by the SQL oracle."""
     from pyspark.sql.window import Window
 
     from scripts_toolkit_spark.materialize import materialize as _materialize
@@ -278,10 +281,17 @@ def grid_knn_multires(
         )
         last = lv == levels - 1
         sat = ranked if last else ranked.where(F.col("__cnt") >= k)
+        # provably_exact (r13 — round-12 verdict Next #6): true exactly
+        # when the stopping level's >= k-within-s guarantee held — i.e.
+        # the emitted rows ARE the global top-k. False only for last-level
+        # best-effort rows (block-restricted result, fewer than k
+        # candidates within the coarsest cell size) — consumers no longer
+        # need the level semantics to tell guaranteed rows apart.
         emit = sat.where(F.col("rank") <= k).select(
             "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"),
             F.round("__d2", 6).alias("dist2"),
             F.lit(lv).cast("int").alias("level"),
+            (F.col("__cnt") >= F.lit(k)).alias("provably_exact"),
         )
         out = emit if out is None else out.unionByName(emit)
         if not last:

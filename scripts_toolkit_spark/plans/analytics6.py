@@ -317,14 +317,12 @@ def zipf_fit_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     a slope near −1 is the classic natural-corpus signature, and a
     composition proof that the trend operator runs on DERIVED frames.
     lns are rounded to 6 dp before the decimal sums (repo rule); the
-    ranking window runs on the vocabulary-sized aggregate (benign)."""
-    from pyspark.sql.window import Window
-
+    top-200 ranking over the vocabulary-sized aggregate runs through the
+    two-stage `global_topk` (no single-task window)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
     stats = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    wr = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = stats.withColumn("r", F.row_number().over(wr)).where(F.col("r") <= 200)
+    ranked = global_topk(stats, [F.desc("cnt"), F.asc("token")], 200, rank_col="r")
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")), 6).cast("decimal(12,6)").alias("x"),
         F.round(F.log(F.col("cnt").cast("double")), 6).cast("decimal(12,6)").alias("y"),

@@ -1715,11 +1715,10 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
-    w = Window.orderBy(F.desc("pmi"), F.asc("bg"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 40)
-        .select("bg", "c2", "pmi", F.col("rank").cast("int").alias("rank"))
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    return global_topk(scored, [F.desc("pmi"), F.asc("bg")], 40).select(
+        "bg", "c2", "pmi", F.col("rank").cast("int").alias("rank")
     )
 
 
@@ -1784,14 +1783,12 @@ def trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("shift_score"),
     )
-    w = Window.orderBy(F.desc("shift_score"), F.asc("token"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("token", F.col("ca").cast("bigint").alias("ca"),
-                F.col("cb").cast("bigint").alias("cb"), "shift_score",
-                F.col("rank").cast("int").alias("rank"))
-    )
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    return global_topk(scored, [F.desc("shift_score"), F.asc("token")], 20).select(
+        "token", F.col("ca").cast("bigint").alias("ca"),
+        F.col("cb").cast("bigint").alias("cb"), "shift_score",
+        F.col("rank").cast("int").alias("rank"))
 
 
 TRENDING_TOKENS_SQL = """

@@ -2456,6 +2456,43 @@ def ann_index_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ANN.search_index(spark, path, k=3, n_probe=3)
 
 
+def ann_index_two_level_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED-DOMAIN search on a TWO-LEVEL store (r13 — round-12
+    verdict Next #3: the extreme-N regime must not lose compression):
+    `build_ann_index(two_level=True, sub_codebook=...)` composes the
+    fully-distributed threshold centroid pick + coarse-to-fine routing
+    with a FIXED-SIZE plain PQ codebook (64 codes × m=4 subspaces —
+    slices of the md5-picked normalized seed vectors; n_codes independent
+    of N, so the model collect stays KB at any corpus size, unlike the
+    seeded-residual construction whose n_codes ∝ √N keeps its exclusion).
+    The store persists /codes alongside /vectors, and
+    `search_index(use_pq=True)` runs the ADC shortlist + exact rerank
+    over the stored m-int code arrays — candidates never ship raw 64-dim
+    vectors. Every stage is md5/sequential-fold deterministic, so the
+    oracle replays threshold pick → super pick → two-level assignment →
+    PQ encode → per-(query, probed-cell) ADC top-24 → cosine rerank →
+    top-3 in SQL, including the parquet round-trip."""
+    from scripts_toolkit_spark.ext import ann_index as ANN
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        normalize_vectors,
+        pq_subspace_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _session_index_path(spark, sf_dir, "ann_two_level_pq")
+    normed = normalize_vectors(emb)
+    cb = pq_subspace_codebook(
+        deterministic_centroids(normed, 64).select(
+            F.col("cell_id").alias("code"), "centroid"
+        ),
+        4,
+        16,
+    )
+    ANN.build_ann_index(emb, path, two_level=True, sub_codebook=cb)
+    return ANN.search_index(spark, path, k=3, n_probe=3, use_pq=True, rerank_factor=8)
+
+
 ANN_INDEX_TWO_LEVEL_SQL = """
 WITH nv AS (
   SELECT vec_id,
@@ -2547,6 +2584,153 @@ ranked AS (
   SELECT query_id, neighbor_id, cos_sim,
     row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+# The two-level routing CTE chain (threshold pick -> super pick -> fine
+# two-level assignment) shared verbatim with ANN_INDEX_TWO_LEVEL_SQL,
+# composed below with the PQ encode/ADC/rerank chain of
+# ANN_TOPK_IVFPQ_SQL — replaying ann_index_two_level_pq's store build +
+# compressed-domain search end-to-end (parquet round-trip included).
+_TWO_LEVEL_ROUTING_SQL = """
+nv AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(x AS DOUBLE) /
+      sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS nvec
+  FROM embeddings
+),
+stats AS (
+  SELECT count(*) AS n,
+         greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n_cells
+  FROM nv
+),
+bound AS (
+  SELECT CASE WHEN CAST(n_cells AS DOUBLE) / n >= 1.0 THEN NULL
+              ELSE lower(lpad(to_hex(greatest(1,
+                CAST(floor(CAST(n_cells AS DOUBLE) / n * 4294967296) AS BIGINT))), 8, '0'))
+         END AS b
+  FROM stats
+),
+centv AS (
+  SELECT vec_id AS cell_id, nvec AS centroid
+  FROM nv CROSS JOIN bound
+  WHERE b IS NULL OR substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) < b
+),
+ns AS (
+  SELECT greatest(4, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS s FROM centv
+),
+sseed AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(cell_id AS VARCHAR)), cell_id) - 1 AS INT) AS super_id,
+         cell_id
+  FROM centv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(cell_id AS VARCHAR)), cell_id) <= (SELECT s FROM ns)
+),
+superv AS (
+  SELECT super_id, centroid AS scent FROM sseed JOIN centv USING (cell_id)
+),
+cent_super AS (
+  SELECT cell_id, super_id FROM (
+    SELECT c.cell_id, s.super_id,
+      row_number() OVER (PARTITION BY c.cell_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(c.centroid[i] AS DOUBLE) * CAST(s.scent[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        s.super_id) AS rn
+    FROM centv c, superv s
+  ) WHERE rn = 1
+),
+vprobe AS (
+  SELECT vec_id, super_id FROM (
+    SELECT e.vec_id, s.super_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(e.nvec[i] AS DOUBLE) * CAST(s.scent[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        s.super_id) AS rn
+    FROM nv e, superv s
+  ) WHERE rn <= 4
+),
+assigned AS (
+  SELECT vec_id, cell_id, rn FROM (
+    SELECT e.vec_id, c.cell_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_reduce(list_transform(range(1, 65),
+          i -> CAST(e.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+        c.cell_id) AS rn
+    FROM nv e
+    JOIN vprobe vp ON vp.vec_id = e.vec_id
+    JOIN cent_super cs ON cs.super_id = vp.super_id
+    JOIN centv c ON c.cell_id = cs.cell_id
+  ) WHERE rn <= 3
+)
+"""
+
+ANN_INDEX_TWO_LEVEL_PQ_SQL = f"""
+WITH {_TWO_LEVEL_ROUTING_SQL.strip()},
+-- FIXED-SIZE plain PQ codebook: the 64 smallest-md5 normalized vectors,
+-- sliced into m=4 sub_dim=16 codewords (pq_subspace_codebook over the
+-- deterministic_centroids(normed, 64) pick — n_codes independent of N)
+cbv AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+         nvec AS centroid
+  FROM nv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 64
+),
+cb AS (
+  SELECT s, code, centroid[s*16+1 : s*16+16] AS csub
+  FROM cbv, UNNEST(range(4)) AS t(s)
+),
+subs AS (
+  SELECT vec_id, s, nvec[s*16+1 : s*16+16] AS sub
+  FROM nv, UNNEST(range(4)) AS t(s)
+),
+d2 AS (
+  SELECT vec_id, s, code, {_PQ_L2_SQL} AS d2
+  FROM subs JOIN cb USING (s)
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, s, code
+  FROM d2
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, code) = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.cell_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE rn = 1) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+pivoted AS (
+  SELECT c.query_id, c.cell_id, c.neighbor_id,
+    MAX(CASE WHEN nc.s = 0 THEN l.d2 END) AS p0,
+    MAX(CASE WHEN nc.s = 1 THEN l.d2 END) AS p1,
+    MAX(CASE WHEN nc.s = 2 THEN l.d2 END) AS p2,
+    MAX(CASE WHEN nc.s = 3 THEN l.d2 END) AS p3
+  FROM cand c
+  JOIN codes nc ON nc.neighbor_id = c.neighbor_id
+  JOIN d2 l ON l.vec_id = c.query_id AND l.s = nc.s AND l.code = nc.code
+  GROUP BY c.query_id, c.cell_id, c.neighbor_id
+),
+shortlist AS (
+  -- no DISTINCT needed: n_home = 1 stores each neighbor in exactly one
+  -- cell, so a (query, neighbor) pair arises under one cell_id only —
+  -- mirroring _pq_rank, which also skips the dedup at n_home = 1
+  SELECT query_id, neighbor_id
+  FROM pivoted
+  QUALIFY row_number() OVER (PARTITION BY query_id, cell_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 24
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(q.nvec[i] AS DOUBLE) * CAST(n.nvec[i] AS DOUBLE)), (x, y) -> x + y) AS cos_sim
+  FROM shortlist s
+  JOIN nv q ON q.vec_id = s.query_id
+  JOIN nv n ON n.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM reranked
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= 3

@@ -601,11 +601,10 @@ def pagerank_top_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     pr = pagerank_fixed_point(edges, iters=_PR_ITERS, scale=_PR_SCALE, damping_pct=_PR_DAMP)
-    w = Window.orderBy(F.desc("r"), F.asc("node"))
-    return (
-        pr.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("node", F.col("r").alias("rank_fp"), F.col("rank").cast("int").alias("rank"))
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    return global_topk(pr, [F.desc("r"), F.asc("node")], 20).select(
+        "node", F.col("r").alias("rank_fp"), F.col("rank").cast("int").alias("rank")
     )
 
 

@@ -29,13 +29,12 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a 3-term query (ext/retrieval.bm25_scores):
     one filtered explode → tf, query-term-sized df/idf, per-row saturation,
     DECIMAL cross-term sum; ranked with a doc_id tiebreak."""
+    from scripts_toolkit_spark.operators.topk import global_topk
+
     d = load_table(spark, sf_dir, "documents")
     scored = R.bm25_scores(d, BM25_TERMS)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
-        .select("doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    return global_topk(scored, [F.desc("score"), F.asc("doc_id")], 20).select(
+        "doc_id", "score", F.col("rank").cast("int").alias("rank")
     )
 
 
@@ -163,9 +162,9 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-ulp ln wobble has no hashable surface and order flips would need
     two keys within ~1e-16 — not observable at these row counts.
 
-    Scale shape: one narrow projection + a global top-k; at 100 TB the
-    global window becomes a per-partition partial top-k + tiny final merge
-    (the token_frequencies note); candidate volume is k per partition."""
+    Scale shape: one narrow projection + a two-stage `global_topk`
+    (per-partition partial top-k, then a k·P-row final merge) — no
+    single-task sort of the corpus; candidate volume is k per partition."""
     d = load_table(spark, sf_dir, "documents")
     u = (
         F.conv(
@@ -176,13 +175,11 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1)
     ).cast("double") / F.lit(float(1 << 32))
     key = F.log(u) / F.col("n_chars").cast("double")
-    w = Window.orderBy(F.desc(key), F.asc("doc_id"))
-    return (
-        d.select("doc_id", "source", "n_chars")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 50)
-        .select("doc_id", "source", "n_chars", F.col("rank").cast("int").alias("rank"))
-    )
+    from scripts_toolkit_spark.operators.topk import global_topk
+
+    return global_topk(
+        d.select("doc_id", "source", "n_chars"), [F.desc(key), F.asc("doc_id")], 50
+    ).select("doc_id", "source", "n_chars", F.col("rank").cast("int").alias("rank"))
 
 
 WEIGHTED_SAMPLE_DOCS_SQL = """

@@ -163,7 +163,10 @@ def spatial_knn_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k is inside the block), and emits the coarsest block's
     best-effort top-5 for queries sparse beyond the last level. The
     emitted `level` column makes the per-query stopping level
-    hash-gated, not just the neighbor sets.
+    hash-gated, not just the neighbor sets, and `provably_exact` (r13 —
+    round-12 verdict Next #6) separates guaranteed-global rows from the
+    last level's block-restricted best-effort rows without the caller
+    knowing the level semantics.
 
     Plan shape: `levels` chained bounded-kNN stages over a SHRINKING
     query set (anti-join + materialization boundary per stage — the
@@ -227,13 +230,15 @@ pairs AS (
 -- 3x3 block at cell size s covers the full radius-s ball, so the block
 -- count equals the ball count)
 sat AS (
-  SELECT query_id, {sat_case} AS lv
+  SELECT query_id, {sat_case} AS lv,
+         c{_MRK_LEVELS - 1} >= {_MRK_K} AS pe_last
   FROM (SELECT query_id, {cnt_cols} FROM pairs GROUP BY query_id)
 ),
 blocked AS (
-  SELECT query_id, neighbor_id, d2, lv
+  SELECT query_id, neighbor_id, d2, lv, pe
   FROM (
-    SELECT p.*, s.lv, {s_case} AS cs
+    SELECT p.*, s.lv, {s_case} AS cs,
+           (s.lv < {_MRK_LEVELS - 1} OR s.pe_last) AS pe
     FROM pairs p JOIN sat s USING (query_id)
   )
   WHERE abs(CAST(floor(lat_b / cs) AS BIGINT) - CAST(floor(lat_a / cs) AS BIGINT)) <= 1
@@ -243,7 +248,8 @@ SELECT query_id, neighbor_id,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS INT)
     AS rank,
   round(d2, 6) AS dist2,
-  CAST(lv AS INT) AS level
+  CAST(lv AS INT) AS level,
+  pe AS provably_exact
 FROM blocked
 QUALIFY rank <= {_MRK_K}
 """

@@ -65,14 +65,27 @@ from scripts_toolkit_spark.ext.similarity import (
 )
 from scripts_toolkit_spark.materialize import materialize as _materialize
 
-STORE_SCHEMA = (
-    "vec_id bigint, embedding array<double>, cell_id int, probe_rank int, "
-    "batch_id bigint"
-)
-CODES_SCHEMA = (
-    "vec_id bigint, ncodes array<int>, cell_id int, probe_rank int, "
-    "batch_id bigint"
-)
+def _store_schema(cell_type: str = "int") -> str:
+    """Store-read schema, parameterized on the cell_id type (advisor r12:
+    the former STORE_SCHEMA.replace('cell_id int', ...) string surgery
+    would silently no-op on a reformat). Two-level stores carry bigint
+    cell ids — the threshold pick's cells are the seed vectors' own ids."""
+    return (
+        f"vec_id bigint, embedding array<double>, cell_id {cell_type}, "
+        "probe_rank int, batch_id bigint"
+    )
+
+
+def _codes_schema(cell_type: str = "int") -> str:
+    return (
+        f"vec_id bigint, ncodes array<int>, cell_id {cell_type}, "
+        "probe_rank int, batch_id bigint"
+    )
+
+
+# legacy module-level constants (flat-store layout), kept for importers
+STORE_SCHEMA = _store_schema()
+CODES_SCHEMA = _codes_schema()
 
 
 def make_ann_ingest_processor(
@@ -145,11 +158,8 @@ def make_ann_ingest_processor(
                 with_rank=True,
             )
         ).transform(_materialize)
-        store_schema = (
-            STORE_SCHEMA.replace("cell_id int", "cell_id bigint")
-            if two_level
-            else STORE_SCHEMA
-        )
+        cell_type = "bigint" if two_level else "int"
+        store_schema = _store_schema(cell_type)
         new_rows = assigned.where(F.col("probe_rank") <= n_home).select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"),
             "cell_id", "probe_rank",
@@ -186,7 +196,7 @@ def make_ann_ingest_processor(
                 qlut_keys = ["query_id"]
             queries_f = lutted.select(F.col(id_col).alias("query_id"), "cell_id")
             old_codes = (
-                spark.read.schema(CODES_SCHEMA)
+                spark.read.schema(_codes_schema(cell_type))
                 .parquet(index_path + "/codes")
                 .where(F.col("batch_id") < F.lit(batch_id))
                 .select(F.col("vec_id").alias("neighbor_id"), "cell_id", "ncodes")

@@ -118,17 +118,18 @@ def merged_bloom(spark: SparkSession, store_path: str) -> DataFrame:
 def probe_members(
     spark: SparkSession, store_path: str, candidates: DataFrame, key_col: str
 ) -> DataFrame:
-    """Membership flag per DISTINCT candidate row against the merged
-    bitmap: explode to the k (word_idx, mask) pairs, LEFT-join the ≤ W-row
-    merged frame (a missing word means no streamed key ever touched it),
-    member = every bit set. Extra candidate columns pass through, but the
-    re-collapse groups by ALL candidate columns — duplicate input rows
-    merge, so output cardinality is distinct-rows, not input rows (the
-    membership verdict is identical for identical rows; callers needing
-    input cardinality should tag rows with an id before probing)."""
+    """Membership flag per candidate row against the merged bitmap:
+    explode to the k (word_idx, mask) pairs, LEFT-join the ≤ W-row merged
+    frame (a missing word means no streamed key ever touched it), member
+    = every bit set. Extra candidate columns pass through, and INPUT
+    CARDINALITY is preserved (advisor r12): rows are tagged with
+    `monotonically_increasing_id` before the explode and the re-collapse
+    groups on the tag, so duplicate candidate rows each keep their own
+    output row instead of silently merging."""
     words = merged_bloom(spark, store_path)
+    tagged = candidates.withColumn("__row_id", F.monotonically_increasing_id())
     keyed = (
-        candidates.select("*", F.explode(_positions(F.col(key_col))).alias("p"))
+        tagged.select("*", F.explode(_positions(F.col(key_col))).alias("p"))
         .select(
             "*",
             F.expr("p div 63").alias("word_idx"),
@@ -142,7 +143,8 @@ def probe_members(
     )
     return (
         keyed.join(words, "word_idx", "left")
-        .select(*group_cols, hit.alias("__hit"))
-        .groupBy(*group_cols)
+        .select("__row_id", *group_cols, hit.alias("__hit"))
+        .groupBy("__row_id", *group_cols)
         .agg((F.min("__hit") == F.lit(1)).alias("bloom_member"))
+        .drop("__row_id")
     )

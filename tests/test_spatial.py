@@ -155,14 +155,20 @@ def test_grid_knn_multires_equals_brute_force_when_satisfied(spark):
         assert len(rs) <= k
         lv = rs[0]["level"]
         assert all(r["level"] == lv for r in rs)
+        # provably_exact (r13): per-query constant, true iff the stopping
+        # level's >= k-within-s guarantee held
+        pe = rs[0]["provably_exact"]
+        assert all(r["provably_exact"] == pe for r in rs)
         s = r0 * (2.0 ** lv)
         others = [p for p in coords if p != q]
         within = sum(1 for p in others if d2(q, p) <= s * s)
         brute = sorted(others, key=lambda p: (d2(q, p), p))
         if within >= k:
+            assert pe is True, f"query {q} satisfied but flagged best-effort"
             assert [r["neighbor_id"] for r in rs] == brute[:k], f"query {q} level {lv}"
         else:
             assert lv == L - 1  # only the coarsest level may fall short
+            assert pe is False, f"query {q} best-effort but flagged exact"
             block = [
                 p for p in others
                 if abs(math.floor(coords[p][0] / s) - math.floor(coords[q][0] / s)) <= 1
@@ -170,6 +176,25 @@ def test_grid_knn_multires_equals_brute_force_when_satisfied(spark):
             ]
             bb = sorted(block, key=lambda p: (d2(q, p), p))
             assert [r["neighbor_id"] for r in rs] == bb[:k], f"query {q} best-effort"
+
+    # pinned insufficient-coarsest fixture (r13 — round-12 verdict Next
+    # #6): an isolated pair 0.3° apart has ONE candidate in its coarsest
+    # 3×3 block (< k), so its rows MUST come back provably_exact=false,
+    # while a tight 4-cluster satisfies k=3 at level 0 with true
+    iso = spark.createDataFrame(
+        [(1, 0.00, 0.00), (2, 0.01, 0.01), (3, 0.02, 0.00), (4, 0.03, 0.01),
+         (5, 9.00, 9.00), (6, 9.30, 9.00)],
+        "point_id long, lat double, lon double",
+    ).localCheckpoint()
+    iso_rows = grid_knn_multires(iso, iso, 3, 0.15, levels=4).collect()
+    flags = {}
+    for r in iso_rows:
+        flags.setdefault(r["query_id"], set()).add(r["provably_exact"])
+    for q in (1, 2, 3, 4):
+        assert flags[q] == {True}, f"cluster point {q}: {flags.get(q)}"
+    for q in (5, 6):
+        assert flags[q] == {False}, f"isolated point {q}: {flags.get(q)}"
+        assert len([r for r in iso_rows if r["query_id"] == q]) == 1  # best-effort short
 
     # every query with at least one candidate in its coarsest block emits
     all_q = set(coords)

@@ -126,20 +126,42 @@ def bench_deltas() -> None:
                 return d["queries"]
         return {}
 
+    def _loadavg(fname: str) -> str:
+        with open(os.path.join(REPO, fname)) as f:
+            doc = json.load(f)
+        for d in (doc, doc.get("parsed") or {}):
+            if isinstance(d, dict) and "loadavg_1m_before" in d:
+                return f"load {d['loadavg_1m_before']}->{d.get('loadavg_1m_after', '?')}"
+        return "load n/a"
+
     prev, cur = _queries(prev_f), _queries(cur_f)
-    common = [n for n in cur if n in prev]
+    # numeric-only (advisor r12): a nested split dict or other non-numeric
+    # entry would TypeError in the sort; a 0/negative prev timing would
+    # print a meaningless x-billions ratio — skip and label those instead
+    def _num(d: dict, n: str) -> bool:
+        return isinstance(d.get(n), (int, float)) and not isinstance(d.get(n), bool)
+
+    common = [n for n in cur if _num(cur, n) and _num(prev, n)]
+    skipped = [n for n in cur if n in prev and n not in common]
+    zero_base = [n for n in common if prev[n] <= 0]
+    common = [n for n in common if prev[n] > 0]
     if not common:
-        print(f"(no common queries between {prev_f} and {cur_f})")
+        print(f"(no comparable numeric queries between {prev_f} and {cur_f})")
         return
-    print(f"== warm deltas {prev_f} -> {cur_f} (ratio >1 = slower) ==")
-    rows = sorted(
-        ((cur[n] / max(prev[n], 1e-9), n) for n in common), reverse=True
+    print(
+        f"== warm deltas {prev_f} ({_loadavg(prev_f)}) -> "
+        f"{cur_f} ({_loadavg(cur_f)}) (ratio >1 = slower) =="
     )
+    rows = sorted(((cur[n] / prev[n], n) for n in common), reverse=True)
     for ratio, n in rows:
         flag = "  <-- check vs its warm spread" if ratio >= 1.5 or ratio <= 0.67 else ""
         print(f"  {n:36s} {prev[n]:8.2f} -> {cur[n]:8.2f}  x{ratio:.2f}{flag}")
     pt, ct = sum(prev[n] for n in common), sum(cur[n] for n in common)
     print(f"  {'TOTAL (common set)':36s} {pt:8.2f} -> {ct:8.2f}  x{ct / max(pt, 1e-9):.2f}")
+    for n in zero_base:
+        print(f"  {n:36s} zero/negative prev timing — ratio skipped")
+    if skipped:
+        print(f"  (skipped non-numeric entries: {', '.join(sorted(skipped))})")
 
 
 def main(argv: list[str]) -> int:

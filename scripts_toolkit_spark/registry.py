@@ -342,6 +342,18 @@ register("ann_index_two_level", xd.ann_index_two_level, xd.ANN_INDEX_TWO_LEVEL_S
 register(
     "ann_index_two_level_pq", xd.ann_index_two_level_pq, xd.ANN_INDEX_TWO_LEVEL_PQ_SQL
 )
+# NEW (r13): the S1 fleet-scale fetch path under the value gate (round-12
+# verdict Next #5 — fetch_manifest was pytest-only): file:// manifest →
+# Arrow-batched per-partition fetch → bytes parsed back with column
+# expressions; the missing-file row value-gates the failure-as-row
+# contract. Oracle replays contents/byte lengths/aggregates from nation.
+from scripts_toolkit_spark.plans import source_demos as srcd
+
+register(
+    "url_manifest_fetch_melt",
+    srcd.url_manifest_fetch_melt,
+    srcd.URL_MANIFEST_FETCH_MELT_SQL,
+)
 # NEW (r10): mergeable bottom-k quantile sketch (ext/quantiles.py) — the
 # third oracle-replayable sketch beside the md5 HLL and the CMS monitor:
 # k=256 md5-priority uniform sample per group through the two-stage

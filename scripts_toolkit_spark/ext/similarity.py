@@ -1318,28 +1318,31 @@ def ivfpq_topk(
     # n_home > 1: a pair can arise from up to n_home shared cells — the
     # SHORTLIST (bounded: ≤ n_probe·f·k rows/query, far smaller than the
     # candidate set) dedups before the rerank instead.
-    cand = (
-        queries.join(corpus, "cell_id")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "cell_id", "neighbor_id", "ncodes")
-    )
-    # ADC + shortlist: gather each (query, probed cell)'s candidates
-    # (with their m-code arrays) into one row, join the query's LUT once,
-    # and compute every candidate's ADC distance + the per-cell
+    # ADC + shortlist: the corpus code rows PRE-GATHER into one array per
+    # CELL (r13 — the serving-leg attribution in SCALING.md: the former
+    # per-(query, probed-cell) gather re-shuffled the full candidate join
+    # output — ~|queries|·n_probe·occupancy rows — into groups, the
+    # dominant compressed-search stage; the per-cell gather shuffles the
+    # corpus codes ONCE, |cells| rows out, and each probe row scores its
+    # cell's array inline with no second shuffle). Each probe row then
+    # joins its cell's array + the query's LUT, filters itself out of the
+    # array, and computes every candidate's ADC distance + the per-cell
     # top-(rerank_factor·k) shortlist with array expressions — adc =
     # Σ_s lut[s·n_codes + codes[s]] added in fixed s-ascending order
     # (bit-identical to the round-4 pivot sum), shortlist =
     # slice(array_sort(struct(adc, neighbor)), f·k) ≡ a row_number
-    # window's (adc asc, neighbor asc) top-k partitioned by (query, cell),
-    # without shuffling pairs × m rows or window-sorting the candidate
-    # set. Home-only corpus ⇒ per-cell shortlists are disjoint per query,
+    # window's (adc asc, neighbor asc) top-k partitioned by (query, cell).
+    # The per-group candidate SET and the array_sort comparator are
+    # unchanged, so rows stay bit-identical to the pre-r13 shape
+    # (collect_list order was never semantic). Per-cell array size is
+    # occupancy-bounded — the same bound a probe of the cell already pays.
+    # Home-only corpus ⇒ per-cell shortlists are disjoint per query,
     # so their union feeds the rerank without dedup.
     shortlist_n = rerank_factor * k
-    gathered = (
-        cand.groupBy("query_id", "cell_id")
-        .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
-        .join(qlut, qlut_keys)
+    cells_g = corpus.groupBy("cell_id").agg(
+        F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
     )
+    gathered = queries.join(cells_g, "cell_id").join(qlut, qlut_keys)
 
     def _adc(c: Column) -> Column:
         total = None
@@ -1348,10 +1351,11 @@ def ivfpq_topk(
             total = part if total is None else total + part
         return F.struct(total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id"))
 
+    others = F.filter("cands", lambda c: c["neighbor_id"] != F.col("query_id"))
     shortlist = gathered.select(
         "query_id",
         F.explode(
-            F.slice(F.array_sort(F.transform("cands", _adc)), 1, shortlist_n)
+            F.slice(F.array_sort(F.transform(others, _adc)), 1, shortlist_n)
         ).alias("sl"),
     ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
     if n_home > 1:

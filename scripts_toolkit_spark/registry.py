@@ -9,28 +9,22 @@ MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it).
 
-Round-11 window: the r11 NEW rows (ann_index_residual,
-melt_wide96_chunked, perplexity_buckets_sketch,
-dsir_importance_weights; wave 2 adds the media-decode rows
-video_decode_stats / video_frame_sample_stats / adpcm_roundtrip_stats /
-video_scene_cuts, the runtime-filter row bloom_semijoin_prune, the
-spatial-family row spatial_radius_pairs, and the 10th-streaming-store
-twin incremental_bloom_members — seven seats ceded by long-green
-unchanged rows, parked in TIER 2), the r11 CHANGED rows —
-the five ann_index_* rows + ann_topk_incremental (ext/ann_index.py
-residual port: meta gains the residual flag, /codes gains batch_id
-partitioning, index_health gains n_home/distinct_vectors — helper
-changes the fn-source hash cannot see, kept in-window per the CLAUDE.md
-manual rule), the ivfpq rows ann_topk_ivfpq / ann_topk_spilled /
-ann_topk_residual_spilled (similarity.py: the seeded residual codebook
-construction factored into seeded_residual_codebook_rows, same manual
-rule), the hierarchy trio (operators/graph.py: reverse-BFS dead-end
-prune in the closure DFS), perplexity_buckets (scoring factored into
-_doc_avg_nll) and incremental_quantile_sketch (null-safe pmod split) —
-plus earlier-round rows still holding seats. Ceded this round (all
-long-green, unchanged): pagerank_top_parties, charngram_lang_id,
-mixture_sample_rates, containment_dup_pairs, near_dup_clusters,
-embedding_near_dup_pairs.
+Round-13 window: NEW rows ann_index_two_level_pq (the two-level ×
+trained-plain-PQ composition) and url_manifest_fetch_melt (the S1
+fleet-scale fetch path under the value gate); CHANGED rows — the six
+global_topk migrations (bm25_top_docs, weighted_sample_docs,
+pagerank_top_parties, zipf_fit_tokens, bigram_pmi_collocations,
+trending_tokens — round-12 verdict Next #2; the last five rotated back
+in from TIER 2, five long-green unchanged rows ceding:
+fuzzy_name_matches, scd2_event_type_intervals, data_quality_report,
+winnow_overlap_pairs, unigram_nll_scores), spatial_knn_multires (gains
+provably_exact), and the whole ann_index_* family + ann_topk_incremental
++ ann_topk_residual_spilled (ext/ann_index.py: _pq_rank pre-gathers
+corpus codes per cell — the serving-leg trim; knob validation; two-level
+retrain reads a codebook — helper changes the fn-source hash cannot see,
+kept in-window per the CLAUDE.md manual rule). video_decode_stats and
+adpcm_roundtrip_stats slid just past the window (both r12-green,
+unchanged in r13).
 `tests/test_registry_order.py` enforces the rule mechanically against a
 committed source-hash manifest; close every rotation with
 `python tools/round_close.py` (runs the refresh + the ordering test).
@@ -227,24 +221,30 @@ register(
 from scripts_toolkit_spark.plans import retrieval_demos as rv
 
 register("bm25_top_docs", rv.bm25_top_docs, rv.BM25_TOP_DOCS_SQL)
-# (r11 wave 2: inverted_index_postings ceded its seat — r5-green,
-# unchanged; parked in TIER 2 — to make room for video_scene_cuts.)
-register("fuzzy_name_matches", rv.fuzzy_name_matches, rv.FUZZY_NAME_MATCHES_SQL)
-# (r11 wave 2: weighted_sample_docs ceded its seat — r5-green, unchanged;
-# parked in TIER 2 — to make room for the media-decode newcomers.)
+# r13 rotation: the five other bare-global-window queries migrated to
+# operators/topk.global_topk this round (round-12 verdict Next #2 /
+# "What's wrong" #2) hold in-window seats with bm25_top_docs; five
+# long-green unchanged rows ceded (fuzzy_name_matches,
+# scd2_event_type_intervals, data_quality_report, winnow_overlap_pairs,
+# unigram_nll_scores — all parked in TIER 2).
+from scripts_toolkit_spark.plans import ext_demos2 as _x2pr
+
+register("weighted_sample_docs", rv.weighted_sample_docs, rv.WEIGHTED_SAMPLE_DOCS_SQL)
+register("pagerank_top_parties", _x2pr.pagerank_top_parties, _x2pr.PAGERANK_TOP_PARTIES_SQL)
+register("zipf_fit_tokens", a6.zipf_fit_tokens, a6.ZIPF_FIT_TOKENS_SQL)
+register(
+    "bigram_pmi_collocations", cd.bigram_pmi_collocations, cd.BIGRAM_PMI_COLLOCATIONS_SQL
+)
+register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 # NEW (r5 wave 2): temporal/CDC shapes (operators/spans.py) — SCD2 interval
 # build + changelog latest-wins apply (the MERGE INTO plan)
 from scripts_toolkit_spark.plans import events_demos as ed
 
-register(
-    "scd2_event_type_intervals", ed.scd2_event_type_intervals, ed.SCD2_EVENT_TYPE_INTERVALS_SQL
-)
-# (r11 wave 2: cdc_latest_state ceded its seat — r5-green, unchanged;
-# parked in TIER 2 — to make room for bloom_semijoin_prune.)
+# (r13: scd2_event_type_intervals / data_quality_report ceded — parked in
+# TIER 2 with the other three.)
 # NEW (r5 wave 2): Deequ-style one-scan constraint suite (operators/checks.py)
 from scripts_toolkit_spark.plans import dq_demos as dq
 
-register("data_quality_report", dq.data_quality_report, dq.DATA_QUALITY_REPORT_SQL)
 # NEW (r5 wave 2): SemDeDup-style semantic dedup over √N IVF cells
 from scripts_toolkit_spark.plans import ext_demos2 as _x2sem
 
@@ -265,8 +265,6 @@ register(
 # spatial_radius_pairs and incremental_bloom_members.)
 # NEW: winnowing substring-overlap dedup (MOSS fingerprints) + unigram-LM
 # quality scoring + Bloom-filter decontamination pre-pass
-register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
-register("unigram_nll_scores", cd.unigram_nll_scores, cd.UNIGRAM_NLL_SCORES_SQL)
 register("bloom_decontamination", cd.bloom_decontamination, cd.BLOOM_DECONTAMINATION_SQL)
 # NEW: iterative fixed-point PageRank (operators/graph.py) — the
 # join→aggregate-per-round algorithm shape under the exact oracle gate
@@ -438,8 +436,16 @@ register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
 # r5-green, unchanged.
 register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
 register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMBEDDING_NEAR_DUP_PAIRS_SQL)
-register("weighted_sample_docs", rv.weighted_sample_docs, rv.WEIGHTED_SAMPLE_DOCS_SQL)
 register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDEX_POSTINGS_SQL)
+# r13 rotation: parked from the window (all long-green, unchanged in r13)
+# to make room for the five global_topk-migrated queries now in TIER 1.
+register("fuzzy_name_matches", rv.fuzzy_name_matches, rv.FUZZY_NAME_MATCHES_SQL)
+register(
+    "scd2_event_type_intervals", ed.scd2_event_type_intervals, ed.SCD2_EVENT_TYPE_INTERVALS_SQL
+)
+register("data_quality_report", dq.data_quality_report, dq.DATA_QUALITY_REPORT_SQL)
+register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
+register("unigram_nll_scores", cd.unigram_nll_scores, cd.UNIGRAM_NLL_SCORES_SQL)
 register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
 register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
 register("document_chunks_bpe", cd.document_chunks_bpe, cd.DOCUMENT_CHUNKS_BPE_SQL)
@@ -449,7 +455,6 @@ register("semantic_dedup_drops", _x2sem.semantic_dedup_drops, _x2sem.SEMANTIC_DE
 # r11) to make room for the r11 newcomers (ann_index_residual,
 # melt_wide96_chunked, perplexity_buckets_sketch,
 # dsir_importance_weights).
-register("pagerank_top_parties", x2.pagerank_top_parties, x2.PAGERANK_TOP_PARTIES_SQL)
 register("charngram_lang_id", cd.charngram_lang_id, cd.CHARNGRAM_LANG_ID_SQL)
 register("mixture_sample_rates", cd.mixture_sample_rates, cd.MIXTURE_SAMPLE_RATES_SQL)
 register("containment_dup_pairs", xd.containment_dup_pairs, xd.CONTAINMENT_DUP_PAIRS_SQL)
@@ -493,11 +498,7 @@ register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLE
 register(
     "purchase_asof_next_click", _jd5.purchase_asof_next_click, _jd5.PURCHASE_ASOF_NEXT_CLICK_SQL
 )
-register(
-    "bigram_pmi_collocations", cd.bigram_pmi_collocations, cd.BIGRAM_PMI_COLLOCATIONS_SQL
-)
 register("hll_set_ops", _x2img.hll_set_ops, _x2img.HLL_SET_OPS_SQL)
-register("trending_tokens", cd.trending_tokens, cd.TRENDING_TOKENS_SQL)
 register("time_to_first_purchase", ed.time_to_first_purchase, ed.TIME_TO_FIRST_PURCHASE_SQL)
 register("windowed_topk_values", ed.windowed_topk_values, ed.WINDOWED_TOPK_VALUES_SQL)
 register(
@@ -521,7 +522,6 @@ register("corr_matrix_lineitem", a6.corr_matrix_lineitem, a6.CORR_MATRIX_LINEITE
 register(
     "resampled_event_timeline", a6.resampled_event_timeline, a6.RESAMPLED_EVENT_TIMELINE_SQL
 )
-register("zipf_fit_tokens", a6.zipf_fit_tokens, a6.ZIPF_FIT_TOKENS_SQL)
 
 # ---- correlated/distinct shapes, sampling, grouped-map applyInPandas -------
 from scripts_toolkit_spark.plans import analytics2 as a2

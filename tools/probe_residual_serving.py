@@ -78,21 +78,17 @@ def main():
         _noop(_lut_frame())
 
     def _shortlist(assigned):
+        # mirrors the r13 _pq_rank shape: per-CELL corpus pre-gather, no
+        # per-(query, cell) re-shuffle of the candidate join output
         qlut = assigned.select(F.col("vec_id").alias("query_id"), "cell_id", "lut")
         queries_f = assigned.select(F.col("vec_id").alias("query_id"), "cell_id")
         corpus_codes = spark.read.parquet(path + "/codes").select(
             F.col("vec_id").alias("neighbor_id"), "cell_id", "ncodes"
         )
-        cand = (
-            queries_f.join(corpus_codes, "cell_id")
-            .where(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "cell_id", "neighbor_id", "ncodes")
+        cells = corpus_codes.groupBy("cell_id").agg(
+            F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
         )
-        gathered = (
-            cand.groupBy("query_id", "cell_id")
-            .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
-            .join(qlut, ["query_id", "cell_id"])
-        )
+        gathered = queries_f.join(cells, "cell_id").join(qlut, ["query_id", "cell_id"])
 
         def _adc(c):
             total = None
@@ -101,10 +97,11 @@ def main():
                 total = part if total is None else total + part
             return F.struct(total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id"))
 
+        others = F.filter("cands", lambda c: c["neighbor_id"] != F.col("query_id"))
         return gathered.select(
             "query_id",
             F.explode(
-                F.slice(F.array_sort(F.transform("cands", _adc)), 1, RERANK * K)
+                F.slice(F.array_sort(F.transform(others, _adc)), 1, RERANK * K)
             ).alias("sl"),
         ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
 

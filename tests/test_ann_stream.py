@@ -413,3 +413,80 @@ def test_stream_two_level_store_matches_batch(spark, sf_dir, tmp_path):
     assert rows, "degenerate: no cross-batch matches"
     # every match pairs a later-batch query with an earlier-batch neighbor
     assert all(r["query_id"] % 3 != 0 for r in rows)
+
+
+def test_stream_two_level_pq_store_matches_batch(spark, sf_dir, tmp_path):
+    """r13 (round-12 verdict Next #3, streamed): a TWO-LEVEL store built
+    with a trained fixed-size PLAIN codebook ingests by stream with
+    use_pq=True — the per-batch cross-batch match runs compressed-domain
+    over the prior store's /codes (read through the bigint-cell widened
+    schema), each batch's codes append under the same per-batch_id
+    overwrite, and the streamed store + codes stay row-identical to a
+    one-shot two-level PQ build with the same model."""
+    from pyspark.sql import functions as F
+
+    from scripts_toolkit_spark.ext.similarity import (
+        deterministic_centroids,
+        normalize_vectors,
+        pq_subspace_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = normalize_vectors(emb).localCheckpoint()
+    cb = pq_subspace_codebook(
+        deterministic_centroids(normed, 64).select(
+            F.col("cell_id").alias("code"), "centroid"
+        ),
+        4,
+        16,
+    ).localCheckpoint()
+    first = emb.where("vec_id % 3 = 0")
+    rest_a = emb.where("vec_id % 3 = 1")
+    rest_b = emb.where("vec_id % 3 = 2")
+    index_path = str(tmp_path / "ix2lpq")
+    build_ann_index(first, index_path, two_level=True, sub_codebook=cb)
+
+    src = str(tmp_path / "vec_in")
+    rest_a.coalesce(1).write.mode("append").parquet(src)
+    rest_b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest(
+        stream,
+        index_path=index_path,
+        matches_path=str(tmp_path / "matches"),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=3,
+        use_pq=True,
+    )
+    q.awaitTermination()
+
+    one_path = str(tmp_path / "oneshot")
+    stored_cents = spark.read.parquet(index_path + "/centroids").localCheckpoint()
+    build_ann_index(emb, one_path, centroids=stored_cents, two_level=True, sub_codebook=cb)
+    streamed = {
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(index_path + "/vectors").collect()
+    }
+    oneshot = {
+        (r["vec_id"], r["cell_id"])
+        for r in spark.read.parquet(one_path + "/vectors").collect()
+    }
+    assert streamed == oneshot and streamed
+    streamed_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(index_path + "/codes").collect()
+    }
+    oneshot_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(one_path + "/codes").collect()
+    }
+    assert streamed_codes == oneshot_codes and streamed_codes
+
+    rows = spark.read.parquet(str(tmp_path / "matches")).collect()
+    assert rows, "degenerate: no compressed cross-batch matches"
+    assert all(r["query_id"] % 3 != 0 for r in rows)

@@ -2116,6 +2116,28 @@ def test_ann_index_two_level_pq_parity_and_recall(spark, sf_dir, tmp_path):
     recall = len(pq_pairs & exact) / len(exact)
     assert recall >= 0.25, f"two-level PQ recall {recall:.2f}"
 
+    # (2b) append honors the composed config: a late batch assigned +
+    # plain-PQ-encoded with the STORED model == a one-shot composed build
+    from scripts_toolkit_spark.ext.ann_index import append_to_index
+
+    inc_path = str(tmp_path / "inc")
+    base = emb.where("vec_id % 4 <> 0")
+    late = emb.where("vec_id % 4 = 0")
+    build_ann_index(base, inc_path, two_level=True, sub_codebook=cb)
+    append_to_index(spark, inc_path, late)
+    one2 = str(tmp_path / "one2")
+    inc_cents = spark.read.parquet(inc_path + "/centroids").localCheckpoint()
+    build_ann_index(emb, one2, centroids=inc_cents, two_level=True, sub_codebook=cb)
+    inc_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(inc_path + "/codes").collect()
+    }
+    one2_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(one2 + "/codes").collect()
+    }
+    assert inc_codes == one2_codes and inc_codes
+
     # (3) the residual exclusion and degenerate-knob guards stay
     with _pytest.raises(ValueError, match="RESIDUAL"):
         build_ann_index(emb, str(tmp_path / "x1"), two_level=True, residual=True)

@@ -34,7 +34,13 @@ def global_topk(df: DataFrame, order_cols: list[Column], k: int, rank_col: str =
         .where(F.col("__prank") <= k)
         .drop("__prank")
     )
-    wfinal = Window.orderBy(*order_cols)
+    # lit(0) partition: the final ranking intentionally runs in ONE
+    # partition — its input is the ≤ k·P survivors, KB-scale — and the
+    # explicit constant key records that intent instead of tripping
+    # Spark's "No Partition Defined" warning on every query (r13). The
+    # plan lint treats all-literal partition specs as partition-less, so
+    # this is no escape hatch for unbounded sorts.
+    wfinal = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
     return (
         survivors.withColumn(rank_col, F.row_number().over(wfinal))
         .where(F.col(rank_col) <= k)

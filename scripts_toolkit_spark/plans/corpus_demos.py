@@ -2031,7 +2031,14 @@ def corpus_prep_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     within = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
-    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # lit(0) = intentional single partition over the 256-row bucket
+    # totals (see scale_demos.token_budget_sample; allowlisted in the
+    # global-window plan lint)
+    woff = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = (
         keyed.groupBy("bucket")
         .agg(F.sum("n_tokens").alias("btok"))
@@ -2153,7 +2160,13 @@ def sequence_pack_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(win), F.lit(0)).cast("bigint")
-    wbase = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    # lit(0) = intentional single partition over the |shards|-row base
+    # totals (allowlisted in the global-window plan lint)
+    wbase = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bases = (
         d.groupBy("shard")
         .agg(F.sum("n_tokens").alias("st"))

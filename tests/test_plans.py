@@ -179,13 +179,28 @@ def _is_partial_topk_boundary(node) -> bool:
     return False
 
 
+def _is_effectively_partitionless(node) -> bool:
+    """Empty spec, or a spec of only foldable LITERALS (the repo's
+    lit(0) idiom marks an INTENTIONAL bounded single-partition window and
+    silences Spark's warning — but it routes all rows to one task exactly
+    like an empty spec, so the lint must not accept it as an escape
+    hatch)."""
+    ps = node.partitionSpec()
+    if ps.isEmpty():
+        return True
+    return all(
+        ps.apply(i).getClass().getSimpleName() == "Literal" for i in range(ps.size())
+    )
+
+
 def _partitionless_windows_over_sf_linear(df) -> list[str]:
-    """Walk the analyzed plan; for every Window with an EMPTY partition
-    spec (the single-task global sort Spark warns about), flag any
-    SF-linear scan its subtree reaches WITHOUT an intervening boundedness
-    boundary: a group-less (one-row) Aggregate, a Limit, or the
-    spark_partition_id partial-top-k stage of operators/topk (which caps
-    the survivors at k rows per input partition)."""
+    """Walk the analyzed plan; for every Window with an EMPTY (or
+    all-literal) partition spec — the single-task global sort Spark warns
+    about — flag any SF-linear scan its subtree reaches WITHOUT an
+    intervening boundedness boundary: a group-less (one-row) Aggregate, a
+    Limit, or the spark_partition_id partial-top-k stage of
+    operators/topk (which caps the survivors at k rows per input
+    partition)."""
 
     def table_of(node):
         names = {node.output().apply(i).name() for i in range(node.output().size())}
@@ -215,7 +230,7 @@ def _partitionless_windows_over_sf_linear(df) -> list[str]:
 
     def walk(node):
         cls = node.getClass().getSimpleName()
-        if cls == "Window" and node.partitionSpec().isEmpty():
+        if cls == "Window" and _is_effectively_partitionless(node):
             t = reaches(node)
             if t:
                 out.append(t)

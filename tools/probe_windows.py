@@ -79,7 +79,12 @@ def partitionless_windows(df):
 
     def walk(node):
         cls = node.getClass().getSimpleName()
-        if cls == "Window" and node.partitionSpec().isEmpty():
+        ps = node.partitionSpec() if cls == "Window" else None
+        all_literal = ps is not None and not ps.isEmpty() and all(
+            ps.apply(i).getClass().getSimpleName() == "Literal"
+            for i in range(ps.size())
+        )
+        if cls == "Window" and (ps.isEmpty() or all_literal):
             t = reaches_sf_linear(node)
             if t:
                 out.append(t)

@@ -118,6 +118,11 @@ EXTRA_DEFAULT = (
     "spatial_knn_multires",
     "corpus_prep_dsir",
     "sequence_pack_assignments",
+    # Round-13: the composed two-level × trained-plain-PQ store (build
+    # with a fixed-size codebook + compressed-domain search) and the S1
+    # fleet-scale URL-manifest fetch under the value gate
+    "ann_index_two_level_pq",
+    "url_manifest_fetch_melt",
 )
 
 
@@ -146,6 +151,22 @@ def _store_family_split(spark, sf_dir: str) -> dict:
 
     def _noop(df) -> None:
         df.write.mode("overwrite").format("noop").save()
+
+    def _fixed_codebook(vectors):
+        from scripts_toolkit_spark.ext.similarity import (
+            deterministic_centroids,
+            normalize_vectors,
+            pq_subspace_codebook,
+        )
+
+        normed = normalize_vectors(vectors)
+        return pq_subspace_codebook(
+            deterministic_centroids(normed, 64).select(
+                F.col("cell_id").alias("code"), "centroid"
+            ),
+            4,
+            16,
+        )
 
     specs = {
         "ann_index_build": (
@@ -177,6 +198,18 @@ def _store_family_split(spark, sf_dir: str) -> dict:
             lambda p: _noop(
                 ANN.search_index(
                     spark, p, k=3, n_probe=4, use_pq=True, rerank_factor=16
+                )
+            ),
+        ),
+        # r13: the composed two-level × trained-plain-PQ store — mirrors
+        # plans/ext_demos.py ann_index_two_level_pq exactly
+        "ann_index_two_level_pq": (
+            lambda p: ANN.build_ann_index(
+                emb, p, two_level=True, sub_codebook=_fixed_codebook(emb)
+            ),
+            lambda p: _noop(
+                ANN.search_index(
+                    spark, p, k=3, n_probe=3, use_pq=True, rerank_factor=8
                 )
             ),
         ),

@@ -21,11 +21,12 @@ def test_token_budget_prefix_sum_is_bucket_partitioned(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\([^)]*", ana)
     # exactly two windows: the N-sized running sum PARTITIONED on bucket
     # (spec = "bucket#n, pri#m ASC ..." — partition key first, unordered),
-    # and the 256-row offsets window (spec starts "bucket#n ASC" — order
-    # only, bounded by the bucket fanout, never by N)
+    # and the 256-row offsets window (r13: partitioned by the lit(0)
+    # intent marker — spec "0, bucket#n ASC" — bounded by the bucket
+    # fanout, never by N)
     assert len(specs) == 2, specs
     assert any(re.match(r"windowspecdefinition\(bucket#\d+, pri#", s) for s in specs), specs
-    assert any(re.match(r"windowspecdefinition\(bucket#\d+ ASC", s) for s in specs), specs
+    assert any(re.match(r"windowspecdefinition\(0, bucket#\d+ ASC", s) for s in specs), specs
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
 

@@ -81,6 +81,7 @@ from pyspark.sql.window import Window
 from scripts_toolkit_spark.ext.similarity import (
     _IVF_LITERAL_MAX_DOUBLES,
     _dot,
+    _pq_rank,
     attach_pq_lut,
     auto_n_cells,
     corpus_stats,
@@ -677,85 +678,16 @@ def search_index(
     # rerank legs read HOME rows only — one raw vector per id
     qv = q_normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     nv = home.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    # gather shape is mode-conditional (r14): residual pre-gathers the
+    # stored codes per cell (its (query, cell)-keyed LUT join made the
+    # streamed shape re-shuffle the full candidate volume — the r13 win,
+    # 6.9 → 4.0 s serving), plain streams the candidate join through a
+    # hash aggregate (the r13 pre-gather regressed the plain family
+    # 1.5–1.8× — round-13 verdict "What's wrong" #1). Bit-identical rows
+    # either way; see the `_pq_rank` docstring (ext/similarity.py).
     return _pq_rank(
         queries_f, qlut, qlut_keys, corpus_codes, qv, nv,
-        m, n_codes, k, rerank_factor, n_home,
-    )
-
-
-def _pq_rank(
-    queries_f: DataFrame,
-    qlut: DataFrame,
-    qlut_keys: list,
-    corpus_codes: DataFrame,
-    qv: DataFrame,
-    nv: DataFrame,
-    m: int,
-    n_codes: int,
-    k: int,
-    rerank_factor: int,
-    n_home: int,
-) -> DataFrame:
-    """The compressed-domain candidate→top-k pipeline shared by
-    `search_index(use_pq=True)` and the streaming ingester's PQ match
-    (streaming/ann_stream.py, r11): the stored code rows PRE-GATHER into
-    one array per cell (r13 — round-12 verdict Next #4: the serving-leg
-    attribution showed the former per-(query, cell) candidate gather was
-    the dominant stage — join output ~|queries|·n_probe·occupancy ROWS
-    re-shuffled into groups, ~3.0 of 6.5 s warm at sf0.1; the per-cell
-    gather shuffles the corpus codes ONCE, |cells| rows out, and each
-    probe row scores its cell's array inline with no second shuffle —
-    measured 6.5 → 3.9 s warm), then cell equi-join against the probe
-    rows + one qlut join, self-pair filter inside the array, ADC as
-    array expressions (fixed s-ascending sum — bit-reproducible),
-    per-cell top-(rerank_factor·k) shortlists, pair dedup when the
-    corpus is spilled, exact-cosine rerank against the raw-vector legs,
-    per-query top-k. The per-group candidate SET and the (adc_dist,
-    neighbor_id) array_sort comparator are unchanged, so rows stay
-    bit-identical to the pre-r13 shape (collect_list order was never
-    semantic — array_sort totally orders it). Per-cell array size is
-    occupancy-bounded (constant-occupancy design: n_cells ∝ N), the same
-    bound a probe of the cell already pays. Inputs: `queries_f`
-    (query_id, cell_id) probe rows; `qlut` (query_id[, cell_id], lut)
-    joined on `qlut_keys` (residual mode keys per cell); `corpus_codes`
-    (neighbor_id, cell_id, ncodes); `qv`/`nv` (id, vector) rerank legs —
-    one row per id."""
-    shortlist_n = rerank_factor * k
-    cells = corpus_codes.groupBy("cell_id").agg(
-        F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
-    )
-    gathered = queries_f.join(cells, "cell_id").join(qlut, qlut_keys)
-
-    def _adc(c):
-        total = None
-        for s in range(m):
-            part = F.get("lut", F.lit(s * n_codes) + F.get(c["ncodes"], s))
-            total = part if total is None else total + part
-        return F.struct(total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id"))
-
-    others = F.filter("cands", lambda c: c["neighbor_id"] != F.col("query_id"))
-    shortlist = gathered.select(
-        "query_id",
-        F.explode(
-            F.slice(F.array_sort(F.transform(others, _adc)), 1, shortlist_n)
-        ).alias("sl"),
-    ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
-    if n_home > 1:
-        # spilled copies can shortlist the same pair from up to n_home
-        # shared cells — dedup the (bounded) shortlist before the rerank
-        shortlist = shortlist.dropDuplicates(["query_id", "neighbor_id"])
-    reranked = (
-        shortlist.join(qv, "query_id")
-        .join(nv, "neighbor_id")
-        .select("query_id", "neighbor_id", _dot(F.col("qv"), F.col("nv")).alias("cos_sim"))
-    )
-    wk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        reranked.withColumn("rank", F.row_number().over(wk))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
-        )
+        m, n_codes, k, rerank_factor, n_home, pre_gather=residual,
     )
 
 

@@ -1318,31 +1318,77 @@ def ivfpq_topk(
     # n_home > 1: a pair can arise from up to n_home shared cells — the
     # SHORTLIST (bounded: ≤ n_probe·f·k rows/query, far smaller than the
     # candidate set) dedups before the rerank instead.
-    # ADC + shortlist: the corpus code rows PRE-GATHER into one array per
-    # CELL (r13 — the serving-leg attribution in SCALING.md: the former
-    # per-(query, probed-cell) gather re-shuffled the full candidate join
-    # output — ~|queries|·n_probe·occupancy rows — into groups, the
-    # dominant compressed-search stage; the per-cell gather shuffles the
-    # corpus codes ONCE, |cells| rows out, and each probe row scores its
-    # cell's array inline with no second shuffle). Each probe row then
-    # joins its cell's array + the query's LUT, filters itself out of the
-    # array, and computes every candidate's ADC distance + the per-cell
-    # top-(rerank_factor·k) shortlist with array expressions — adc =
-    # Σ_s lut[s·n_codes + codes[s]] added in fixed s-ascending order
-    # (bit-identical to the round-4 pivot sum), shortlist =
-    # slice(array_sort(struct(adc, neighbor)), f·k) ≡ a row_number
-    # window's (adc asc, neighbor asc) top-k partitioned by (query, cell).
-    # The per-group candidate SET and the array_sort comparator are
-    # unchanged, so rows stay bit-identical to the pre-r13 shape
-    # (collect_list order was never semantic). Per-cell array size is
-    # occupancy-bounded — the same bound a probe of the cell already pays.
-    # Home-only corpus ⇒ per-cell shortlists are disjoint per query,
-    # so their union feeds the rerank without dedup.
-    shortlist_n = rerank_factor * k
-    cells_g = corpus.groupBy("cell_id").agg(
-        F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
+    # ADC + shortlist + rerank: the shared `_pq_rank` pipeline. Gather
+    # shape is MODE-CONDITIONAL (r14 — round-13 verdict "What's wrong"
+    # #1): residual pre-gathers per cell (its LUT join is (query, cell)-
+    # keyed and re-shuffled with the streamed candidates — the measured
+    # r13 win), plain streams the candidate join through a hash aggregate
+    # (the r13 pre-gather cost the plain family 1.5–1.8× — the per-cell
+    # array was materialized + array_sort'ed per probe row). Rows are
+    # bit-identical either way; see the `_pq_rank` docstring.
+    qv = normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    nv = normed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    return _pq_rank(
+        queries, qlut, qlut_keys, corpus, qv, nv,
+        m, n_codes, k, rerank_factor, n_home, pre_gather=residual,
     )
-    gathered = queries.join(cells_g, "cell_id").join(qlut, qlut_keys)
+
+
+def _pq_rank(
+    queries_f: DataFrame,
+    qlut: DataFrame,
+    qlut_keys: list,
+    corpus_codes: DataFrame,
+    qv: DataFrame,
+    nv: DataFrame,
+    m: int,
+    n_codes: int,
+    k: int,
+    rerank_factor: int,
+    n_home: int,
+    pre_gather: bool = False,
+) -> DataFrame:
+    """The compressed-domain candidate→top-k pipeline shared by
+    `ivfpq_topk`, `ann_index.search_index(use_pq=True)`, and the
+    streaming ingester's PQ match (streaming/ann_stream.py): gather each
+    probe row's candidates (with their m-code arrays), join the query's
+    LUT, self-pair filter, ADC as array expressions (fixed s-ascending
+    sum — bit-reproducible), per-(query, cell) top-(rerank_factor·k)
+    shortlists via slice∘array_sort over (adc_dist, neighbor_id) structs
+    (≡ a row_number window's (adc asc, id asc) top-k), pair dedup when
+    the corpus is spilled, exact-cosine rerank against the raw-vector
+    legs, per-query top-k.
+
+    `pre_gather` picks the GATHER shape — both produce the identical
+    per-(query, cell) candidate SET and comparator, so rows are
+    bit-identical either way (pinned by the stored==ad-hoc parity
+    pytests); the knob is pure plan shape, measured per mode (r14 —
+    round-13 verdict "What's wrong" #1):
+
+    - False (plain PQ, one LUT per query): STREAM the probe×codes
+      equi-join output through a hash aggregate keyed (query_id,
+      cell_id). The candidate rows are skinny (id + m small ints), the
+      aggregate partial-combines map-side, and no per-cell array is
+      copied to every probe row. r13 made this path pre-gather too and
+      the plain family regressed 1.5–1.8× (ann_topk_spilled 4.0→7.0 s,
+      ann_topk_ivfpq 3.2→5.2 s robust-min) — the per-cell array
+      materialized + array_sort'ed PER PROBE ROW cost more than the
+      candidate re-shuffle it saved.
+    - True (residual mode, one LUT per (query, probed cell)): pre-gather
+      the corpus codes ONCE per cell (|cells| rows out) and score each
+      probe row's cell array inline. Here the streamed shape's candidate
+      gather re-shuffled ~|queries|·n_probe·occupancy rows AND the
+      (query, cell)-keyed LUT join re-shuffled with it — the dominant
+      serving stage (SCALING.md round-13 attribution; store_split
+      serving 6.9 → 4.0 s). Per-cell array size is occupancy-bounded
+      (constant-occupancy design: n_cells ∝ N) — the same bound a probe
+      of the cell already pays, so the shape survives 100×.
+
+    Inputs: `queries_f` (query_id, cell_id) probe rows; `qlut`
+    (query_id[, cell_id], lut) joined on `qlut_keys` (residual mode keys
+    per cell); `corpus_codes` (neighbor_id, cell_id, ncodes); `qv`/`nv`
+    (id, vector) rerank legs — one row per id."""
+    shortlist_n = rerank_factor * k
 
     def _adc(c: Column) -> Column:
         total = None
@@ -1351,17 +1397,34 @@ def ivfpq_topk(
             total = part if total is None else total + part
         return F.struct(total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id"))
 
-    others = F.filter("cands", lambda c: c["neighbor_id"] != F.col("query_id"))
+    if pre_gather:
+        cells = corpus_codes.groupBy("cell_id").agg(
+            F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
+        )
+        gathered = queries_f.join(cells, "cell_id").join(qlut, qlut_keys)
+        cands = F.filter("cands", lambda c: c["neighbor_id"] != F.col("query_id"))
+    else:
+        cand = (
+            queries_f.join(corpus_codes, "cell_id")
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "cell_id", "neighbor_id", "ncodes")
+        )
+        gathered = (
+            cand.groupBy("query_id", "cell_id")
+            .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
+            .join(qlut, qlut_keys)
+        )
+        cands = F.col("cands")
     shortlist = gathered.select(
         "query_id",
         F.explode(
-            F.slice(F.array_sort(F.transform(others, _adc)), 1, shortlist_n)
+            F.slice(F.array_sort(F.transform(cands, _adc)), 1, shortlist_n)
         ).alias("sl"),
     ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
     if n_home > 1:
+        # spilled copies can shortlist the same pair from up to n_home
+        # shared cells — dedup the (bounded) shortlist before the rerank
         shortlist = shortlist.dropDuplicates(["query_id", "neighbor_id"])
-    qv = normed.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    nv = normed.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
     reranked = (
         shortlist.join(qv, "query_id")
         .join(nv, "neighbor_id")
@@ -1371,7 +1434,9 @@ def ivfpq_topk(
     return (
         reranked.withColumn("rank", F.row_number().over(wk))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+        .select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+        )
     )
 
 

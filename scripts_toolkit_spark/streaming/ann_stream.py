@@ -54,10 +54,10 @@ from scripts_toolkit_spark.ext.ann_index import (
     _encode_codes_residual,
     _index_meta,
     _index_two_level,
-    _pq_rank,
 )
 from scripts_toolkit_spark.ext.similarity import (
     _dot,
+    _pq_rank,
     attach_pq_lut,
     ivf_assign,
     ivf_assign_two_level,
@@ -209,9 +209,11 @@ def make_ann_ingest_processor(
             nv = nv_src.select(
                 F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
             )
+            # gather shape mirrors search_index (r14): pre-gather only in
+            # residual mode — see the `_pq_rank` docstring
             matches = _pq_rank(
                 queries_f, qlut, qlut_keys, old_codes, qv, nv,
-                m, n_codes, k, rerank_factor, n_home,
+                m, n_codes, k, rerank_factor, n_home, pre_gather=residual,
             )
         elif old is not None:
             queries = assigned.where(F.col("probe_rank") <= n_probe).select(

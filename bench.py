@@ -230,10 +230,49 @@ def _store_family_split(spark, sf_dir: str) -> dict:
     return out
 
 
+# 1-minute loadavg above this at bench start marks the run NOT
+# comparison-grade (r14 — round-13 verdict Next #4: BENCH_r13 shipped at
+# loadavg 6.67 and inflated four rows 1.5-2×; the provenance field made
+# that adjudicable, this acts on it). bench.py takes ONE cooldown nap and
+# re-checks; if still loaded it proceeds (the driver needs a number) but
+# stamps load_ok=false, and tools/round_close.py refuses to print
+# round-over-round deltas from such a run.
+LOAD_OK_MAX = 2.0
+_COOLDOWN_S = 60
+
+
+def _load_gate() -> tuple[float, bool]:
+    """(loadavg_1m at bench start, load_ok). One cooldown retry: a loud
+    stderr warning, a nap, one re-check — not a loop, the driver's round
+    must terminate."""
+    load = os.getloadavg()[0]
+    if load <= LOAD_OK_MAX:
+        return load, True
+    print(
+        f"bench: HOST LOADED (loadavg_1m={load:.2f} > {LOAD_OK_MAX}) — "
+        f"sleeping {_COOLDOWN_S}s for one cooldown retry",
+        file=sys.stderr,
+        flush=True,
+    )
+    time.sleep(_COOLDOWN_S)
+    load = os.getloadavg()[0]
+    if load > LOAD_OK_MAX:
+        print(
+            f"bench: STILL LOADED after cooldown (loadavg_1m={load:.2f}) — "
+            "proceeding, but this run is NOT comparison-grade "
+            "(load_ok=false; round_close will refuse its deltas)",
+            file=sys.stderr,
+            flush=True,
+        )
+        return load, False
+    return load, True
+
+
 def main() -> None:
     from scripts_toolkit_spark.session import get_spark
     import __spark_entry__ as e
 
+    start_load, load_ok = _load_gate()
     spark = get_spark("bench")
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -349,6 +388,8 @@ def main() -> None:
     provenance = {
             "repeat": repeat,
             "estimator": "per-query min over repeats",
+            "load_ok": load_ok,
+            "loadavg_1m_at_start": round(start_load, 2),
             "loadavg_1m_before": round(load_before[0], 2),
             "loadavg_1m_after": round(os.getloadavg()[0], 2),
             "cpus": os.cpu_count(),
@@ -394,6 +435,9 @@ def main() -> None:
         # verdict Next #7): the tail capture always retains it, so a
         # round-over-round delta is adjudicable from BENCH_r*.json alone
         # (SCALING.md records identical code swinging 3.0->12.8s with load)
+        # load_ok (r14 — round-13 verdict Next #4): the start-of-run gate's
+        # verdict; round_close refuses deltas from a load_ok=false run
+        "load_ok": load_ok,
         "loadavg_1m_before": round(load_before[0], 2),
         "loadavg_1m_after": round(os.getloadavg()[0], 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

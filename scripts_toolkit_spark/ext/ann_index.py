@@ -134,8 +134,11 @@ def _index_two_level(spark: SparkSession, path: str) -> tuple[bool, int]:
     sp = d.get("super_probe")
     # read-back validation (advisor r12): a store must never route with a
     # degenerate probe width — ivf_assign(n_probe=0) silently returns no
-    # rows. Build validates >= 1; clamp here too for hand-written metas.
-    return bool(d.get("two_level") or False), max(1, int(sp)) if sp is not None else 4
+    # rows. Build validates >= 1; a hand-written meta with a non-positive
+    # width falls back to the documented DEFAULT (4), not a clamp to 1
+    # (advisor r13: clamping silently narrowed routing/recall for
+    # degenerate metas where the pre-r12 expression used the default).
+    return bool(d.get("two_level") or False), int(sp) if sp is not None and int(sp) >= 1 else 4
 
 
 def _index_seeded_pq_meta(spark: SparkSession, path: str):

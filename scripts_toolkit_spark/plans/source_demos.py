@@ -29,7 +29,14 @@ def url_manifest_fetch_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ascending, trailing newline — byte-reproducible), stage them in a
     session-scoped dir, fetch via a file:// URL manifest through
     `fetch_manifest` (mapInPandas — executors fetch in parallel; the
-    driver only stages the KB fixtures), then parse the fetched bytes
+    driver only stages the KB fixtures). LOCAL-MODE ASSUMPTION (advisor
+    r13): the fixtures live on the DRIVER's /tmp and the file:// fetch
+    runs on executors, which is correct only when executors share the
+    driver filesystem (local[*] — every driver-gate run). On a real
+    cluster this demo's fixtures would need staging on a shared path
+    (e.g. under the warehouse/sf_dir); `fetch_manifest` itself is
+    transport-agnostic — http(s):// manifests have no such assumption.
+    Then parse the fetched bytes
     back: decode → drop header/blank lines → per-file line count and
     nationkey sum folded with `aggregate`. The manifest's sixth row
     points at a missing file and must surface as an error ROW

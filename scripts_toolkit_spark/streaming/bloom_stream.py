@@ -125,9 +125,15 @@ def probe_members(
     CARDINALITY is preserved (advisor r12): rows are tagged with
     `monotonically_increasing_id` before the explode and the re-collapse
     groups on the tag, so duplicate candidate rows each keep their own
-    output row instead of silently merging."""
+    output row instead of silently merging. The tag name is generated to
+    be absent from `candidates.columns` (advisor r13: a caller column
+    literally named __row_id was silently overwritten, then dropped from
+    the output — and the group-by double-keyed on the clobbered name)."""
     words = merged_bloom(spark, store_path)
-    tagged = candidates.withColumn("__row_id", F.monotonically_increasing_id())
+    tag = "__row_id"
+    while tag in candidates.columns:
+        tag += "_"
+    tagged = candidates.withColumn(tag, F.monotonically_increasing_id())
     keyed = (
         tagged.select("*", F.explode(_positions(F.col(key_col))).alias("p"))
         .select(
@@ -138,13 +144,16 @@ def probe_members(
         .drop("p")
     )
     group_cols = list(candidates.columns)
+    hit_tag = "__hit"
+    while hit_tag in candidates.columns:
+        hit_tag += "_"
     hit = (F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(F.col("m")) != F.lit(0)).cast(
         "int"
     )
     return (
         keyed.join(words, "word_idx", "left")
-        .select("__row_id", *group_cols, hit.alias("__hit"))
-        .groupBy("__row_id", *group_cols)
-        .agg((F.min("__hit") == F.lit(1)).alias("bloom_member"))
-        .drop("__row_id")
+        .select(tag, *group_cols, hit.alias(hit_tag))
+        .groupBy(tag, *group_cols)
+        .agg((F.min(hit_tag) == F.lit(1)).alias("bloom_member"))
+        .drop(tag)
     )

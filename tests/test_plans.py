@@ -155,27 +155,50 @@ def test_no_forced_broadcast_of_sf_linear_tables(spark, sf_dir):
     assert not bad, f"forced broadcast of SF-linear tables: {bad}"
 
 
-def _is_partial_topk_boundary(node) -> bool:
-    """True when this Window partitions by spark_partition_id() — the
-    partial stage of operators/topk: output is bounded to k rows per
-    input partition, so everything above it is KB-scale. Catalyst
-    extracts the expression into a `_wN` alias in the Project child;
-    resolve the alias."""
+def _is_partial_topk_boundary(node, ancestors=()) -> bool:
+    """True when this Window is the partial stage of
+    operators/topk.global_topk: it partitions by spark_partition_id()
+    AND an ancestor Filter bounds its row_number output (`__prank <= k`)
+    — only then is everything above it KB-scale (k rows per input
+    partition). The boundedness comes from the FILTER, not the window
+    itself (advisor r13: a spark_partition_id window without the rank
+    filter still emits an SF-linear row count and must not pass the
+    lint). Catalyst extracts the partition expression into a `_wN`
+    alias in the Project child; resolve the alias."""
     ps = node.partitionSpec()
     spec = [ps.apply(i).toString() for i in range(ps.size())]
-    if any("SPARK_PARTITION_ID" in s.upper() for s in spec):
-        return True
-    attrs = {s.split("#")[0] for s in spec if s.startswith("_w")}
-    if not attrs:
+    has_spid = any("SPARK_PARTITION_ID" in s.upper() for s in spec)
+    if not has_spid:
+        attrs = {s.split("#")[0] for s in spec if s.startswith("_w")}
+        if not attrs:
+            return False
+        ch = node.children().apply(0)
+        if ch.getClass().getSimpleName() != "Project":
+            return False
+        pl = ch.projectList()
+        for i in range(pl.size()):
+            s = pl.apply(i).toString()
+            if "SPARK_PARTITION_ID" in s.upper() and any(f"AS {a}#" in s for a in attrs):
+                has_spid = True
+                break
+        if not has_spid:
+            return False
+    # the bound: a row_number() window expression whose OUTPUT attribute
+    # (`name#id`, exprId-qualified so a same-named column elsewhere can't
+    # satisfy it) appears in an ancestor Filter's condition
+    wes = node.windowExpressions()
+    rank_attrs = []
+    for i in range(wes.size()):
+        s = wes.apply(i).toString()
+        if "row_number()" in s and " AS " in s:
+            rank_attrs.append(s.rsplit(" AS ", 1)[-1].strip())
+    if not rank_attrs:
         return False
-    ch = node.children().apply(0)
-    if ch.getClass().getSimpleName() != "Project":
-        return False
-    pl = ch.projectList()
-    for i in range(pl.size()):
-        s = pl.apply(i).toString()
-        if "SPARK_PARTITION_ID" in s.upper() and any(f"AS {a}#" in s for a in attrs):
-            return True
+    for anc in ancestors:
+        if anc.getClass().getSimpleName() == "Filter":
+            cond = anc.condition().toString()
+            if any(a in cond for a in rank_attrs):
+                return True
     return False
 
 
@@ -209,19 +232,20 @@ def _partitionless_windows_over_sf_linear(df) -> list[str]:
                 return t
         return None
 
-    def reaches(node):
+    def reaches(node, ancestors=()):
         cls = node.getClass().getSimpleName()
         if cls == "Aggregate" and node.groupingExpressions().isEmpty():
             return None
         if cls in ("GlobalLimit", "LocalLimit"):
             return None
-        if cls == "Window" and _is_partial_topk_boundary(node):
+        if cls == "Window" and _is_partial_topk_boundary(node, ancestors):
             return None
         if "Relation" in cls:
             return table_of(node)
         cs = node.children()
+        anc = ancestors + (node,)
         for i in range(cs.size()):
-            t = reaches(cs.apply(i))
+            t = reaches(cs.apply(i), anc)
             if t:
                 return t
         return None

@@ -134,6 +134,29 @@ def bench_deltas() -> None:
                 return f"load {d['loadavg_1m_before']}->{d.get('loadavg_1m_after', '?')}"
         return "load n/a"
 
+    def _load_ok(fname: str) -> bool | None:
+        """The run's load_ok verdict (bench.py start-of-run gate, r14).
+        None for pre-r14 artifacts that never recorded it — those stay
+        comparable (their loadavg prints alongside the deltas)."""
+        with open(os.path.join(REPO, fname)) as f:
+            doc = json.load(f)
+        for d in (doc, doc.get("parsed") or {}):
+            if isinstance(d, dict) and "load_ok" in d:
+                return bool(d["load_ok"])
+        return None
+
+    # refuse to stamp deltas from a run the bench itself marked
+    # not-comparison-grade (r14 — round-13 verdict Next #4: BENCH_r13's
+    # loadavg-6.67 run inflated four rows 1.5-2× and read as regressions)
+    bad = [f for f in (prev_f, cur_f) if _load_ok(f) is False]
+    if bad:
+        print(
+            f"REFUSING bench deltas: {', '.join(bad)} recorded "
+            "load_ok=false (host loaded at bench start) — re-run "
+            "`python bench.py` exclusively on a quiet host first"
+        )
+        return
+
     prev, cur = _queries(prev_f), _queries(cur_f)
     # numeric-only (advisor r12): a nested split dict or other non-numeric
     # entry would TypeError in the sort; a 0/negative prev timing would

@@ -258,6 +258,51 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("token", "total_count", "doc_freq", F.col("rank").cast("int").alias("rank"))
 
 
+def lang_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE top-10 documents by whitespace token count — the
+    oracle gate for `operators/topk.grouped_topk` (r14 — round-13
+    verdict Next #6: the per-group two-stage ranker was pytest-only).
+    This is exactly the skewed few-large-groups case its docstring
+    names: the corpus has 5 languages with `en` holding ~44% of rows, so
+    a naive `Window.partitionBy(lang)` would put N·0.44 rows in ONE task
+    at 100 TB. Stage 1 ranks within (spark_partition_id, lang) — narrow,
+    no shuffle — keeping 10 rows per (input partition, language); stage
+    2 ranks the ≤ 10·P survivors per language. Identical to the naive
+    per-group window for any input distribution (total order: token
+    count desc, doc_id asc — the whitespace split is the proven
+    `token_frequencies` parity convention)."""
+    from scripts_toolkit_spark.operators.topk import grouped_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return grouped_topk(
+        scored, ["lang"], [F.desc("n_tokens"), F.asc("doc_id")], 10
+    ).select(
+        "lang",
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+LANG_TOP_DOCS_SQL = """
+WITH scored AS (
+  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT lang, doc_id, n_tokens, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang ORDER BY n_tokens DESC, doc_id ASC
+  ) AS rank
+  FROM scored
+)
+WHERE rank <= 10
+"""
+
+
 TOKEN_FREQUENCIES_SQL = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents

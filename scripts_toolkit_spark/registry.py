@@ -9,6 +9,17 @@ MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it).
 
+Round-14 window: NEW row lang_top_docs (the grouped_topk oracle gate —
+round-13 verdict Next #6; melt_wide96_chunked ceded, r11..r13-green and
+unchanged); CHANGED rows — the whole PQ serving family
+(ann_topk_ivfpq, ann_topk_spilled, ann_topk_residual_spilled,
+ann_index_spilled, ann_index_residual, ann_index_two_level_pq,
+ann_topk_incremental, ann_index_two_level: ext/similarity._pq_rank is
+now the shared pipeline with a mode-conditional gather — a helper
+change the fn-source hash cannot see, kept in-window per the CLAUDE.md
+manual rule) and url_manifest_fetch_melt (docstring local-mode note —
+comment-only but the hash sees it).
+
 Round-13 window: NEW rows ann_index_two_level_pq (the two-level ×
 trained-plain-PQ composition) and url_manifest_fetch_melt (the S1
 fleet-scale fetch path under the value gate); CHANGED rows — the six
@@ -129,6 +140,14 @@ from scripts_toolkit_spark.plans import analytics2 as a2
 from scripts_toolkit_spark.plans import events_demos as ed
 
 register("token_frequencies", cd.token_frequencies, cd.TOKEN_FREQUENCIES_SQL)
+# NEW (r14): the oracle gate for operators/topk.grouped_topk (round-13
+# verdict Next #6 — the per-group two-stage ranker was pytest-only):
+# per-language top-10 docs by token count over the 5-language corpus
+# whose `en` group holds ~44% of rows — the skewed few-large-groups case
+# the operator exists for. melt_wide96_chunked ceded its seat (#50 → #51
+# by this insertion — r11..r13-green, unchanged; parked just past the
+# window).
+register("lang_top_docs", cd.lang_top_docs, cd.LANG_TOP_DOCS_SQL)
 register("stratified_sample_by_lang", a2.stratified_sample_by_lang, a2.STRATIFIED_SAMPLE_BY_LANG_SQL)
 # NEW (r7): CCNet-style head/middle/tail perplexity bucketing — unigram
 # avg-NLL scores cut at per-lang exact interpolated tertiles

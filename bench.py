@@ -123,6 +123,12 @@ EXTRA_DEFAULT = (
     # fleet-scale URL-manifest fetch under the value gate
     "ann_index_two_level_pq",
     "url_manifest_fetch_melt",
+    # Round-14: the composed two-level × RESIDUAL store (distributed
+    # per-copy residual encode + per-(query, cell) residual LUT search,
+    # centroids equi-joined — no O(n_cells) collect) and the grouped_topk
+    # oracle gate (per-language top docs, the skewed-groups ranker)
+    "ann_index_two_level_residual",
+    "lang_top_docs",
 )
 
 
@@ -168,6 +174,51 @@ def _store_family_split(spark, sf_dir: str) -> dict:
             16,
         )
 
+    def _build_two_level_residual(vectors, p):
+        # frame-built caller residual codebook (seeds' residuals wrt the
+        # threshold centroids) + composed build — the demo's construction
+        from scripts_toolkit_spark.ext.similarity import (
+            auto_n_cells,
+            corpus_stats,
+            deterministic_centroids,
+            ivf_assign,
+            normalize_vectors,
+            threshold_centroids,
+        )
+        from scripts_toolkit_spark.materialize import materialize as _mat
+
+        normed = normalize_vectors(vectors)
+        n_rows, _dim = corpus_stats(normed)
+        n_cells = auto_n_cells(normed, n_rows=n_rows)
+        thr = threshold_centroids(normed, n_cells, n_rows=n_rows).transform(_mat)
+        seeds = deterministic_centroids(normed, 64).select(
+            F.col("cell_id").alias("code"), F.col("centroid").alias("svec")
+        )
+        homed = ivf_assign(seeds, thr, 1, id_col="code", vec_col="svec")
+        resid = homed.join(thr.select("cell_id", "centroid"), "cell_id").select(
+            "code",
+            F.zip_with(
+                "svec", "centroid", lambda v, c: v.cast("double") - c.cast("double")
+            ).alias("rv"),
+        )
+        cb = resid.select(
+            "code",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice("rv", s * 16 + 1, 16).alias("csub"),
+                        )
+                        for s in range(4)
+                    ]
+                )
+            ).alias("e"),
+        ).select(F.col("e.s").alias("s"), "code", F.col("e.csub").alias("csub"))
+        ANN.build_ann_index(
+            vectors, p, n_cells=n_cells, two_level=True, residual=True, sub_codebook=cb
+        )
+
     specs = {
         "ann_index_build": (
             lambda p: ANN.build_ann_index(emb, p),
@@ -207,6 +258,16 @@ def _store_family_split(spark, sf_dir: str) -> dict:
             lambda p: ANN.build_ann_index(
                 emb, p, two_level=True, sub_codebook=_fixed_codebook(emb)
             ),
+            lambda p: _noop(
+                ANN.search_index(
+                    spark, p, k=3, n_probe=3, use_pq=True, rerank_factor=8
+                )
+            ),
+        ),
+        # r14: the composed two-level × RESIDUAL store — mirrors
+        # plans/ext_demos.py ann_index_two_level_residual exactly
+        "ann_index_two_level_residual": (
+            lambda p: _build_two_level_residual(emb, p),
             lambda p: _noop(
                 ANN.search_index(
                     spark, p, k=3, n_probe=3, use_pq=True, rerank_factor=8

@@ -260,6 +260,7 @@ def _encode_codes_residual(
     centroids: DataFrame,
     id_col: str,
     vec_col: str,
+    distributed: bool = False,
 ) -> DataFrame:
     """RESIDUAL-PQ encode the stored corpus (r11 — round-10 verdict Next
     #1): unlike plain codes (cell-independent, encoded once per vector
@@ -269,13 +270,28 @@ def _encode_codes_residual(
     (`attach_pq_lut` residual mode, np first-occurrence argmin == the
     (d2 asc, code asc) comparator) → bit-identical ncodes to the ad-hoc
     path for the same (vector, cell, model). `stored` must carry
-    (id, vec, cell_id, probe_rank); model frames are KB control plane."""
+    (id, vec, cell_id, probe_rank); the codebook is KB control plane.
+
+    `distributed=True` (r14 — round-13 verdict Next #2, the two-level
+    composition): the per-row centroid comes from an EQUI-JOIN against
+    the centroid FRAME on cell_id instead of a driver-collected
+    O(n_cells) matrix — the collect the two-level route exists to
+    remove. Same doubles, same subtraction → bit-identical codes
+    (attach_pq_lut centroid_col docstring); the join is cell-keyed, AQE
+    broadcasts a KB centroid frame and shuffle-joins a corpus-scale one."""
     cb_np, m, n_codes, sub_dim = _collect_codebook(codebook)
-    cent_np, cent_pos = _collect_centroids(centroids)
-    coded = attach_pq_lut(
-        stored, cb_np, m, n_codes, sub_dim, vec_col,
-        residual=True, cent_np=cent_np, cent_pos=cent_pos, with_codes=True,
-    )
+    if distributed:
+        cent = centroids.select("cell_id", F.col("centroid").alias("__cent"))
+        coded = attach_pq_lut(
+            stored.join(cent, "cell_id"), cb_np, m, n_codes, sub_dim, vec_col,
+            residual=True, centroid_col="__cent", with_codes=True,
+        )
+    else:
+        cent_np, cent_pos = _collect_centroids(centroids)
+        coded = attach_pq_lut(
+            stored, cb_np, m, n_codes, sub_dim, vec_col,
+            residual=True, cent_np=cent_np, cent_pos=cent_pos, with_codes=True,
+        )
     return coded.select(id_col, "ncodes", "cell_id", "probe_rank")
 
 
@@ -308,14 +324,20 @@ def build_ann_index(
     task closure. Default None auto-enables when the flat literal
     codebook would overflow its closure cap (n_cells · dim >
     `_IVF_LITERAL_MAX_DOUBLES`); both knobs persist in {path}/meta so
-    every later verb reads the routing back. Composes with a TRAINED
-    fixed-size PLAIN codebook (r13 — round-12 verdict Next #3: pass
-    `sub_codebook=`; its collect is n_codes·m rows, KB at any N, and
-    plain codes never touch the centroid matrix) but stays mutually
-    exclusive with RESIDUAL codes — the residual encode/search collect
-    the full O(n_cells) centroid matrix, the very thing the two-level
-    route removes. The parquet write/read-back of /centroids is the
-    materialization boundary for the threshold pick's corpus lineage.
+    every later verb reads the routing back. Composes with any
+    CALLER-PROVIDED fixed-size codebook (its collect is n_codes·m rows,
+    KB at any N): a trained PLAIN codebook (r13 — round-12 verdict Next
+    #3) or, since r14 (round-13 verdict Next #2), a RESIDUAL codebook —
+    residual encode/search on a two-level store resolve each row's
+    centroid by an equi-join against the centroid FRAME
+    (`_encode_codes_residual(distributed=True)` /
+    `attach_pq_lut(centroid_col=...)`) instead of collecting the
+    O(n_cells) matrix, so the engine's best-recall configuration
+    (residual × spilled) now reaches the extreme-N regime. Only the
+    SELF-BUILT seeded residual codebook stays excluded (it needs the
+    exact pick + the full matrix driver-side). The parquet
+    write/read-back of /centroids is the materialization boundary for
+    the threshold pick's corpus lineage.
 
     `centroids` may be a pre-refined (Lloyd) model; default is the
     deterministic md5-prefix pick over the normalized image. Passing
@@ -351,19 +373,22 @@ def build_ann_index(
         raise ValueError(f"super_probe must be >= 1 (got {super_probe})")
     if two_level is None:
         two_level = bool(n_cells and n_cells * dim > _IVF_LITERAL_MAX_DOUBLES)
-    if two_level and residual:
-        # RESIDUAL codes (seeded or trained) encode/search against the FULL
-        # cell_id -> centroid matrix collected driver-side (`attach_pq_lut`
-        # cent_np/cent_pos) — the O(n_cells) collect the two-level route
-        # exists to remove. A TRAINED fixed-size PLAIN codebook composes
-        # fine (r13 — round-12 verdict Next #3): its collect is n_codes·m
-        # rows, KB at ANY corpus size, and plain codes never touch the
-        # centroids — pass sub_codebook=<trained frame>.
+    if two_level and residual and sub_codebook is None:
+        # The SEEDED residual codebook construction
+        # (`seeded_residual_codebook_rows`) needs the seeds' home cells
+        # against the full centroid matrix driver-side AND derives from
+        # the exact md5 pick — both driver-collects a two-level store
+        # exists to remove. RESIDUAL itself now composes (r14 — round-13
+        # verdict Next #2): encode/search resolve each row's centroid by
+        # an equi-join against the centroid FRAME (distributed, no
+        # O(n_cells) collect) — pass a CALLER-PROVIDED fixed-size
+        # codebook (trained over `residual_vectors`, or any KB (s, code,
+        # csub) frame).
         raise ValueError(
-            "two_level stores do not support RESIDUAL codes: the residual "
-            "encode/search paths collect the full centroid matrix, which "
-            "is exactly the collect the two-level route exists to remove; "
-            "a trained fixed-size plain codebook (sub_codebook=...) composes"
+            "two_level + residual requires a caller-provided fixed-size "
+            "codebook (sub_codebook=...): the SEEDED residual codebook "
+            "construction collects the full centroid matrix, which is "
+            "exactly the collect the two-level route exists to remove"
         )
     pq_seeded = bool(residual and sub_codebook is None)
     n_codes = None
@@ -476,7 +501,10 @@ def build_ann_index(
         # ingester's compressed path overwrites per-partition exactly-once.
         sub_codebook.write.mode("overwrite").parquet(path + "/codebook")
         codes = (
-            _encode_codes_residual(stored, sub_codebook, centroids, id_col, vec_col)
+            _encode_codes_residual(
+                stored, sub_codebook, centroids, id_col, vec_col,
+                distributed=two_level,
+            )
             if residual
             else _encode_codes(stored, sub_codebook, id_col, vec_col)
         )
@@ -538,7 +566,9 @@ def append_to_index(
     )
     if codebook is not None:
         codes = (
-            _encode_codes_residual(assigned, codebook, cents, id_col, vec_col)
+            _encode_codes_residual(
+                assigned, codebook, cents, id_col, vec_col, distributed=two_level
+            )
             if residual
             else _encode_codes(assigned, codebook, id_col, vec_col)
         )
@@ -600,14 +630,6 @@ def search_index(
     store = spark.read.parquet(path + "/vectors")
     n_home, residual = _index_meta(spark, path)
     two_level, super_probe = _index_two_level(spark, path)
-    if use_pq and two_level and residual:
-        # unreachable through build_ann_index (it refuses the combination);
-        # guard hand-assembled stores — the residual search path collects
-        # the full centroid matrix, defeating the two-level routing
-        raise ValueError(
-            "two_level stores do not support residual compressed search — "
-            "search with use_pq=False or rebuild with a plain codebook"
-        )
     # home rows = exactly one row per stored vector: the query leg (and
     # the PQ rerank's raw-vector legs) must never see spilled copies —
     # duplicate query/neighbor rows would corrupt the per-query ranking
@@ -658,12 +680,23 @@ def search_index(
     )
     if residual:
         # one LUT per (query, probed cell), each from the query's residual
-        # wrt that cell — matching the stored per-copy residual codes
-        cent_np, cent_pos = _collect_centroids(cents)
-        assigned = attach_pq_lut(
-            qa0, cb_np, m, n_codes, sub_dim, vec_col,
-            residual=True, cent_np=cent_np, cent_pos=cent_pos,
-        ).transform(_materialize)
+        # wrt that cell — matching the stored per-copy residual codes. On
+        # a TWO-LEVEL store (r14 — round-13 verdict Next #2) the probed
+        # cell's centroid comes from an equi-join against the stored
+        # centroid FRAME — no O(n_cells) driver collect; bit-identical
+        # LUTs (attach_pq_lut centroid_col docstring).
+        if two_level:
+            cent = cents.select("cell_id", F.col("centroid").alias("__cent"))
+            assigned = attach_pq_lut(
+                qa0.join(cent, "cell_id"), cb_np, m, n_codes, sub_dim, vec_col,
+                residual=True, centroid_col="__cent",
+            ).drop("__cent").transform(_materialize)
+        else:
+            cent_np, cent_pos = _collect_centroids(cents)
+            assigned = attach_pq_lut(
+                qa0, cb_np, m, n_codes, sub_dim, vec_col,
+                residual=True, cent_np=cent_np, cent_pos=cent_pos,
+            ).transform(_materialize)
         qlut = assigned.select(F.col(id_col).alias("query_id"), "cell_id", "lut")
         qlut_keys = ["query_id", "cell_id"]
     else:
@@ -921,7 +954,9 @@ def retrain_index(
     )
     if codebook is not None:
         codes = (
-            _encode_codes_residual(stored, codebook, cents, id_col, vec_col)
+            _encode_codes_residual(
+                stored, codebook, cents, id_col, vec_col, distributed=two_level
+            )
             if residual
             else _encode_codes(stored, codebook, id_col, vec_col)
         )

@@ -897,6 +897,7 @@ def attach_pq_lut(
     cent_pos: dict | None = None,
     with_codes: bool = False,
     code_rank_limit: int | None = None,
+    centroid_col: str | None = None,
 ) -> DataFrame:
     """Append the per-row ADC LUT column (`lut`, m·n_codes doubles:
     lut[s·n_codes + code] = L2²(subvector_s, codeword)) in one Arrow
@@ -924,7 +925,19 @@ def attach_pq_lut(
     `probe_rank <= limit` (requires an ivf_assign(with_rank=True) frame)
     — the spilled-assignment (n_home > 1) corpus leg needs codes on every
     stored copy; plain-mode codes are cell-independent, so the copies
-    carry identical ncodes."""
+    carry identical ncodes.
+
+    `centroid_col` (r14 — round-13 verdict Next #2, the DISTRIBUTED
+    residual mode): instead of indexing a driver-collected `cent_np`
+    matrix by `cent_pos[cell_id]`, each row carries ITS OWN cell's
+    centroid in this column (the caller equi-joins the centroid FRAME on
+    cell_id beforehand) — so residual encode/search never collects the
+    O(n_cells) centroid matrix, which is exactly the collect the
+    two-level store exists to remove. The subtraction is the same
+    float64 elementwise op on the same doubles (parquet/collect both
+    round-trip IEEE binary64 exactly), so codes/LUTs are BIT-IDENTICAL
+    to the cent_np path for the same (vector, cell, model) — pinned by
+    test_two_level_residual_store_matches_flat."""
     import numpy as np
 
     from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
@@ -936,6 +949,7 @@ def attach_pq_lut(
     )
     _m, _nc, _sd, _residual = m, n_codes, sub_dim, residual
     _rank_lim = code_rank_limit
+    _cent_col = centroid_col
 
     def _lut(pdf_iter):
         CB = cb_np.reshape(_m, _nc, _sd)
@@ -946,9 +960,10 @@ def attach_pq_lut(
             codes = [None] * len(pdf)
             if _residual:
                 idx = np.arange(len(pdf))
-                cellpos = np.asarray(
-                    [cent_pos[int(c)] for c in pdf["cell_id"]], dtype=np.int64
-                )
+                if _cent_col is None:
+                    cellpos = np.asarray(
+                        [cent_pos[int(c)] for c in pdf["cell_id"]], dtype=np.int64
+                    )
             elif _rank_lim is not None:
                 idx = np.nonzero((pdf["probe_rank"].to_numpy() <= _rank_lim))[0]
             else:
@@ -958,7 +973,11 @@ def attach_pq_lut(
                 V = np.asarray(
                     [np.asarray(pdf[vec_col].iloc[i], dtype=np.float64) for i in chunk]
                 )
-                if _residual:
+                if _residual and _cent_col is not None:
+                    V = V - np.asarray(
+                        [np.asarray(pdf[_cent_col].iloc[i], dtype=np.float64) for i in chunk]
+                    )
+                elif _residual:
                     V = V - cent_np[cellpos[chunk]]
                 V = V.reshape(len(chunk), _m, _sd)
                 diff = V[:, :, None, :] - CB[None, :, :, :]

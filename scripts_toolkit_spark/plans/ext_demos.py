@@ -2735,3 +2735,169 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= 3
 """
+
+
+def ann_index_two_level_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL codes on a TWO-LEVEL store (r14 — round-13 verdict Next
+    #2, closing the r13 "What's missing" #1): the engine's best-recall
+    encoding now reaches the extreme-N regime the two-level route exists
+    for. `build_ann_index(two_level=True, residual=True,
+    sub_codebook=...)` composes the fully-distributed threshold centroid
+    pick + coarse-to-fine routing with per-copy RESIDUAL codes — the
+    encode resolves each stored row's centroid by an EQUI-JOIN against
+    the centroid frame (`_encode_codes_residual(distributed=True)` →
+    `attach_pq_lut(centroid_col=...)`), and `search_index(use_pq=True)`
+    builds its per-(query, probed-cell) residual LUTs through the same
+    join — no O(n_cells) centroid-matrix collect anywhere on the store
+    path. The CALLER-PROVIDED fixed-size codebook here is the 64
+    md5-picked seeds' residuals wrt their home among the THRESHOLD
+    centroids, built as FRAMES (the only collect is the fixed-64 seed
+    pick — KB at any N; a production deployment passes a
+    `train_pq_codebook`-trained codebook over `residual_vectors`, fully
+    distributed). Every stage is md5/sequential-fold deterministic, so
+    the oracle replays threshold pick → super pick → two-level routing →
+    seed homes → residual codebook slices → per-copy residual codes →
+    per-(query, cell) residual LUT → fixed-order ADC top-24 → cosine
+    rerank → top-3 in SQL, parquet round-trip included."""
+    from scripts_toolkit_spark.ext import ann_index as ANN
+    from scripts_toolkit_spark.ext.similarity import (
+        auto_n_cells,
+        corpus_stats,
+        deterministic_centroids,
+        ivf_assign,
+        normalize_vectors,
+        threshold_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _session_index_path(spark, sf_dir, "ann_two_level_res")
+    normed = normalize_vectors(emb)
+    n_rows, _dim = corpus_stats(normed)
+    n_cells = auto_n_cells(normed, n_rows=n_rows)
+    # the threshold pick is md5-prefix deterministic, so this frame is
+    # row-identical to the pick the build re-runs internally; materialize
+    # once — the seed-home assign and the residual join below reuse it
+    thr = threshold_centroids(normed, n_cells, n_rows=n_rows).transform(_materialize)
+    seeds = deterministic_centroids(normed, 64).select(
+        F.col("cell_id").alias("code"), F.col("centroid").alias("svec")
+    )
+    homed = ivf_assign(seeds, thr, 1, id_col="code", vec_col="svec")
+    resid = homed.join(thr.select("cell_id", "centroid"), "cell_id").select(
+        "code",
+        F.zip_with(
+            "svec", "centroid", lambda v, c: v.cast("double") - c.cast("double")
+        ).alias("rv"),
+    )
+    cb = resid.select(
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.slice("rv", s * 16 + 1, 16).alias("csub")
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col("e.s").alias("s"), "code", F.col("e.csub").alias("csub"))
+    ANN.build_ann_index(
+        emb, path, n_cells=n_cells, two_level=True, residual=True, sub_codebook=cb
+    )
+    return ANN.search_index(spark, path, k=3, n_probe=3, use_pq=True, rerank_factor=8)
+
+
+ANN_INDEX_TWO_LEVEL_RESIDUAL_SQL = f"""
+WITH {_TWO_LEVEL_ROUTING_SQL.strip()},
+-- caller-provided residual codebook: the 64 smallest-md5 normalized
+-- vectors' residuals wrt their home among the THRESHOLD centroids
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS code,
+         nvec
+  FROM nv
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 64
+),
+seed_home AS (
+  SELECT s.code, c.cell_id
+  FROM seeds s, centv c
+  QUALIFY row_number() OVER (PARTITION BY s.code ORDER BY
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(s.nvec[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) DESC,
+    c.cell_id) = 1
+),
+resid_seeds AS (
+  SELECT s.code,
+    list_transform(range(1, 65),
+      i -> CAST(s.nvec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rv
+  FROM seeds s JOIN seed_home h USING (code) JOIN centv c ON c.cell_id = h.cell_id
+),
+cb AS (
+  SELECT s, code, rv[s*16+1 : s*16+16] AS csub
+  FROM resid_seeds, UNNEST(range(4)) AS t(s)
+),
+-- residual of every vector wrt EVERY cell it is stored in / probing —
+-- one code set per stored copy (rn = 1), one LUT per probe (rn <= 3)
+resid AS (
+  SELECT a.vec_id, a.cell_id, a.rn,
+    list_transform(range(1, 65),
+      i -> CAST(e.nvec[i] AS DOUBLE) - CAST(c.centroid[i] AS DOUBLE)) AS rv
+  FROM assigned a
+  JOIN nv e USING (vec_id)
+  JOIN centv c ON c.cell_id = a.cell_id
+),
+subs AS (
+  SELECT vec_id, cell_id, rn, s, rv[s*16+1 : s*16+16] AS sub
+  FROM resid, UNNEST(range(4)) AS t(s)
+),
+d2 AS (
+  SELECT vec_id, cell_id, rn, s, code, {_PQ_L2_SQL} AS d2
+  FROM subs JOIN cb USING (s)
+),
+codes AS (
+  SELECT vec_id AS neighbor_id, cell_id, s, code
+  FROM d2 WHERE rn = 1
+  QUALIFY row_number() OVER (PARTITION BY vec_id, cell_id, s ORDER BY d2, code) = 1
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.cell_id, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id FROM assigned WHERE rn = 1) h USING (cell_id)
+  WHERE q.vec_id <> h.vec_id
+),
+pivoted AS (
+  -- ADC wrt the SHARED cell: the query's residual LUT for that cell
+  -- looked up at the neighbor's codes for that cell
+  SELECT c.query_id, c.cell_id, c.neighbor_id,
+    MAX(CASE WHEN nc.s = 0 THEN l.d2 END) AS p0,
+    MAX(CASE WHEN nc.s = 1 THEN l.d2 END) AS p1,
+    MAX(CASE WHEN nc.s = 2 THEN l.d2 END) AS p2,
+    MAX(CASE WHEN nc.s = 3 THEN l.d2 END) AS p3
+  FROM cand c
+  JOIN codes nc ON nc.neighbor_id = c.neighbor_id AND nc.cell_id = c.cell_id
+  JOIN d2 l ON l.vec_id = c.query_id AND l.cell_id = c.cell_id
+           AND l.s = nc.s AND l.code = nc.code
+  GROUP BY c.query_id, c.cell_id, c.neighbor_id
+),
+shortlist AS (
+  -- n_home = 1: each neighbor stored in exactly one cell, so per-query
+  -- per-cell shortlists are disjoint — no DISTINCT (mirrors _pq_rank)
+  SELECT query_id, neighbor_id
+  FROM pivoted
+  QUALIFY row_number() OVER (PARTITION BY query_id, cell_id ORDER BY p0 + p1 + p2 + p3, neighbor_id) <= 24
+),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(q.nvec[i] AS DOUBLE) * CAST(n.nvec[i] AS DOUBLE)), (x, y) -> x + y) AS cos_sim
+  FROM shortlist s
+  JOIN nv q ON q.vec_id = s.query_id
+  JOIN nv n ON n.vec_id = s.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM reranked
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""

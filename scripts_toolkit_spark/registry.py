@@ -9,9 +9,12 @@ MATERIALLY CHANGED in the current round MUST sit inside that window
 (CLAUDE.md rule; round-4 verdict "What's wrong" #2 flagged the two
 round-4 newcomers registered past it).
 
-Round-14 window: NEW row lang_top_docs (the grouped_topk oracle gate —
+Round-14 window: NEW rows lang_top_docs (the grouped_topk oracle gate —
 round-13 verdict Next #6; melt_wide96_chunked ceded, r11..r13-green and
-unchanged); CHANGED rows — the whole PQ serving family
+unchanged) and ann_index_two_level_residual (the composed two-level ×
+residual store — round-13 verdict Next #2; quantile_sketch_values
+ceded, long-green and unchanged, its incremental twin stays in-window);
+CHANGED rows — the whole PQ serving family
 (ann_topk_ivfpq, ann_topk_spilled, ann_topk_residual_spilled,
 ann_index_spilled, ann_index_residual, ann_index_two_level_pq,
 ann_topk_incremental, ann_index_two_level: ext/similarity._pq_rank is
@@ -358,6 +361,19 @@ register("ann_index_two_level", xd.ann_index_two_level, xd.ANN_INDEX_TWO_LEVEL_S
 # encode → per-(query, cell) ADC top-24 → cosine rerank in SQL.
 register(
     "ann_index_two_level_pq", xd.ann_index_two_level_pq, xd.ANN_INDEX_TWO_LEVEL_PQ_SQL
+)
+# NEW (r14): RESIDUAL codes on the two-level store (round-13 verdict Next
+# #2 — the r13 exclusion closed): per-copy residual encode + per-(query,
+# cell) residual LUT search resolve centroids by EQUI-JOIN against the
+# centroid frame (attach_pq_lut centroid_col / _encode_codes_residual
+# distributed=True) — no O(n_cells) collect; caller-provided fixed-size
+# codebook (seeds' residuals wrt the threshold centroids, frame-built).
+# quantile_sketch_values ceded seat #50 by this insertion (r10..r13-
+# green, unchanged; its incremental twin keeps its in-window seat).
+register(
+    "ann_index_two_level_residual",
+    xd.ann_index_two_level_residual,
+    xd.ANN_INDEX_TWO_LEVEL_RESIDUAL_SQL,
 )
 # NEW (r13): the S1 fleet-scale fetch path under the value gate (round-12
 # verdict Next #5 — fetch_manifest was pytest-only): file:// manifest →

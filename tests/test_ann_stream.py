@@ -490,3 +490,67 @@ def test_stream_two_level_pq_store_matches_batch(spark, sf_dir, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "matches")).collect()
     assert rows, "degenerate: no compressed cross-batch matches"
     assert all(r["query_id"] % 3 != 0 for r in rows)
+
+
+def test_stream_two_level_residual_store_matches_batch(spark, sf_dir, tmp_path):
+    """r14 (round-13 verdict Next #2, streamed): a TWO-LEVEL store built
+    with a caller-provided RESIDUAL codebook ingests by stream with
+    use_pq=True — the per-batch cross-batch match builds its
+    per-(query, cell) residual LUTs through the DISTRIBUTED centroid
+    join (no centroid-matrix collect), each batch's per-copy residual
+    codes append under the per-batch_id overwrite, and the streamed
+    store + codes stay row-identical to a one-shot composed build with
+    the same model."""
+    from scripts_toolkit_spark.ext.ann_index import _seeded_residual_model
+    from scripts_toolkit_spark.ext.similarity import normalize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = normalize_vectors(emb).localCheckpoint()
+    _cents, cb = _seeded_residual_model(
+        spark, normed, 16, 64, 4, 16, "vec_id", "embedding"
+    )
+    cb = cb.localCheckpoint()
+    first = emb.where("vec_id % 3 = 0")
+    rest_a = emb.where("vec_id % 3 = 1")
+    rest_b = emb.where("vec_id % 3 = 2")
+    index_path = str(tmp_path / "ix2lres")
+    build_ann_index(first, index_path, two_level=True, residual=True, sub_codebook=cb)
+
+    src = str(tmp_path / "vec_in")
+    rest_a.coalesce(1).write.mode("append").parquet(src)
+    rest_b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = start_ann_ingest(
+        stream,
+        index_path=index_path,
+        matches_path=str(tmp_path / "matches"),
+        checkpoint=str(tmp_path / "ckpt"),
+        k=3,
+        n_probe=3,
+        use_pq=True,
+    )
+    q.awaitTermination()
+
+    one_path = str(tmp_path / "oneshot")
+    stored_cents = spark.read.parquet(index_path + "/centroids").localCheckpoint()
+    build_ann_index(
+        emb, one_path, centroids=stored_cents, two_level=True,
+        residual=True, sub_codebook=cb,
+    )
+    streamed_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(index_path + "/codes").collect()
+    }
+    oneshot_codes = {
+        (r["vec_id"], r["cell_id"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(one_path + "/codes").collect()
+    }
+    assert streamed_codes == oneshot_codes and streamed_codes
+
+    rows = spark.read.parquet(str(tmp_path / "matches")).collect()
+    assert rows, "degenerate: no residual compressed cross-batch matches"
+    assert all(r["query_id"] % 3 != 0 for r in rows)

@@ -2060,9 +2060,11 @@ def test_ann_index_two_level_pq_parity_and_recall(spark, sf_dir, tmp_path):
     exact rerank loses nothing at this occupancy: measured agreement
     1.0, floor 0.9) and clear a recall floor vs the exact baseline
     (measured 0.32 on the near-uniform synthetic corpus — candidate-
-    bound, same regime as the flat IVF tests); (3) the RESIDUAL
-    exclusion stays (its encode/search collect the full O(n_cells)
-    centroid matrix), as do the degenerate-knob guards."""
+    bound, same regime as the flat IVF tests); (3) the SEEDED-residual
+    exclusion stays (r14: residual itself now composes via the
+    distributed centroid join — only the self-built seeded codebook
+    still needs the full-matrix collect), as do the degenerate-knob
+    guards."""
     import pytest as _pytest
 
     from scripts_toolkit_spark.ext.ann_index import build_ann_index, search_index
@@ -2138,13 +2140,128 @@ def test_ann_index_two_level_pq_parity_and_recall(spark, sf_dir, tmp_path):
     }
     assert inc_codes == one2_codes and inc_codes
 
-    # (3) the residual exclusion and degenerate-knob guards stay
-    with _pytest.raises(ValueError, match="RESIDUAL"):
+    # (3) the seeded-residual exclusion and degenerate-knob guards stay
+    with _pytest.raises(ValueError, match="sub_codebook"):
         build_ann_index(emb, str(tmp_path / "x1"), two_level=True, residual=True)
     with _pytest.raises(ValueError, match="super_probe"):
         build_ann_index(emb, str(tmp_path / "x2"), two_level=True, super_probe=0)
     with _pytest.raises(ValueError, match="n_home"):
         build_ann_index(emb, str(tmp_path / "x3"), n_home=0)
+
+
+def test_two_level_residual_store_matches_flat(spark, sf_dir, tmp_path):
+    """r14 (round-13 verdict Next #2): RESIDUAL codes compose with the
+    TWO-LEVEL store — encode and per-(query, cell) LUT search resolve
+    each row's centroid by an equi-join against the centroid FRAME
+    (`attach_pq_lut(centroid_col=...)` /
+    `_encode_codes_residual(distributed=True)`), never collecting the
+    O(n_cells) matrix the two-level route exists to remove. Contracts:
+    (1) with the same explicit model (centroids + caller residual
+    codebook), SPILLED width, and exhaustive super_probe, the two-level
+    residual store's `search_index(use_pq=True)` is ROW-IDENTICAL to the
+    flat residual store's — the distributed centroid join and the
+    cent_np matrix produce bit-identical codes/LUTs; (2) the stored
+    per-copy residual /codes agree row-for-row between the two builds;
+    (3) the DEFAULT composed build (threshold pick) serves compressed
+    search that agrees with the raw-vector search on the same store and
+    clears a recall floor vs the exact baseline; (4) append honors the
+    composed config (incremental == one-shot with the same model); (5)
+    only the SEEDED construction stays excluded (guarded in the
+    two_level_pq test above)."""
+    from scripts_toolkit_spark.ext.ann_index import (
+        _seeded_residual_model,
+        append_to_index,
+        build_ann_index,
+        search_index,
+    )
+    from scripts_toolkit_spark.ext.similarity import (
+        brute_force_topk,
+        normalize_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = normalize_vectors(emb).localCheckpoint()
+    cents, cb = _seeded_residual_model(
+        spark, normed, 16, 64, 4, 16, "vec_id", "embedding"
+    )
+    cents = cents.localCheckpoint()
+    cb = cb.localCheckpoint()
+
+    # (1)+(2) exhaustive-super parity vs the flat residual store
+    flat_path = str(tmp_path / "flat")
+    two_path = str(tmp_path / "two")
+    build_ann_index(
+        emb, flat_path, centroids=cents, sub_codebook=cb, residual=True, n_home=2
+    )
+    build_ann_index(
+        emb, two_path, centroids=cents, sub_codebook=cb, residual=True,
+        n_home=2, two_level=True, super_probe=99,
+    )
+    flat_codes = {
+        (r["vec_id"], r["cell_id"], r["probe_rank"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(flat_path + "/codes").collect()
+    }
+    two_codes = {
+        (r["vec_id"], r["cell_id"], r["probe_rank"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(two_path + "/codes").collect()
+    }
+    assert flat_codes == two_codes and flat_codes
+    got = {
+        tuple(r)
+        for r in search_index(
+            spark, two_path, k=3, n_probe=4, use_pq=True, rerank_factor=16
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in search_index(
+            spark, flat_path, k=3, n_probe=4, use_pq=True, rerank_factor=16
+        ).collect()
+    }
+    assert got == want
+    assert got, "degenerate: empty two-level residual compressed search"
+
+    # (3) default threshold-pick composed build: agreement + recall
+    def_path = str(tmp_path / "def")
+    build_ann_index(emb, def_path, two_level=True, residual=True, sub_codebook=cb)
+    pq_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in search_index(
+            spark, def_path, k=3, n_probe=3, use_pq=True, rerank_factor=8
+        ).collect()
+    }
+    raw_pairs = {
+        (r["query_id"], r["neighbor_id"])
+        for r in search_index(spark, def_path, k=3, n_probe=3, use_pq=False).collect()
+    }
+    assert len(pq_pairs & raw_pairs) / len(raw_pairs) >= 0.9
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, emb, k=3).collect()
+    }
+    recall = len(pq_pairs & exact) / len(exact)
+    assert recall >= 0.25, f"two-level residual recall {recall:.2f}"
+
+    # (4) append honors the composed config: incremental == one-shot
+    inc_path = str(tmp_path / "inc")
+    base = emb.where("vec_id % 4 <> 0")
+    late = emb.where("vec_id % 4 = 0")
+    build_ann_index(base, inc_path, two_level=True, residual=True, sub_codebook=cb)
+    append_to_index(spark, inc_path, late)
+    one2 = str(tmp_path / "one2")
+    inc_cents = spark.read.parquet(inc_path + "/centroids").localCheckpoint()
+    build_ann_index(
+        emb, one2, centroids=inc_cents, two_level=True, residual=True, sub_codebook=cb
+    )
+    inc_codes = {
+        (r["vec_id"], r["cell_id"], r["probe_rank"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(inc_path + "/codes").collect()
+    }
+    one2_codes = {
+        (r["vec_id"], r["cell_id"], r["probe_rank"], tuple(r["ncodes"]))
+        for r in spark.read.parquet(one2 + "/codes").collect()
+    }
+    assert inc_codes == one2_codes and inc_codes
 
 
 def test_ann_index_legacy_layout_store(spark, sf_dir, tmp_path):

@@ -129,6 +129,9 @@ EXTRA_DEFAULT = (
     # oracle gate (per-language top docs, the skewed-groups ranker)
     "ann_index_two_level_residual",
     "lang_top_docs",
+    # Round-14: filtered vector search — the attribute equality composed
+    # into the candidate join key (cell_id, lang)
+    "ann_topk_same_lang",
 )
 
 

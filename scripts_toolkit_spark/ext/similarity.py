@@ -702,6 +702,91 @@ def ivf_topk(
     )
 
 
+def ivf_topk_filtered(
+    vectors: DataFrame,
+    attrs: DataFrame,
+    match_cols: list[str],
+    n_cells: int | None = 16,
+    n_probe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ATTRIBUTE-CONSTRAINED IVF top-k (r14 [extension]) — filtered
+    vector search, the production shape FAISS exposes as IDSelector and
+    pgvector as `WHERE attr = x ORDER BY embedding <=> q`: each query's
+    top-k among ONLY the neighbors that AGREE with it on `match_cols`
+    (e.g. same language, same tenant, same shard-date).
+
+    The scale-critical design point: equality predicates COMPOSE INTO
+    THE CANDIDATE JOIN KEY — candidates equi-join on (cell_id,
+    *match_cols), so ineligible pairs are pruned BEFORE the shuffle and
+    candidate volume only SHRINKS vs the unfiltered search. The naive
+    alternative — post-filtering an unfiltered top-k — silently returns
+    fewer than k eligible rows (or none) whenever the true same-attr
+    neighbors rank below the global top-k; this operator guarantees k
+    eligible results whenever the probed cells contain k eligible
+    neighbors (the same IVF approximation as `ivf_topk`, pinned exact
+    at exhaustive n_probe by
+    tests/test_ext.py::test_filtered_topk_exhaustive_exact).
+
+    `attrs` is (id_col, *match_cols) — SF-linear, joined plain (no
+    broadcast hint; AQE decides). Deterministic end-to-end (same
+    contract as `ivf_topk`) → SQL-replayable; the registered demo is
+    `ann_topk_same_lang`."""
+    n_rows, dim = corpus_stats(vectors, vec_col)
+    if n_cells is None:
+        n_cells = auto_n_cells(vectors, n_rows=n_rows)
+    cents = pick_centroids(vectors, n_cells, id_col, vec_col, dim=dim, n_rows=n_rows)
+    if not pick_is_local("auto", n_cells, dim):
+        cents = cents.transform(_materialize)
+    if n_cells * dim <= _IVF_LITERAL_MAX_DOUBLES:
+        probed = ivf_assign(vectors, cents, n_probe, id_col, vec_col, n_cells=n_cells, dim=dim)
+    else:
+        probed = ivf_assign_two_level(
+            vectors, cents, super_probe=4, n_probe=n_probe, id_col=id_col,
+            vec_col=vec_col, n_cells=n_cells, dim=dim,
+        )
+    assigned = (
+        probed.withColumn("nrm", F.sqrt(_dot(F.col(vec_col), F.col(vec_col))))
+        .join(attrs.select(id_col, *match_cols), id_col)
+        .transform(_materialize)
+    )
+    corpus = assigned.where(F.col("is_home")).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("nrm").alias("cn"),
+        "cell_id",
+        *match_cols,
+    )
+    queries = assigned.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell_id",
+        *match_cols,
+    )
+    scored = (
+        queries.join(corpus, ["cell_id", *match_cols])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            *match_cols,
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", *match_cols, "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "cos_sim",
+        )
+    )
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Sequential float64 fold of sum((a[i]-b[i])^2) — same determinism
     contract as `_dot` (fixed fold order, IEEE ops)."""

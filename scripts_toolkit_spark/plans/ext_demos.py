@@ -2901,3 +2901,77 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
 FROM ranked WHERE rank <= 3
 """
+
+
+def ann_topk_same_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (r14 [extension]): each embedding's top-3
+    cosine neighbors among documents in the SAME LANGUAGE (embeddings
+    and documents share ids 1:1) — the production attribute-constrained
+    ANN shape (FAISS IDSelector / pgvector `WHERE lang = x ORDER BY
+    embedding <=> q`). The language EQUALITY composes into the candidate
+    JOIN KEY (cell_id, lang): ineligible pairs are pruned BEFORE the
+    shuffle and candidate volume only shrinks — never the post-filter
+    shape that silently returns < k eligible rows whenever the true
+    same-lang neighbors rank below the global top-k. n_probe=4 (one
+    more than the unfiltered demo): with eligibility cutting the
+    per-cell candidate density to the language share, a filtered search
+    buys recall back with probes — the cost the pushed-down key just
+    reduced. Deterministic end-to-end → the oracle replays the √N pick,
+    assignment, the (cell, lang) candidate join, and the ranking in
+    SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    return SIM.ivf_topk_filtered(
+        emb, docs, ["lang"], n_cells=None, n_probe=4, k=3
+    )
+
+
+ANN_TOPK_SAME_LANG_SQL = f"""
+WITH nc AS (
+  SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS INT)) AS n
+  FROM embeddings
+),
+cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INT) AS cell_id,
+         vec_id
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= (SELECT n FROM nc)
+),
+centv AS (
+  SELECT cell_id, embedding AS centroid FROM cents JOIN embeddings USING (vec_id)
+),
+aff AS (
+  SELECT e.vec_id, c.cell_id,
+    list_reduce(list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.centroid[i] AS DOUBLE)), (x, y) -> x + y) AS aff
+  FROM embeddings e, centv c
+),
+assigned AS (
+  SELECT a.vec_id, a.cell_id, d.lang,
+    row_number() OVER (PARTITION BY a.vec_id ORDER BY a.aff DESC, a.cell_id) AS r
+  FROM aff a JOIN documents d ON d.doc_id = a.vec_id
+  QUALIFY r <= 4
+),
+cand AS (
+  SELECT q.vec_id AS query_id, q.lang, h.vec_id AS neighbor_id
+  FROM assigned q
+  JOIN (SELECT vec_id, cell_id, lang FROM assigned WHERE r = 1) h
+    USING (cell_id, lang)
+  WHERE q.vec_id <> h.vec_id
+),
+scored AS (
+  SELECT query_id, lang, neighbor_id, {_COS_SQL} AS cos_sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = query_id
+  JOIN embeddings eb ON eb.vec_id = neighbor_id
+),
+ranked AS (
+  SELECT query_id, lang, neighbor_id, cos_sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, lang, neighbor_id, CAST(rank AS INT) AS rank, cos_sim
+FROM ranked WHERE rank <= 3
+"""

@@ -11,10 +11,12 @@ round-4 newcomers registered past it).
 
 Round-14 window: NEW rows lang_top_docs (the grouped_topk oracle gate —
 round-13 verdict Next #6; melt_wide96_chunked ceded, r11..r13-green and
-unchanged) and ann_index_two_level_residual (the composed two-level ×
+unchanged), ann_index_two_level_residual (the composed two-level ×
 residual store — round-13 verdict Next #2; quantile_sketch_values
-ceded, long-green and unchanged, its incremental twin stays in-window);
-CHANGED rows — the whole PQ serving family
+ceded, long-green and unchanged, its incremental twin stays in-window),
+and ann_topk_same_lang (filtered vector search — the attribute equality
+composed into the candidate join key; ewma_event_forecast ceded,
+r12-green and unchanged); CHANGED rows — the whole PQ serving family
 (ann_topk_ivfpq, ann_topk_spilled, ann_topk_residual_spilled,
 ann_index_spilled, ann_index_residual, ann_index_two_level_pq,
 ann_topk_incremental, ann_index_two_level: ext/similarity._pq_rank is
@@ -201,14 +203,14 @@ register(
     cd.sequence_pack_assignments,
     cd.SEQUENCE_PACK_ASSIGNMENTS_SQL,
 )
-# NEW (r12): exponential-smoothing forecast — the time-series family
-# gains its production-baseline smoother, with the recurrence evaluated
-# in CLOSED FORM (exact integer weights, one decimal dot product, one
-# final double division) so no per-step rounding exists to diverge
-# cross-engine (the r11 ADPCM lesson applied at design time)
-# (video_frame_sample_stats ceded its seat — r11-green, unchanged this
-# round; parked just past the window).
-register("ewma_event_forecast", a6.ewma_event_forecast, a6.EWMA_EVENT_FORECAST_SQL)
+# NEW (r14): FILTERED vector search — attribute-constrained ANN (the
+# FAISS IDSelector / pgvector WHERE+ORDER BY shape): same-language
+# top-3 with the language EQUALITY composed into the candidate join key
+# (cell_id, lang) — pruned before the shuffle, never a post-filter.
+# Exhaustive-probe == brute-force-restricted pinned in pytest.
+# (ewma_event_forecast ceded its seat — r12-green, unchanged since;
+# parked just past the window.)
+register("ann_topk_same_lang", xd.ann_topk_same_lang, xd.ANN_TOPK_SAME_LANG_SQL)
 # NEW (r5 wave 5): winsorized stats
 register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
@@ -407,6 +409,11 @@ from scripts_toolkit_spark.plans import wide_demos as _wdm1
 register(
     "melt_wide96_chunked", _wdm1.melt_wide96_chunked, _wdm1.MELT_WIDE96_CHUNKED_SQL
 )
+# (r12): exponential-smoothing forecast — closed-form recurrence (exact
+# integer weights, one decimal dot product, one final double division);
+# ceded its window seat in r14 to ann_topk_same_lang (r12-green,
+# unchanged since).
+register("ewma_event_forecast", a6.ewma_event_forecast, a6.EWMA_EVENT_FORECAST_SQL)
 # NEW (r11 wave 2): REAL video + REAL compressed-audio decode under the
 # driver gate (the two §2.12 modalities that previously stopped at honest
 # stubs): pure-stdlib uncompressed-DIB AVI mux/demux with generic RIFF

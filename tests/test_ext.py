@@ -2328,3 +2328,53 @@ def test_ann_index_legacy_layout_store(spark, sf_dir, tmp_path):
     # retrain rewrites in place and the store stays searchable
     retrain_index(spark, legacy)
     assert search_index(spark, legacy, k=3, n_probe=3).count() > 0
+
+
+def test_filtered_topk_same_attr_only_and_exhaustive_exact(spark, sf_dir):
+    """ivf_topk_filtered's two contracts (r14): (1) every returned
+    neighbor agrees with its query on the match column — the filter is
+    structural (part of the join key), not a post-filter; (2) with
+    EXHAUSTIVE probes (n_probe = n_cells, so every eligible neighbor's
+    home cell is probed) the result is EXACTLY the brute-force top-k
+    restricted to same-attr pairs — the filtered search loses nothing
+    beyond the IVF approximation, which this config removes."""
+    from pyspark.sql.window import Window
+
+    from scripts_toolkit_spark.ext import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    got = S.ivf_topk_filtered(emb, docs, ["lang"], n_cells=16, n_probe=16, k=3)
+    rows = got.collect()
+    assert rows, "degenerate: empty filtered search"
+    lang_of = {r["vec_id"]: r["lang"] for r in docs.collect()}
+    assert all(
+        lang_of[r["query_id"]] == r["lang"] == lang_of[r["neighbor_id"]]
+        for r in rows
+    )
+
+    q = emb.join(docs, "vec_id").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "lang"
+    )
+    c = emb.join(docs, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "lang"
+    )
+    scored = (
+        q.join(c, "lang")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            S.cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+        .collect()
+    }
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows} == exact

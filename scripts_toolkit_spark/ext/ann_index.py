@@ -96,6 +96,40 @@ from scripts_toolkit_spark.ext.similarity import (
 from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
+def _meta_dict(spark: SparkSession, path: str) -> dict:
+    """The raw one-row {path}/meta contents as a dict ({} when the store
+    predates meta or the row is absent) — ONE parquet read + first() job
+    per lifecycle verb (r14: search/append/retrain each used to schedule
+    2-3 separate meta jobs through the per-knob helpers below; the knob
+    decoding is driver-side and shares this single read)."""
+    try:
+        row = spark.read.parquet(path + "/meta").first()
+    except AnalysisException:
+        return {}
+    return row.asDict() if row is not None else {}
+
+
+def _meta_n_home_residual(d: dict) -> tuple[int, bool]:
+    return int(d.get("n_home", 1) or 1), bool(d.get("residual") or False)
+
+
+def _meta_two_level(d: dict) -> tuple[bool, int]:
+    sp = d.get("super_probe")
+    # read-back validation (advisor r12): a store must never route with a
+    # degenerate probe width — ivf_assign(n_probe=0) silently returns no
+    # rows. Build validates >= 1; a hand-written meta with a non-positive
+    # width falls back to the documented DEFAULT (4), not a clamp to 1
+    # (advisor r13: clamping silently narrowed routing/recall for
+    # degenerate metas where the pre-r12 expression used the default).
+    return bool(d.get("two_level") or False), int(sp) if sp is not None and int(sp) >= 1 else 4
+
+
+def _meta_seeded_pq(d: dict):
+    if not d.get("pq_seeded"):
+        return False, None, None, None
+    return True, int(d["pq_n_codes"]), int(d["m"]), int(d["sub_dim"])
+
+
 def _index_meta(spark: SparkSession, path: str) -> tuple[int, bool]:
     """(n_home, residual) — the stored index's spilled-assignment width
     (1 = classic single home) and PQ-encoding mode (False = plain codes).
@@ -103,14 +137,7 @@ def _index_meta(spark: SparkSession, path: str) -> tuple[int, bool]:
     a stream started against directly-written centroids, or an r10 store
     predating the residual port) default to (1, False) — exactly the
     pre-knob behavior."""
-    try:
-        row = spark.read.parquet(path + "/meta").first()
-    except AnalysisException:
-        return 1, False
-    if row is None:
-        return 1, False
-    d = row.asDict()
-    return int(d.get("n_home", 1)), bool(d.get("residual") or False)
+    return _meta_n_home_residual(_meta_dict(spark, path))
 
 
 def _index_n_home(spark: SparkSession, path: str) -> int:
@@ -126,19 +153,7 @@ def _index_two_level(spark: SparkSession, path: str) -> tuple[bool, int]:
     INDEX property every lifecycle verb honors, not an ad-hoc-only
     chain). Stores written before the knob existed read (False, 4) —
     exactly the flat pre-r12 behavior."""
-    try:
-        row = spark.read.parquet(path + "/meta").first()
-    except AnalysisException:
-        return False, 4
-    d = row.asDict() if row is not None else {}
-    sp = d.get("super_probe")
-    # read-back validation (advisor r12): a store must never route with a
-    # degenerate probe width — ivf_assign(n_probe=0) silently returns no
-    # rows. Build validates >= 1; a hand-written meta with a non-positive
-    # width falls back to the documented DEFAULT (4), not a clamp to 1
-    # (advisor r13: clamping silently narrowed routing/recall for
-    # degenerate metas where the pre-r12 expression used the default).
-    return bool(d.get("two_level") or False), int(sp) if sp is not None and int(sp) >= 1 else 4
+    return _meta_two_level(_meta_dict(spark, path))
 
 
 def _index_seeded_pq_meta(spark: SparkSession, path: str):
@@ -148,14 +163,7 @@ def _index_seeded_pq_meta(spark: SparkSession, path: str):
     build extends to residual stores). Stores with a caller-provided
     codebook — or written before this column existed — read
     (False, None, None, None): retrain keeps their stored codebook."""
-    try:
-        row = spark.read.parquet(path + "/meta").first()
-    except AnalysisException:
-        return False, None, None, None
-    d = row.asDict() if row is not None else {}
-    if not d.get("pq_seeded"):
-        return False, None, None, None
-    return True, int(d["pq_n_codes"]), int(d["m"]), int(d["sub_dim"])
+    return _meta_seeded_pq(_meta_dict(spark, path))
 
 
 def _seeded_residual_model(
@@ -536,8 +544,9 @@ def append_to_index(
     appended copies are row-identical to a one-shot spilled build.
     Returns the updated corpus frame."""
     cents = spark.read.parquet(path + "/centroids")
-    n_home, residual = _index_meta(spark, path)
-    two_level, super_probe = _index_two_level(spark, path)
+    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
+    n_home, residual = _meta_n_home_residual(meta)
+    two_level, super_probe = _meta_two_level(meta)
     normed = normalize_vectors(new_vectors, id_col, vec_col)
     # a two-level-built store (meta two_level, r12) routes the late batch
     # coarse-to-fine as well: appends never collect the stored centroids
@@ -628,8 +637,9 @@ def search_index(
     per-query top-k."""
     cents = spark.read.parquet(path + "/centroids")
     store = spark.read.parquet(path + "/vectors")
-    n_home, residual = _index_meta(spark, path)
-    two_level, super_probe = _index_two_level(spark, path)
+    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
+    n_home, residual = _meta_n_home_residual(meta)
+    two_level, super_probe = _meta_two_level(meta)
     # home rows = exactly one row per stored vector: the query leg (and
     # the PQ rerank's raw-vector legs) must never see spilled copies —
     # duplicate query/neighbor rows would corrupt the per-query ranking
@@ -891,8 +901,9 @@ def retrain_index(
     at build time) — for those stores retrain==fresh-build holds when
     the fresh build receives the same codebook explicitly. Returns the
     rewritten corpus frame."""
-    n_home, residual = _index_meta(spark, path)
-    two_level, super_probe = _index_two_level(spark, path)
+    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
+    n_home, residual = _meta_n_home_residual(meta)
+    two_level, super_probe = _meta_two_level(meta)
     # re-pick/re-assign over one row per VECTOR (home rows) — the spilled
     # copies are derived storage, recomputed below from the new model
     snap = (
@@ -904,7 +915,7 @@ def retrain_index(
     n_rows, dim = corpus_stats(snap, vec_col)
     if n_cells is None:
         n_cells = auto_n_cells(snap, n_rows=n_rows)
-    pq_seeded, pq_n_codes, meta_m, meta_sub_dim = _index_seeded_pq_meta(spark, path)
+    pq_seeded, pq_n_codes, meta_m, meta_sub_dim = _meta_seeded_pq(meta)
     if pq_seeded and residual:
         # the build SELF-CONSTRUCTED its seeded residual codebook (params
         # in meta): rebuild it from the NEW pick over the current corpus,

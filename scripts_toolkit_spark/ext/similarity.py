@@ -373,7 +373,8 @@ def ivf_assign_two_level(
     if n_super is None:
         n_super = max(4, int(math.ceil(math.sqrt(float(n_cells)))))
     supers = deterministic_centroids(
-        centroids, n_super, id_col="cell_id", vec_col="centroid"
+        centroids, n_super, id_col="cell_id", vec_col="centroid",
+        n_rows=n_cells,  # shape already known above — no second count job
     )
     n_supers = min(n_super, n_cells)
     # each centroid's home super-cell (rename: ivf_assign emits `cell_id`

@@ -34,6 +34,22 @@ def get_spark(app_name: str = "scripts-toolkit-spark", master: str | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by BYTES, but this
+        # engine's hot stages are Arrow-kernel (mapInPandas) and
+        # interpreted higher-order array expressions whose per-row cost
+        # exceeds the byte model by ~10^3: a few-hundred-KB shuffle that
+        # AQE folds to ONE partition serializes seconds of per-row work
+        # onto one core (r14 event-log attribution: 2-4 s single-task
+        # kernel stages across the ANN family). Dropping the coalesce
+        # floor to 1 byte keeps such stages at `shuffle.partitions`-way
+        # parallelism; partitions stay bounded by that knob (env
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS — production sets it with the
+        # cluster, and can raise this floor back toward Spark's 1m
+        # default when bytes-per-partition, not Python-per-row, dominate).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1b"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: vectorized reader + pushdown are on by default; keep

@@ -52,8 +52,9 @@ from scripts_toolkit_spark.ext.ann_index import (
     _collect_codebook,
     _encode_codes,
     _encode_codes_residual,
-    _index_meta,
-    _index_two_level,
+    _meta_dict,
+    _meta_n_home_residual,
+    _meta_two_level,
 )
 from scripts_toolkit_spark.ext.similarity import (
     _dot,
@@ -128,8 +129,9 @@ def make_ann_ingest_processor(
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cents = spark.read.parquet(index_path + "/centroids")
-        n_home, residual = _index_meta(spark, index_path)
-        two_level, super_probe = _index_two_level(spark, index_path)
+        meta = _meta_dict(spark, index_path)  # ONE meta read per batch (r14)
+        n_home, residual = _meta_n_home_residual(meta)
+        two_level, super_probe = _meta_two_level(meta)
         try:
             codebook = spark.read.parquet(index_path + "/codebook")
         except AnalysisException:

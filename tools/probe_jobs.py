@@ -25,6 +25,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LOG_DIR = "/tmp/spark_graft_eventlogs"
 
 
+def _event_lines(app_id: str):
+    """Yield event-log JSON lines — Spark 4 writes a rolling
+    `eventlog_v2_<appId>/` directory of `events_*` parts; older layouts a
+    single `<appId>` file."""
+    flat = os.path.join(LOG_DIR, app_id)
+    if os.path.isfile(flat):
+        with open(flat) as f:
+            yield from f
+        return
+    d = os.path.join(LOG_DIR, f"eventlog_v2_{app_id}")
+    parts = sorted(
+        p for p in os.listdir(d) if p.startswith("events_")
+    )
+    for p in parts:
+        fp = os.path.join(d, p)
+        if p.endswith(".zstd"):
+            # no python zstd module in this env; shell out to the zstd CLI
+            import subprocess
+
+            out = subprocess.run(
+                ["zstd", "-dc", fp], capture_output=True, check=True
+            ).stdout
+            yield from out.decode("utf-8").splitlines()
+        else:
+            with open(fp) as f:
+                yield from f
+
+
 def main() -> None:
     name = sys.argv[1]
     repeat = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -45,6 +73,13 @@ def main() -> None:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # keep the probe session's AQE floor identical to session.py —
+        # without it the probe re-coalesces tiny kernel shuffles to one
+        # task and misattributes the very overhead being measured
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1b"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
@@ -88,31 +123,29 @@ def main() -> None:
     spark.stop()
 
     # parse the event log: job start/end + call site within the LAST run
-    path = os.path.join(LOG_DIR, app_id)
     lo, hi, wall = marks[-1]
     jobs = {}
-    with open(path) as f:
-        for line in f:
-            try:
-                ev = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            if ev.get("Event") == "SparkListenerJobStart":
-                jid = ev["Job ID"]
-                props = ev.get("Properties") or {}
-                jobs[jid] = {
-                    "start": ev["Submission Time"],
-                    "site": props.get("callSite.short", "?"),
-                    "stages": len(ev.get("Stage IDs", [])),
-                    "tasks": sum(
-                        s.get("Number of Tasks", 0)
-                        for s in ev.get("Stage Infos", [])
-                    ),
-                }
-            elif ev.get("Event") == "SparkListenerJobEnd":
-                jid = ev["Job ID"]
-                if jid in jobs:
-                    jobs[jid]["end"] = ev["Completion Time"]
+    for line in _event_lines(app_id):
+        try:
+            ev = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if ev.get("Event") == "SparkListenerJobStart":
+            jid = ev["Job ID"]
+            props = ev.get("Properties") or {}
+            jobs[jid] = {
+                "start": ev["Submission Time"],
+                "site": props.get("callSite.short", "?"),
+                "stages": len(ev.get("Stage IDs", [])),
+                "tasks": sum(
+                    s.get("Number of Tasks", 0)
+                    for s in ev.get("Stage Infos", [])
+                ),
+            }
+        elif ev.get("Event") == "SparkListenerJobEnd":
+            jid = ev["Job ID"]
+            if jid in jobs:
+                jobs[jid]["end"] = ev["Completion Time"]
     rows = [
         (j["start"], (j.get("end", j["start"]) - j["start"]) / 1000.0, j["site"], j["stages"], j["tasks"])
         for j in jobs.values()

@@ -85,9 +85,10 @@ from scripts_toolkit_spark.ext.similarity import (
     attach_pq_lut,
     auto_n_cells,
     corpus_stats,
-    deterministic_centroids,
+    exact_pick_rows,
     ivf_assign,
     ivf_assign_two_level,
+    local_rows_df,
     normalize_vectors,
     pq_code_arrays,
     seeded_residual_codebook_rows,
@@ -122,6 +123,22 @@ def _meta_two_level(d: dict) -> tuple[bool, int]:
     # (advisor r13: clamping silently narrowed routing/recall for
     # degenerate metas where the pre-r12 expression used the default).
     return bool(d.get("two_level") or False), int(sp) if sp is not None and int(sp) >= 1 else 4
+
+
+def _meta_shape(d: dict) -> tuple[int | None, int | None]:
+    """(n_cells, dim) of the STORED centroid frame, persisted at
+    build/retrain time (r14) so serving verbs skip the per-call
+    `corpus_stats` job over {path}/centroids. n_cells is the REALIZED
+    row count (a two-level store's `n_super = ceil(sqrt(n_cells))`
+    derives from it — an expectation would change the super pick and the
+    results). Stores written before the columns existed read
+    (None, None) — the callers fall back to the stats job, exactly the
+    pre-r14 behavior."""
+    nc, dm = d.get("n_cells"), d.get("dim")
+    return (
+        int(nc) if nc is not None and int(nc) > 0 else None,
+        int(dm) if dm is not None and int(dm) > 0 else None,
+    )
 
 
 def _meta_seeded_pq(d: dict):
@@ -177,31 +194,35 @@ def _seeded_residual_model(
     vec_col: str,
     n_rows: int | None = None,
 ):
-    """(centroids_df, codebook_df): ONE md5 pick over the normalized
-    corpus serves the IVF centroids (prefix slice — the pick is a prefix
-    property) AND the seeded residual codebook
+    """(centroids_df, codebook_df, cent_rows): ONE md5 pick over the
+    normalized corpus serves the IVF centroids (prefix slice — the pick
+    is a prefix property) AND the seeded residual codebook
     (`seeded_residual_codebook_rows`, the exact `ivfpq_topk`
     construction). Shared by `build_ann_index(residual=True)` and the
-    seeded-store branch of `retrain_index`. KB control plane."""
+    seeded-store branch of `retrain_index`. KB control plane. r14: the
+    pick rows come straight from `exact_pick_rows` (the former shape
+    created the pick frame and re-collected it — an extra job for rows
+    the driver already held), both frames are ONE-slice literals, and
+    the centroid rows are returned so the caller's assign/encode legs
+    skip their own re-collect."""
     import numpy as np
 
-    big = deterministic_centroids(
+    big_rows = exact_pick_rows(
         normed, max(n_cells, n_codes), id_col, vec_col, n_rows=n_rows
     )
-    big_rows = sorted((int(r["cell_id"]), list(r["centroid"])) for r in big.collect())
     cent_rows = [(c, v) for c, v in big_rows if c < n_cells]
-    centroids = spark.createDataFrame(
-        [(c, [float(x) for x in v]) for c, v in cent_rows],
-        "cell_id int, centroid array<double>",
+    centroids = local_rows_df(
+        spark, cent_rows, "cell_id int, centroid array<double>"
     )
     cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
-    codebook = spark.createDataFrame(
+    codebook = local_rows_df(
+        spark,
         seeded_residual_codebook_rows(
             [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
         ),
         "s int, code int, csub array<double>",
     )
-    return centroids, codebook
+    return centroids, codebook, cent_rows
 
 
 def _collect_codebook(codebook: DataFrame):
@@ -254,8 +275,13 @@ def _encode_codes(
     carries identical ncodes — encoding once per vector, not per copy),
     then fan back out to one codes row PER STORED COPY so /codes keeps
     row-parity with /vectors on both search paths."""
-    m = sub_codebook.agg(F.max("s")).first()[0] + 1
-    sub_dim = len(sub_codebook.select("csub").first()["csub"])
+    # ONE stats job for the model shape (r14: max(s) and the first csub
+    # used to schedule two separate driver jobs over the KB codebook)
+    shape = sub_codebook.agg(
+        F.max("s").alias("__m"), F.first("csub", ignorenulls=True).alias("__c")
+    ).first()
+    m = int(shape["__m"]) + 1
+    sub_dim = len(shape["__c"])
     home = stored.where(F.col("probe_rank") == 1).select(id_col, vec_col)
     return pq_code_arrays(home, sub_codebook, m, sub_dim, id_col, vec_col).join(
         stored.select(id_col, "cell_id", "probe_rank"), id_col
@@ -269,6 +295,7 @@ def _encode_codes_residual(
     id_col: str,
     vec_col: str,
     distributed: bool = False,
+    cent_rows: list | None = None,
 ) -> DataFrame:
     """RESIDUAL-PQ encode the stored corpus (r11 — round-10 verdict Next
     #1): unlike plain codes (cell-independent, encoded once per vector
@@ -295,7 +322,16 @@ def _encode_codes_residual(
             residual=True, centroid_col="__cent", with_codes=True,
         )
     else:
-        cent_np, cent_pos = _collect_centroids(centroids)
+        if cent_rows is not None:
+            # the caller already holds the cell_id-ascending centroid rows
+            # (build's exact pick) — same matrix `_collect_centroids`
+            # would rebuild, minus its driver job (r14)
+            import numpy as np
+
+            cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+            cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
+        else:
+            cent_np, cent_pos = _collect_centroids(centroids)
         coded = attach_pq_lut(
             stored, cb_np, m, n_codes, sub_dim, vec_col,
             residual=True, cent_np=cent_np, cent_pos=cent_pos, with_codes=True,
@@ -400,6 +436,7 @@ def build_ann_index(
         )
     pq_seeded = bool(residual and sub_codebook is None)
     n_codes = None
+    cent_rows = None  # driver-held centroid rows when the pick is exact (r14)
     if pq_seeded:
         # SEEDED residual codebook, bit-identical to ivfpq_topk's: ONE
         # md5 pick serves the centroids AND the codebook seeds (the pick
@@ -408,19 +445,18 @@ def build_ann_index(
         # codebook from the new pick (retrain == fresh seeded build).
         n_codes = pq_n_codes or n_cells or auto_n_cells(normed, n_rows=n_rows)
         if centroids is None:
-            centroids, sub_codebook = _seeded_residual_model(
+            centroids, sub_codebook, cent_rows = _seeded_residual_model(
                 spark, normed, n_cells, n_codes, m, sub_dim,
                 id_col, vec_col, n_rows=n_rows,
             )
         else:
-            # caller-provided model: seeds' homes computed against IT
+            # caller-provided model: seeds' homes computed against IT. The
+            # seeds come straight off `exact_pick_rows` (r14 — the former
+            # shape created the pick frame and re-collected it)
             import numpy as np
 
-            big = deterministic_centroids(
+            big_rows = exact_pick_rows(
                 normed, max(n_cells or 0, n_codes), id_col, vec_col, n_rows=n_rows
-            )
-            big_rows = sorted(
-                (int(r["cell_id"]), list(r["centroid"])) for r in big.collect()
             )
             centroids = centroids.transform(_materialize)
             cent_rows = sorted(
@@ -428,7 +464,8 @@ def build_ann_index(
                 for r in centroids.select("cell_id", "centroid").collect()
             )
             cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
-            sub_codebook = spark.createDataFrame(
+            sub_codebook = local_rows_df(
+                spark,
                 seeded_residual_codebook_rows(
                     [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
                 ),
@@ -442,10 +479,15 @@ def build_ann_index(
                 normed, n_cells, id_col, vec_col, n_rows=n_rows
             )
         else:
-            # the exact pick is already a driver-local literal frame — no
-            # corpus lineage to cut
-            centroids = deterministic_centroids(
+            # the exact pick collects its survivors anyway — keep the
+            # rows (r14): they feed the assign kernel, the meta shape,
+            # and the ONE-slice literal frame below (single-file
+            # /centroids ⇒ single-task reads in every later verb)
+            cent_rows = exact_pick_rows(
                 normed, n_cells, id_col, vec_col, n_rows=n_rows
+            )
+            centroids = local_rows_df(
+                spark, cent_rows, "cell_id int, centroid array<double>"
             )
     else:
         # caller-provided model (e.g. Lloyd-refined): cut its corpus lineage
@@ -459,9 +501,19 @@ def build_ann_index(
     centroids.write.mode("overwrite").parquet(path + "/centroids")
     if two_level:
         centroids = spark.read.parquet(path + "/centroids")
+    # the stored model's REALIZED shape (r14): known free when the exact
+    # pick's rows are driver-held; one stats job over the written frame
+    # otherwise (it replaces the identical job the assign below used to
+    # run internally — net-zero at build, and persisting it in meta saves
+    # the job in every later search/append/stream verb)
+    if cent_rows is not None:
+        n_cells_stored, dim_stored = len(cent_rows), dim
+    else:
+        n_cells_stored, dim_stored = corpus_stats(centroids, "centroid")
     # the build-time knobs are INDEX properties: persist them so append/
     # search/retrain/streaming read the same config without re-threading
-    spark.createDataFrame(
+    local_rows_df(
+        spark,
         [
             (
                 int(n_home), bool(residual), pq_seeded,
@@ -470,23 +522,27 @@ def build_ann_index(
                 int(sub_dim) if pq_seeded else None,
                 bool(two_level),
                 int(super_probe),
+                int(n_cells_stored),
+                int(dim_stored),
             )
         ],
         "n_home int, residual boolean, pq_seeded boolean, "
         "pq_n_codes int, m int, sub_dim int, "
-        "two_level boolean, super_probe int",
+        "two_level boolean, super_probe int, "
+        "n_cells bigint, dim int",
     ).write.mode("overwrite").parquet(path + "/meta")
     # with_rank in both branches of ivf_assign is free (the kernel already
     # holds the argsort order); n_home rows per vector, rank 1 = home
     if two_level:
         stored = ivf_assign_two_level(
             normed, centroids, super_probe=super_probe, n_probe=n_home,
-            id_col=id_col, vec_col=vec_col, with_rank=True, dim=dim,
+            id_col=id_col, vec_col=vec_col, with_rank=True,
+            n_cells=n_cells_stored, dim=dim_stored,
         ).select(id_col, vec_col, "cell_id", "probe_rank")
     else:
         stored = ivf_assign(
             normed, centroids, n_home, id_col, vec_col,
-            with_rank=True, n_cells=n_cells, dim=dim,
+            with_rank=True, n_cells=n_cells, dim=dim, centroid_rows=cent_rows,
         ).select(id_col, vec_col, "cell_id", "probe_rank")
     if sub_codebook is not None:
         # two consumers (the vectors write + the codes encoding) — cut once
@@ -507,11 +563,18 @@ def build_ann_index(
         # the frame the compressed-domain search joins at 100 TB. Codes
         # mirror /vectors' batch_id partitioning (r11) so the streaming
         # ingester's compressed path overwrites per-partition exactly-once.
-        sub_codebook.write.mode("overwrite").parquet(path + "/codebook")
+        # The codebook is n_codes·m rows (KB at any N, by contract), so a
+        # single-file write is scale-safe and makes every later
+        # `_collect_codebook` a one-task read (r14; repartition — NOT
+        # coalesce, which would serialize a parallelized literal's
+        # parents through one task, the r12 footgun)
+        sub_codebook.repartition(1).write.mode("overwrite").parquet(
+            path + "/codebook"
+        )
         codes = (
             _encode_codes_residual(
                 stored, sub_codebook, centroids, id_col, vec_col,
-                distributed=two_level,
+                distributed=two_level, cent_rows=cent_rows,
             )
             if residual
             else _encode_codes(stored, sub_codebook, id_col, vec_col)
@@ -547,6 +610,7 @@ def append_to_index(
     meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
     n_home, residual = _meta_n_home_residual(meta)
     two_level, super_probe = _meta_two_level(meta)
+    n_cells_m, dim_m = _meta_shape(meta)  # skips the per-verb stats job (r14)
     normed = normalize_vectors(new_vectors, id_col, vec_col)
     # a two-level-built store (meta two_level, r12) routes the late batch
     # coarse-to-fine as well: appends never collect the stored centroids
@@ -554,9 +618,13 @@ def append_to_index(
         ivf_assign_two_level(
             normed, cents, super_probe=super_probe, n_probe=n_home,
             id_col=id_col, vec_col=vec_col, with_rank=True,
+            n_cells=n_cells_m, dim=dim_m,
         )
         if two_level
-        else ivf_assign(normed, cents, n_home, id_col, vec_col, with_rank=True)
+        else ivf_assign(
+            normed, cents, n_home, id_col, vec_col, with_rank=True,
+            n_cells=n_cells_m, dim=dim_m,
+        )
     ).select(id_col, vec_col, "cell_id", "probe_rank")
     prev_max = spark.read.parquet(path + "/vectors").agg(F.max("batch_id")).first()[0]
     next_batch = int(prev_max) + 1 if prev_max is not None else 0
@@ -640,6 +708,7 @@ def search_index(
     meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
     n_home, residual = _meta_n_home_residual(meta)
     two_level, super_probe = _meta_two_level(meta)
+    n_cells_m, dim_m = _meta_shape(meta)  # skips the per-verb stats job (r14)
     # home rows = exactly one row per stored vector: the query leg (and
     # the PQ rerank's raw-vector legs) must never see spilled copies —
     # duplicate query/neighbor rows would corrupt the per-query ranking
@@ -653,10 +722,13 @@ def search_index(
     qa0 = (
         ivf_assign_two_level(
             q_normed, cents, super_probe=super_probe, n_probe=n_probe,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, n_cells=n_cells_m, dim=dim_m,
         )
         if two_level
-        else ivf_assign(q_normed, cents, n_probe, id_col, vec_col)
+        else ivf_assign(
+            q_normed, cents, n_probe, id_col, vec_col,
+            n_cells=n_cells_m, dim=dim_m,
+        )
     )
     if not use_pq:
         qa = qa0.select(
@@ -916,13 +988,14 @@ def retrain_index(
     if n_cells is None:
         n_cells = auto_n_cells(snap, n_rows=n_rows)
     pq_seeded, pq_n_codes, meta_m, meta_sub_dim = _meta_seeded_pq(meta)
+    cent_rows_new = None
     if pq_seeded and residual:
         # the build SELF-CONSTRUCTED its seeded residual codebook (params
         # in meta): rebuild it from the NEW pick over the current corpus,
         # so a retrained seeded store == a fresh seeded build — the
         # retrain==fresh-build contract extends to the residual config
         # (a caller-provided codebook is still kept untouched)
-        cents, codebook = _seeded_residual_model(
+        cents, codebook, cent_rows_new = _seeded_residual_model(
             spark, snap, n_cells, pq_n_codes, meta_m, meta_sub_dim,
             id_col, vec_col, n_rows=n_rows,
         )
@@ -938,7 +1011,10 @@ def retrain_index(
         except AnalysisException:
             codebook = None
     else:
-        cents = deterministic_centroids(snap, n_cells, id_col, vec_col, n_rows=n_rows)
+        cent_rows_new = exact_pick_rows(snap, n_cells, id_col, vec_col, n_rows=n_rows)
+        cents = local_rows_df(
+            spark, cent_rows_new, "cell_id int, centroid array<double>"
+        )
         try:
             codebook = spark.read.parquet(path + "/codebook").transform(_materialize)
         except AnalysisException:
@@ -946,14 +1022,43 @@ def retrain_index(
     cents.write.mode("overwrite").parquet(path + "/centroids")
     if two_level:
         cents = spark.read.parquet(path + "/centroids")
+    # the model SHAPE changed with the re-pick: refresh meta's realized
+    # (n_cells, dim) so later verbs keep skipping the stats job against
+    # the CURRENT model (r14 — a stale count would change a two-level
+    # store's super pick)
+    if cent_rows_new is not None:
+        n_cells_stored, dim_stored = len(cent_rows_new), dim
+    else:
+        n_cells_stored, dim_stored = corpus_stats(cents, "centroid")
+    local_rows_df(
+        spark,
+        [
+            (
+                int(n_home), bool(residual), bool(pq_seeded),
+                int(pq_n_codes) if pq_seeded else None,
+                int(meta_m) if pq_seeded else None,
+                int(meta_sub_dim) if pq_seeded else None,
+                bool(two_level),
+                int(super_probe),
+                int(n_cells_stored),
+                int(dim_stored),
+            )
+        ],
+        "n_home int, residual boolean, pq_seeded boolean, "
+        "pq_n_codes int, m int, sub_dim int, "
+        "two_level boolean, super_probe int, "
+        "n_cells bigint, dim int",
+    ).write.mode("overwrite").parquet(path + "/meta")
+    if two_level:
         stored = ivf_assign_two_level(
             snap, cents, super_probe=super_probe, n_probe=n_home,
-            id_col=id_col, vec_col=vec_col, with_rank=True, dim=dim,
+            id_col=id_col, vec_col=vec_col, with_rank=True,
+            n_cells=n_cells_stored, dim=dim_stored,
         ).select(id_col, vec_col, "cell_id", "probe_rank")
     else:
         stored = ivf_assign(
             snap, cents, n_home, id_col, vec_col,
-            with_rank=True, n_cells=n_cells, dim=dim,
+            with_rank=True, n_cells=n_cells, dim=dim, centroid_rows=cent_rows_new,
         ).select(id_col, vec_col, "cell_id", "probe_rank")
     if codebook is not None:
         stored = stored.transform(_materialize)
@@ -966,7 +1071,8 @@ def retrain_index(
     if codebook is not None:
         codes = (
             _encode_codes_residual(
-                stored, codebook, cents, id_col, vec_col, distributed=two_level
+                stored, codebook, cents, id_col, vec_col,
+                distributed=two_level, cent_rows=cent_rows_new,
             )
             if residual
             else _encode_codes(stored, codebook, id_col, vec_col)

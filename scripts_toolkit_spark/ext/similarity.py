@@ -141,6 +141,23 @@ def corpus_stats(
     return n_rows, dim
 
 
+def local_rows_df(spark, rows, schema) -> DataFrame:
+    """Driver-local KB control-plane frame on ONE slice (r14, guide §6
+    small-files): `createDataFrame(rows)` parallelizes over
+    defaultParallelism slices, so every write of such a frame emits ~32
+    near-empty files and every later read/collect schedules ~32 tiny
+    tasks (measured 0.2-0.4 s per collect of a 44-row /centroids store).
+    One slice makes writes single-file and collects single-task. This is
+    the sanctioned alternative to the FORBIDDEN `coalesce(1)`-before-
+    write (CLAUDE.md r12: coalescing a 32-slice parallelized frame makes
+    ONE task evaluate all 32 pickled parents sequentially); with one
+    slice at creation there is nothing to coalesce. Only for frames
+    bounded by construction (picked centroids, codebooks, meta rows)."""
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def pick_centroids(
     vectors: DataFrame,
     n_cells: int,
@@ -206,6 +223,7 @@ def ivf_assign(
     with_rank: bool = False,
     n_cells: int | None = None,
     dim: int | None = None,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its `n_probe` nearest
     centroids (by the deterministic sequential-fold dot). Searching with
@@ -240,14 +258,28 @@ def ivf_assign(
     (KB-scale and usually checkpointed/parquet — cheap). A
     threshold-pick caller's n_cells is the binomial EXPECTATION, not the
     exact row count; that is fine — the guard is routing, and the kernel
-    branch always builds from the rows it actually collects."""
+    branch always builds from the rows it actually collects.
+
+    `centroid_rows` (r14): the centroid frame's [(cell_id, [float])] rows
+    when the caller ALREADY holds them driver-side (a pick it just
+    collected, a store model it just read) — skips both the stats job and
+    the re-collect of `centroids`. Must be the exact rows of `centroids`
+    (doubles round-trip bit-exactly, so a prior collect qualifies);
+    `centroids` is still used for schema and as the over-cap fallback."""
+    if centroid_rows is not None:
+        n_cells = len(centroid_rows)
+        dim = len(centroid_rows[0][1]) if centroid_rows else 0
     if n_cells is None or dim is None:
         n_cells, dim = corpus_stats(centroids, "centroid", n_rows=n_cells, dim=dim)
     rows: list = []
     if 0 < n_cells * dim <= _IVF_LITERAL_MAX_DOUBLES:
-        rows = sorted(
-            (int(r["cell_id"]), list(r["centroid"]))
-            for r in centroids.select("cell_id", "centroid").collect()
+        rows = (
+            sorted((int(c), list(v)) for c, v in centroid_rows)
+            if centroid_rows is not None
+            else sorted(
+                (int(r["cell_id"]), list(r["centroid"]))
+                for r in centroids.select("cell_id", "centroid").collect()
+            )
         )
     if rows:
         # Arrow-vectorized kernel (decoder-class batch Python, §2.11): the
@@ -372,18 +404,26 @@ def ivf_assign_two_level(
         n_cells, dim = corpus_stats(centroids, "centroid", n_rows=n_cells, dim=dim)
     if n_super is None:
         n_super = max(4, int(math.ceil(math.sqrt(float(n_cells)))))
-    supers = deterministic_centroids(
+    # ONE survivor collect serves the supers frame AND both flat-kernel
+    # assigns below (r14): the former shape collected the created frame
+    # again inside each ivf_assign — two extra driver jobs per call
+    super_rows = exact_pick_rows(
         centroids, n_super, id_col="cell_id", vec_col="centroid",
         n_rows=n_cells,  # shape already known above — no second count job
     )
-    n_supers = min(n_super, n_cells)
+    supers = local_rows_df(
+        vectors.sparkSession, super_rows, "cell_id int, centroid array<double>"
+    )
     # each centroid's home super-cell (rename: ivf_assign emits `cell_id`
     # for the ASSIGNED super, which would collide with the centroid's id)
     cent_in = centroids.select(
         F.col("cell_id").alias("c_id"), F.col("centroid").alias("c_vec")
     )
     cent_super = (
-        ivf_assign(cent_in, supers, 1, id_col="c_id", vec_col="c_vec", n_cells=n_supers, dim=dim)
+        ivf_assign(
+            cent_in, supers, 1, id_col="c_id", vec_col="c_vec",
+            centroid_rows=super_rows,
+        )
         .select("c_id", "cell_id")
         .withColumnRenamed("cell_id", "super_id")
         .withColumnRenamed("c_id", "cell_id")
@@ -391,7 +431,7 @@ def ivf_assign_two_level(
     probed = (
         ivf_assign(
             vectors, supers, super_probe, id_col=id_col, vec_col=vec_col,
-            n_cells=n_supers, dim=dim,
+            centroid_rows=super_rows,
         )
         .select(id_col, vec_col, "cell_id")
         .withColumnRenamed("cell_id", "super_id")
@@ -437,6 +477,26 @@ def deterministic_centroids(
     sort, no single-partition window, no vector ever leaves an executor
     except the ~8·n_cells survivors.
     """
+    return local_rows_df(
+        vectors.sparkSession,
+        exact_pick_rows(vectors, n_cells, id_col, vec_col, n_rows=n_rows),
+        "cell_id int, centroid array<double>",
+    )
+
+
+def exact_pick_rows(
+    vectors: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> list:
+    """The exact md5-prefix pick as DRIVER-SIDE rows [(cell_id, [float])]
+    — the body of `deterministic_centroids` (see its docstring for the
+    threshold/widening recipe). Split out (r14) so callers that need BOTH
+    the frame and the literal rows (`ivf_assign_two_level`'s supers feed
+    two flat-kernel assigns) collect the survivors ONCE instead of
+    re-collecting the created frame per consumer."""
     h = F.md5(F.col(id_col).cast("string"))
     n = vectors.count() if n_rows is None else n_rows
     oversample = 8
@@ -457,14 +517,11 @@ def deterministic_centroids(
         oversample *= 4
     picked = sorted(((r["__h"], r["__id"], r["__v"]) for r in ranked))[: n_cells]
     # the survivors' VECTORS were collected with their rank keys (still
-    # KB-scale: ~8·n_cells vectors), so the centroid frame is created
+    # KB-scale: ~8·n_cells vectors), so the centroid rows are built
     # directly — the former broadcast join back into the corpus cost an
     # extra distributed job per call for data the driver already held.
     # Doubles round-trip exactly (Python float ≡ IEEE 754 binary64).
-    return vectors.sparkSession.createDataFrame(
-        [(i, [float(v) for v in vec]) for i, (_hh, _pid, vec) in enumerate(picked)],
-        "cell_id int, centroid array<double>",
-    )
+    return [(i, [float(v) for v in vec]) for i, (_hh, _pid, vec) in enumerate(picked)]
 
 
 def threshold_centroids(
@@ -1310,10 +1367,10 @@ def ivfpq_topk(
     cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
     cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
     # rebuild the centroid frame from the rows just collected: a literal
-    # single-partition frame, so ivf_assign's internal collect is a
-    # trivial mini-job over driver-held rows instead of a checkpoint
-    # re-read
-    cents = vectors.sparkSession.createDataFrame(
+    # ONE-slice frame (r14) — it only serves as ivf_assign's schema/
+    # fallback anchor now that the kernel codebook rides `centroid_rows`
+    cents = local_rows_df(
+        vectors.sparkSession,
         cent_rows,
         StructType(
             [
@@ -1329,17 +1386,20 @@ def ivfpq_topk(
         # near-origin residual cloud badly). Same KB-scale control plane —
         # the picked vectors were already collected for the centroid pick;
         # the home argmax reuses the kernel's i-ascending accumulation.
+        # Built DIRECTLY as driver rows (r14): the former createDataFrame
+        # + immediate self-collect round-tripped the same tuples through
+        # an extra job; sorted() over the raw tuples is the identical
+        # (s, code) ordering and the doubles never leave the driver.
         if big_rows is None:
             big_rows = sorted(
                 (int(r["cell_id"]), list(r["centroid"])) for r in big.collect()
             )
-        sub_codebook = vectors.sparkSession.createDataFrame(
+        cb_rows = sorted(
             seeded_residual_codebook_rows(
                 [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
-            ),
-            "s int, code int, csub array<double>",
+            )
         )
-    if sub_codebook is None:
+    elif sub_codebook is None:
         # plain seeded codebook: subspace slices of the picked rows, built
         # driver-side from the rows already collected (the values pass
         # through unchanged — identical doubles to the F.slice plan)
@@ -1376,11 +1436,12 @@ def ivfpq_topk(
     # from the vector's residual wrt that cell) — so ONE checkpoint serves
     # the corpus codes, the query LUT(s), and the cell assignment.
     cb_np = np.asarray([csub for _s, _code, csub in cb_rows], dtype=np.float64)
-    # cent_rows is already on the driver for the PQ LUT — the guard is free
+    # cent_rows is already on the driver for the PQ LUT — the guard AND
+    # the kernel codebook are free (no re-collect of the literal frame)
     assigned0 = ivf_assign(
         normed, cents, max(n_probe, n_home), id_col, vec_col,
         with_rank=n_home > 1,
-        n_cells=len(cent_rows), dim=int(cent_np.shape[1]) if len(cent_rows) else 0,
+        centroid_rows=cent_rows,
     )
     # with_codes: the corpus-side argmin codes come out of the SAME kernel
     # pass (np first-occurrence argmin == lut_codes_expr's comparator) so

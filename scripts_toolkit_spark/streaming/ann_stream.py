@@ -54,6 +54,7 @@ from scripts_toolkit_spark.ext.ann_index import (
     _encode_codes_residual,
     _meta_dict,
     _meta_n_home_residual,
+    _meta_shape,
     _meta_two_level,
 )
 from scripts_toolkit_spark.ext.similarity import (
@@ -132,6 +133,7 @@ def make_ann_ingest_processor(
         meta = _meta_dict(spark, index_path)  # ONE meta read per batch (r14)
         n_home, residual = _meta_n_home_residual(meta)
         two_level, super_probe = _meta_two_level(meta)
+        n_cells_m, dim_m = _meta_shape(meta)  # skips the per-batch stats job (r14)
         try:
             codebook = spark.read.parquet(index_path + "/codebook")
         except AnalysisException:
@@ -152,12 +154,12 @@ def make_ann_ingest_processor(
             ivf_assign_two_level(
                 normed, cents, super_probe=super_probe,
                 n_probe=max(n_probe, n_home), id_col=id_col, vec_col=vec_col,
-                with_rank=True,
+                with_rank=True, n_cells=n_cells_m, dim=dim_m,
             )
             if two_level
             else ivf_assign(
                 normed, cents, max(n_probe, n_home), id_col, vec_col,
-                with_rank=True,
+                with_rank=True, n_cells=n_cells_m, dim=dim_m,
             )
         ).transform(_materialize)
         cell_type = "bigint" if two_level else "int"

@@ -81,6 +81,7 @@ from pyspark.sql.window import Window
 from scripts_toolkit_spark.ext.similarity import (
     _IVF_LITERAL_MAX_DOUBLES,
     _dot,
+    _dot_rows_kernel,
     _pq_rank,
     attach_pq_lut,
     auto_n_cells,
@@ -737,13 +738,25 @@ def search_index(
         corpus = store.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell_id"
         )
-        scored = (
+        # candidate scoring is MODE-CONDITIONAL (r14, measured — the
+        # ivf_topk A/B): n_home == 1 routes through the Arrow dot kernel
+        # (the interpreted fold's dim lambda steps per pair dominate);
+        # a spilled store's doubled candidate volume makes shipping
+        # qv+cv through the Python boundary cost more than the in-place
+        # fold saves. Identical bits either way; unit-norm ⇒ dot is cos.
+        pairs = (
             qa.join(corpus, "cell_id")
             .where(F.col("query_id") != F.col("neighbor_id"))
-            .select(
-                "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("cos_sim")
-            )
+            .select("query_id", "neighbor_id", "qv", "cv")
         )
+        if n_home > 1:
+            scored = pairs.select(
+                "query_id",
+                "neighbor_id",
+                _dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
+            )
+        else:
+            scored = _dot_rows_kernel(pairs, "qv", "cv", out_col="cos_sim")
         if n_home > 1:
             # a pair can arise from up to n_home shared cells, each copy
             # scoring the identical dot — dedup before ranking

@@ -436,6 +436,14 @@ def ivf_assign_two_level(
         .select(id_col, vec_col, "cell_id")
         .withColumnRenamed("cell_id", "super_id")
     )
+    # fine-level affinity stays the CATALYST fold (r14, measured): an
+    # Arrow-kernel variant shipped vec+centroid (2·dim doubles) per
+    # candidate row through the Python boundary and LOST to the
+    # interpreted fold in a controlled A/B (ann_index_two_level min-of-5
+    # 3.98 → 4.77 s, ann_threshold_cells 2.28 → 2.55 s) — the fold
+    # evaluates in place, the kernel pays serialization on every byte
+    # (guide §4.1: you control how many columns cross; here that is the
+    # whole payload, so crossing is the cost)
     cand = (
         probed.join(cent_super, "super_id")
         .join(centroids.select("cell_id", "centroid"), "cell_id")
@@ -741,15 +749,32 @@ def ivf_topk(
     # n_home == 1: home-only corpus leg ⇒ a pair can arise from at most
     # one shared cell; no dedup shuffle needed. n_home > 1: up to n_home
     # shared cells ⇒ dedup pairs (identical cos_sim on every copy).
-    scored = (
+    # Candidate scoring is MODE-CONDITIONAL (r14, measured A/B): with
+    # n_home == 1 the Arrow dot kernel beats the interpreted `_dot` fold
+    # (ann_topk_ivf min-of-5 2.50 → 2.23 s); with spilled copies the
+    # candidate volume doubles and shipping qv+cv (2·dim doubles) per
+    # pair through the Python boundary LOSES to the in-place fold
+    # (ann_topk_spilled 3.07 → 3.63 s). Identical bits either way — the
+    # kernel is the parity-pinned `_dot` twin, the divide stays Catalyst.
+    pairs = (
         queries.join(corpus, "cell_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
+        .select("query_id", "neighbor_id", "qv", "cv", "qn", "cn")
+    )
+    if n_home > 1:
+        scored = pairs.select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias(
+                "cos_sim"
+            ),
         )
-    )
+    else:
+        scored = _dot_rows_kernel(pairs, "qv", "cv", out_col="__dot").select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__dot") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+        )
     if n_home > 1:
         scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -824,15 +849,18 @@ def ivf_topk_filtered(
         "cell_id",
         *match_cols,
     )
-    scored = (
+    # Arrow dot kernel for the candidate scoring (r14, guide §4.1 — same
+    # swap as `ivf_topk`); the norm divide stays Catalyst
+    scored = _dot_rows_kernel(
         queries.join(corpus, ["cell_id", *match_cols])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            *match_cols,
-            "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
-        )
+        .select("query_id", *match_cols, "neighbor_id", "qv", "cv", "qn", "cn"),
+        "qv", "cv", out_col="__dot",
+    ).select(
+        "query_id",
+        *match_cols,
+        "neighbor_id",
+        (F.col("__dot") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -1501,7 +1529,8 @@ def ivfpq_topk(
 
 
 def _dot_rows_kernel(
-    df: DataFrame, a_col: str, b_col: str, out_col: str = "cos_sim"
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "cos_sim",
+    keep_a: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized per-row dot of two vector columns, DROPPING the
     vector columns from the output — the exact-rerank engine of
@@ -1518,12 +1547,17 @@ def _dot_rows_kernel(
     signed-zero case: the fold's initial 0.0 + (−0.0) = +0.0 is
     reproduced, which matters because cos_sim is a hashed OUTPUT value,
     not just a ranking key). The oracle rows stay green on DuckDB's
-    list_reduce replay — pinned by the tri-SF ANN oracle family."""
+    list_reduce replay — pinned by the tri-SF ANN oracle family.
+
+    `keep_a=True` passes the `a_col` vectors through to the output (r14
+    — the two-level assign's affinity scoring still needs the vector for
+    its downstream ranking select); only `b_col` is dropped then."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    keep = [f.name for f in df.schema.fields if f.name not in (a_col, b_col)]
+    drop = (b_col,) if keep_a else (a_col, b_col)
+    keep = [f.name for f in df.schema.fields if f.name not in drop]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in keep]
         + [StructField(out_col, DoubleType(), True)]
@@ -1601,19 +1635,12 @@ def _pq_rank(
     (id, vector) rerank legs — one row per id."""
     shortlist_n = rerank_factor * k
 
-    def _adc(c: Column) -> Column:
-        total = None
-        for s in range(m):
-            part = F.get("lut", F.lit(s * n_codes) + F.get(c["ncodes"], s))
-            total = part if total is None else total + part
-        return F.struct(total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id"))
-
     if pre_gather:
         cells = corpus_codes.groupBy("cell_id").agg(
             F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
         )
         gathered = queries_f.join(cells, "cell_id").join(qlut, qlut_keys)
-        cands = F.filter("cands", lambda c: c["neighbor_id"] != F.col("query_id"))
+        filter_self = True  # per-cell arrays still hold the query's own row
     else:
         cand = (
             queries_f.join(corpus_codes, "cell_id")
@@ -1625,13 +1652,91 @@ def _pq_rank(
             .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
             .join(qlut, qlut_keys)
         )
-        cands = F.col("cands")
-    shortlist = gathered.select(
-        "query_id",
-        F.explode(
-            F.slice(F.array_sort(F.transform(cands, _adc)), 1, shortlist_n)
-        ).alias("sl"),
-    ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
+        filter_self = False  # already dropped before the gather
+    # The ADC + per-(query, cell) top-(rf·k) shortlist is MODE-CONDITIONAL
+    # like the gather itself (r14, measured paired A/B at sf0.1 with a
+    # non-PQ control query as the noise floor):
+    #
+    # - pre_gather=True (residual): ONE Arrow kernel (guide §4.2 — the
+    #   per-probe-row ADC over the pre-gathered cell array is the
+    #   dominant per-row work, and Catalyst higher-order functions never
+    #   enter codegen: `transform(cands, adc)` pays m interpreted `get`s
+    #   + adds PER CANDIDATE, then `array_sort`s the full struct array).
+    #   The kernel does the identical arithmetic — adc starts at the s=0
+    #   lookup and adds s-ascending (same IEEE float64 chain) — and
+    #   `np.lexsort((nid, adc))` reproduces the struct comparator
+    #   exactly: (adc asc, neighbor asc), total order because a neighbor
+    #   appears at most once per cell and L2² LUT sums are never
+    #   NaN/−0.0. Bit-identical shortlists → bit-identical reranked rows
+    #   (pinned by the stored==ad-hoc parity pytests + tri-SF oracles).
+    # - pre_gather=False (plain PQ): keep the Catalyst expression — the
+    #   streamed hash-aggregate shape emits skinny (query, cell) arrays
+    #   and the paired A/B read a wash vs the control's noise floor, so
+    #   the extra Python boundary crossing buys nothing here (guide
+    #   §4.1: crossing costs bytes; only pay it where per-row work wins).
+    from pyspark.sql.types import StructField, StructType
+
+    sl_schema = StructType(
+        [
+            StructField(
+                "query_id", queries_f.schema["query_id"].dataType, True
+            ),
+            StructField(
+                "neighbor_id", corpus_codes.schema["neighbor_id"].dataType, True
+            ),
+        ]
+    )
+
+    def _sl_kernel(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            q_out: list = []
+            n_out: list = []
+            for qid, cands_v, lut in zip(pdf["query_id"], pdf["cands"], pdf["lut"]):
+                if cands_v is None or len(cands_v) == 0:
+                    continue
+                nids = np.asarray([c["neighbor_id"] for c in cands_v])
+                codes = np.asarray(
+                    [np.asarray(c["ncodes"], dtype=np.int64) for c in cands_v]
+                )
+                if filter_self:
+                    keep = nids != qid
+                    nids, codes = nids[keep], codes[keep]
+                    if len(nids) == 0:
+                        continue
+                lutv = np.asarray(lut, dtype=np.float64)
+                total = lutv[codes[:, 0]]
+                for s in range(1, m):
+                    total = total + lutv[s * n_codes + codes[:, s]]
+                order = np.lexsort((nids, total))[:shortlist_n]
+                q_out.extend([qid] * len(order))
+                n_out.extend(nids[order].tolist())
+            if q_out:
+                yield pd.DataFrame({"query_id": q_out, "neighbor_id": n_out})
+
+    if pre_gather:
+        shortlist = gathered.select("query_id", "cands", "lut").mapInPandas(
+            _sl_kernel, sl_schema
+        )
+    else:
+
+        def _adc(c: Column) -> Column:
+            total = None
+            for s in range(m):
+                part = F.get("lut", F.lit(s * n_codes) + F.get(c["ncodes"], s))
+                total = part if total is None else total + part
+            return F.struct(
+                total.alias("adc_dist"), c["neighbor_id"].alias("neighbor_id")
+            )
+
+        shortlist = gathered.select(
+            "query_id",
+            F.explode(
+                F.slice(F.array_sort(F.transform("cands", _adc)), 1, shortlist_n)
+            ).alias("sl"),
+        ).select("query_id", F.col("sl.neighbor_id").alias("neighbor_id"))
     if n_home > 1:
         # spilled copies can shortlist the same pair from up to n_home
         # shared cells — dedup the (bounded) shortlist before the rerank

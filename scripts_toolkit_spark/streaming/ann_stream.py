@@ -59,6 +59,7 @@ from scripts_toolkit_spark.ext.ann_index import (
 )
 from scripts_toolkit_spark.ext.similarity import (
     _dot,
+    _dot_rows_kernel,
     _pq_rank,
     attach_pq_lut,
     ivf_assign,
@@ -246,14 +247,25 @@ def make_ann_ingest_processor(
                 F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
                 "cell_id",
             )
-            scored = (
+            # cross-batch scoring is MODE-CONDITIONAL (r14, measured —
+            # same A/B as search_index's non-PQ leg): n_home == 1 routes
+            # through the Arrow dot kernel; a spilled store's doubled
+            # candidate volume makes shipping qv+cv through the Python
+            # boundary cost more than the in-place fold saves. Identical
+            # float64 ops either way.
+            pairs = (
                 queries.join(corpus, "cell_id")
                 .where(F.col("query_id") != F.col("neighbor_id"))
-                .select(
-                    "query_id", "neighbor_id",
+                .select("query_id", "neighbor_id", "qv", "cv")
+            )
+            if n_home > 1:
+                scored = pairs.select(
+                    "query_id",
+                    "neighbor_id",
                     _dot(F.col("qv"), F.col("cv")).alias("cos_sim"),
                 )
-            )
+            else:
+                scored = _dot_rows_kernel(pairs, "qv", "cv", out_col="cos_sim")
             if n_home > 1:
                 # a pair can arise from up to n_home shared cells (every
                 # stored copy scores the identical dot) — dedup first

@@ -1362,29 +1362,25 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = grams.select("doc_id", "lang", bucket.alias("b")).transform(_materialize)
     doc_b = feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        feats.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE per-bucket aggregate carries raw AND target counts (r14, guide
+    # §1.2/§2.3: the former raw/tgt/tot trio re-aggregated the exploded
+    # feats frame three times; cr and ct partial-combine map-side in one
+    # pass, and the corpus-free 1024-row result yields the totals by
+    # summation — exact ints either way, so lam is bit-identical)
+    bstats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    tot = feats.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
-    )
+    tot = bstats.agg(F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t"))
     # one ln per bucket of a quotient of EXACT ints (≤1e14 < 2^53): both
     # engines divide the same doubles and ln the same value
     lam = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(tot)  # 1024 × one-row scalar: AQE broadcasts, exempt
+        bstats.crossJoin(tot)  # 1024 × one-row scalar: AQE broadcasts, exempt
         .select(
             "b",
             F.round(
                 F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        * (F.col("n_r") + F.lit(_DSIR_B))
-                    ).cast("double")
+                    ((F.col("ct") + 1) * (F.col("n_r") + F.lit(_DSIR_B))).cast("double")
                     / ((F.col("cr") + 1) * (F.col("n_t") + F.lit(_DSIR_B))).cast("double")
                 ),
                 6,
@@ -2017,27 +2013,21 @@ def corpus_prep_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = grams.select("doc_id", "lang", bucket.alias("b")).transform(_materialize)
     doc_b = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
-    raw = feats.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        feats.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE per-bucket aggregate instead of the raw/tgt/tot trio — same
+    # collapse as `dsir_importance_weights` (r14, guide §1.2/§2.3);
+    # exact ints, lam bit-identical
+    bstats = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    tot = feats.agg(
-        F.count(F.lit(1)).alias("n_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_t"),
-    )
+    tot = bstats.agg(F.sum("cr").alias("n_r"), F.sum("ct").alias("n_t"))
     lam = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(tot)  # 1024 × one-row scalar: AQE broadcasts, exempt
+        bstats.crossJoin(tot)  # 1024 × one-row scalar: AQE broadcasts, exempt
         .select(
             "b",
             F.round(
                 F.log(
-                    (
-                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
-                        * (F.col("n_r") + F.lit(_DSIR_B))
-                    ).cast("double")
+                    ((F.col("ct") + 1) * (F.col("n_r") + F.lit(_DSIR_B))).cast("double")
                     / ((F.col("cr") + 1) * (F.col("n_t") + F.lit(_DSIR_B))).cast("double")
                 ),
                 6,

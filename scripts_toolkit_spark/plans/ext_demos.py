@@ -2097,19 +2097,21 @@ _WIN_MIN_SHARED = 4
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc pairs sharing ≥ 4 winnowed substring fingerprints, over
     documents ∪ planted dups (each dup shares its whole text with the
-    original). k-gram hash arrays are materialized ONCE (localCheckpoint
-    — the md5-per-position array would otherwise be re-inlined per
-    reference); the pair join is equi-keyed on fingerprint value with
-    document-frequency-capped fan-in."""
+    original). The EXPLODED winnowed fingerprints are materialized ONCE
+    (localCheckpoint) — `fps` is the frame referenced twice (df gate +
+    pair join), so the boundary sits there: the md5-per-position k-gram
+    array AND the sliding-window winnow evaluate exactly once (r14,
+    guide §1.2 — the former boundary at `h` left the winnow re-inlined
+    per reference, paying the window-min scan twice); the pair join is
+    equi-keyed on fingerprint value with document-frequency-capped
+    fan-in."""
     docs = _docs_with_dups(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    h = docs.select(
-        "doc_id", TX.kgram_hashes("text", _WIN_K).alias("h")
-    ).transform(_materialize)
+    h = docs.select("doc_id", TX.kgram_hashes("text", _WIN_K).alias("h"))
     fps = h.select(
         "doc_id", F.explode(TX.winnow_min_hashes(F.col("h"), _WIN_W)).alias("fp")
-    )
+    ).transform(_materialize)
     keep = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") <= _WIN_MAX_DF
     )

@@ -817,12 +817,15 @@ def image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays quantization + dHash straight from the embeddings and
     pairs by brute-force XOR popcount; the Spark plan's candidate
     generation is the equi-keyed combination join — never all-pairs."""
-    corpus = _embeddings_with_dups(spark, sf_dir)
-    qt = SIM.quantize_embeddings(corpus, vec_col="v")
-    pix = (
-        qt.select("vec_id", F.transform("q", lambda x: x + F.lit(127)).alias("pix"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    # repartition the RAW corpus (2 scan tasks at sf0.1), THEN quantize:
+    # the per-row array arithmetic (3 × 64-element transforms) lands on
+    # all cores instead of riding the narrow scan stage (r14, guide §2.5
+    # input skew / §1.2 — measured 0.60 s on a 2-task stage before)
+    corpus = _embeddings_with_dups(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    qt = SIM.quantize_embeddings(corpus, vec_col="v")
+    pix = qt.select("vec_id", F.transform("q", lambda x: x + F.lit(127)).alias("pix"))
 
     def _hash(pdf_iter):
         import pandas as pd

@@ -216,8 +216,16 @@ register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALU
 # NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
 # exact sufficient statistics / contingency counts
 register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
-register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
-register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
+# r14 rotation: chisq_event_type_bucket + ab_test_ks_stat ceded their
+# seats (r5..r13-green, analytics6.py untouched this round; parked in
+# TIER 2) for the two near-dup rows whose bodies changed in the r14
+# optimization pass: winnow_overlap_pairs (materialization boundary
+# moved to the exploded fingerprints) and image_dhash_near_dups (corpus
+# repartition hoisted above the quantize projection).
+register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
+register(
+    "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
+)
 # NEW (r10): residual encoding × spilled assignment — the best-recall
 # IVF-PQ configuration (0.965 trained / pytest floor 0.9), in its seeded
 # deterministic form so the RESIDUAL code path gains its first full SQL
@@ -486,7 +494,9 @@ register(
     "scd2_event_type_intervals", ed.scd2_event_type_intervals, ed.SCD2_EVENT_TYPE_INTERVALS_SQL
 )
 register("data_quality_report", dq.data_quality_report, dq.DATA_QUALITY_REPORT_SQL)
-register("winnow_overlap_pairs", xd.winnow_overlap_pairs, xd.WINNOW_OVERLAP_PAIRS_SQL)
+# r14 rotation: parked from the window (r5..r13-green, unchanged) to
+# make room for the two r14-optimized near-dup rows.
+register("chisq_event_type_bucket", a6.chisq_event_type_bucket, a6.CHISQ_EVENT_TYPE_BUCKET_SQL)
 register("unigram_nll_scores", cd.unigram_nll_scores, cd.UNIGRAM_NLL_SCORES_SQL)
 register("cdc_latest_state", ed.cdc_latest_state, ed.CDC_LATEST_STATE_SQL)
 register("bpe_merge_table", cd.bpe_merge_table, cd.BPE_MERGE_TABLE_SQL)
@@ -530,9 +540,9 @@ register("ann_threshold_cells", xd.ann_threshold_cells, xd.ANN_THRESHOLD_CELLS_S
 
 # r7 rotation: parked from the window (r6-green in CORRECTNESS_r06,
 # unchanged in r7) to make room for the ANN index lifecycle rows.
-register(
-    "image_dhash_near_dups", _x2img.image_dhash_near_dups, _x2img.IMAGE_DHASH_NEAR_DUPS_SQL
-)
+# r14 rotation: parked from the window (r5..r13-green, unchanged) to
+# make room for the two r14-optimized near-dup rows.
+register("ab_test_ks_stat", a6.ab_test_ks_stat, a6.AB_TEST_KS_STAT_SQL)
 register("name_graph_triangles", rv.name_graph_triangles, rv.NAME_GRAPH_TRIANGLES_SQL)
 
 # r7 rotation: parked from the window (r6-green in CORRECTNESS_r06,

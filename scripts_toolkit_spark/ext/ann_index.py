@@ -355,8 +355,15 @@ def build_ann_index(
     super_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Train + persist the index; returns the stored corpus frame.
+
+    `n_rows`/`dim` (r14, guide §1.2): the corpus shape when the caller
+    already computed it (a query body that counted the same corpus for
+    its own auto_n_cells) — skips the build's count+first stats job.
+    Values must describe `vectors` itself (normalization preserves both).
 
     `two_level` (r12 — round-11 verdict "What's missing" #1) routes the
     store past the flat-codebook cap: the centroid pick becomes the
@@ -406,8 +413,9 @@ def build_ann_index(
     par = spark.sparkContext.defaultParallelism
     normed = normalize_vectors(vectors.repartition(par), id_col, vec_col).transform(_materialize)
     # one stats job serves both auto_n_cells' count AND ivf_assign's
-    # collect-before-guard (net-zero jobs vs the former bare .count())
-    n_rows, dim = corpus_stats(normed, vec_col)
+    # collect-before-guard (net-zero jobs vs the former bare .count());
+    # skipped entirely when the caller passed the shape in
+    n_rows, dim = corpus_stats(normed, vec_col, n_rows=n_rows, dim=dim)
     if n_cells is None and centroids is None:
         n_cells = auto_n_cells(normed, n_rows=n_rows)
     if n_home < 1:

@@ -2783,7 +2783,12 @@ def ann_index_two_level_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = deterministic_centroids(normed, 64).select(
         F.col("cell_id").alias("code"), F.col("centroid").alias("svec")
     )
-    homed = ivf_assign(seeds, thr, 1, id_col="code", vec_col="svec")
+    # shape threaded from the stats above (r14): n_cells is the threshold
+    # pick's binomial expectation — sanctioned for ivf_assign's routing
+    # guard (its docstring), the kernel builds from the rows it collects
+    homed = ivf_assign(
+        seeds, thr, 1, id_col="code", vec_col="svec", n_cells=n_cells, dim=_dim
+    )
     resid = homed.join(thr.select("cell_id", "centroid"), "cell_id").select(
         "code",
         F.zip_with(
@@ -2804,7 +2809,8 @@ def ann_index_two_level_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e"),
     ).select(F.col("e.s").alias("s"), "code", F.col("e.csub").alias("csub"))
     ANN.build_ann_index(
-        emb, path, n_cells=n_cells, two_level=True, residual=True, sub_codebook=cb
+        emb, path, n_cells=n_cells, two_level=True, residual=True, sub_codebook=cb,
+        n_rows=n_rows, dim=_dim,
     )
     return ANN.search_index(spark, path, k=3, n_probe=3, use_pq=True, rerank_factor=8)
 

@@ -297,46 +297,51 @@ def _store_family_split(spark, sf_dir: str) -> dict:
 # 1-minute loadavg above this at bench start marks the run NOT
 # comparison-grade (r14 — round-13 verdict Next #4: BENCH_r13 shipped at
 # loadavg 6.67 and inflated four rows 1.5-2×; the provenance field made
-# that adjudicable, this acts on it). bench.py takes ONE cooldown nap and
-# re-checks; if still loaded it proceeds (the driver needs a number) but
-# stamps load_ok=false, and tools/round_close.py refuses to print
-# round-over-round deltas from such a run.
+# that adjudicable, this acts on it). The r14 single-60s-retry gate lost
+# twice (BENCH_r14 and its c8 twin both stamped load_ok=false), so since
+# r15 (round-14 verdict Next #2) the gate retries with EXPONENTIAL
+# BACKOFF — still bounded (the driver's round must terminate): 60, 120,
+# 240, 300, 300 s ≈ 17.7 min worst case, then proceeds with
+# load_ok=false. tools/round_close.py refuses round-over-round deltas
+# from such a run.
 LOAD_OK_MAX = 2.0
-_COOLDOWN_S = 60
+_COOLDOWNS_S = (60, 120, 240, 300, 300)
 
 
-def _load_gate() -> tuple[float, bool]:
-    """(loadavg_1m at bench start, load_ok). One cooldown retry: a loud
-    stderr warning, a nap, one re-check — not a loop, the driver's round
-    must terminate."""
+def _load_gate() -> tuple[float, bool, int]:
+    """(loadavg_1m at bench start, load_ok, cooldown retries used).
+    Bounded backoff loop: a loud stderr warning + nap per retry; after
+    the last retry it proceeds (the driver needs a number) but stamps
+    load_ok=false."""
     load = os.getloadavg()[0]
     if load <= LOAD_OK_MAX:
-        return load, True
-    print(
-        f"bench: HOST LOADED (loadavg_1m={load:.2f} > {LOAD_OK_MAX}) — "
-        f"sleeping {_COOLDOWN_S}s for one cooldown retry",
-        file=sys.stderr,
-        flush=True,
-    )
-    time.sleep(_COOLDOWN_S)
-    load = os.getloadavg()[0]
-    if load > LOAD_OK_MAX:
+        return load, True, 0
+    for i, nap in enumerate(_COOLDOWNS_S):
         print(
-            f"bench: STILL LOADED after cooldown (loadavg_1m={load:.2f}) — "
-            "proceeding, but this run is NOT comparison-grade "
-            "(load_ok=false; round_close will refuse its deltas)",
+            f"bench: HOST LOADED (loadavg_1m={load:.2f} > {LOAD_OK_MAX}) — "
+            f"cooldown retry {i + 1}/{len(_COOLDOWNS_S)}: sleeping {nap}s",
             file=sys.stderr,
             flush=True,
         )
-        return load, False
-    return load, True
+        time.sleep(nap)
+        load = os.getloadavg()[0]
+        if load <= LOAD_OK_MAX:
+            return load, True, i + 1
+    print(
+        f"bench: STILL LOADED after {len(_COOLDOWNS_S)} cooldowns "
+        f"(loadavg_1m={load:.2f}) — proceeding, but this run is NOT "
+        "comparison-grade (load_ok=false; round_close will refuse its deltas)",
+        file=sys.stderr,
+        flush=True,
+    )
+    return load, False, len(_COOLDOWNS_S)
 
 
 def main() -> None:
     from scripts_toolkit_spark.session import get_spark
     import __spark_entry__ as e
 
-    start_load, load_ok = _load_gate()
+    start_load, load_ok, gate_retries = _load_gate()
     spark = get_spark("bench")
     qs = e.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -385,41 +390,51 @@ def main() -> None:
     # 3 repeats: the host shows transient whole-query stalls (2-3x for one
     # or two adjacent entries, not reproducible under identical load) — with
     # 2 repeats a stall that spans both leaves a polluted min; a third
-    # sample makes the min estimator robust to a single stall window
+    # sample makes the min estimator robust to a single stall window.
+    # Since r15 (round-14 verdict Next #2) the repeats are SPREAD ACROSS
+    # THE RUN — `repeat` full passes over the query list instead of
+    # back-to-back per-query repeats — so a mid-run load ramp can no
+    # longer inflate ALL of one query's samples at once (BENCH_r13/r14:
+    # tail rows read 2-4x high because every sample sat inside the ramp).
+    # The estimator is UNCHANGED (per-query min over the same `repeat`
+    # samples; cold = pass-1, warm spread = passes 2+), so numbers stay
+    # comparable round-over-round.
     repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3")))
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    colds: dict[str, float] = {}
-    spreads: dict[str, float] = {}
+    runs_by_query: dict[str, list[float]] = {n: [] for n in names}
     import gc
     import statistics
 
     load_before = os.getloadavg()
-    for name in names:
-        # drop the previous queries' DataFrame wrappers so the
-        # ContextCleaner can release their localCheckpoint blocks —
-        # across ~80 executions the accumulated blocks pressure the
-        # block manager and the LAST entries pay for it (measured ~2s
-        # swing on the final ANN entry). gc only queues the cleanup;
-        # explicitly unpersisting the RDDs the PREVIOUS queries created
-        # releases their checkpoint blocks NOW (each repeat rebuilds its
-        # plan from scratch, so nothing live is dropped). RDDs persisted
-        # before the bench loop stay untouched — they may be lineage-
-        # truncated checkpoints a later query still reads.
-        gc.collect()
-        try:
-            for entry in spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray():
-                if int(entry.getKey()) not in protected_ids:
-                    entry.getValue().unpersist(False)
-        except Exception:
-            pass
-        runs = []
-        for _ in range(repeat):
+    for _pass in range(repeat):
+        for name in names:
+            # drop the previous queries' DataFrame wrappers so the
+            # ContextCleaner can release their localCheckpoint blocks —
+            # across ~80 executions the accumulated blocks pressure the
+            # block manager and the LAST entries pay for it (measured ~2s
+            # swing on the final ANN entry). gc only queues the cleanup;
+            # explicitly unpersisting the RDDs the PREVIOUS queries created
+            # releases their checkpoint blocks NOW (each pass rebuilds its
+            # plan from scratch, so nothing live is dropped). RDDs persisted
+            # before the bench loop stay untouched — they may be lineage-
+            # truncated checkpoints a later query still reads.
+            gc.collect()
+            try:
+                for entry in spark.sparkContext._jsc.getPersistentRDDs().entrySet().toArray():
+                    if int(entry.getKey()) not in protected_ids:
+                        entry.getValue().unpersist(False)
+            except Exception:
+                pass
             t0 = time.time()
             # noop sink: executes the full plan distributed without billing
             # driver-side row transfer to the query
             qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-            runs.append(time.time() - t0)
+            runs_by_query[name].append(time.time() - t0)
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    colds: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for name in names:
+        runs = runs_by_query[name]
         timings[name] = round(min(runs), 3)
         medians[name] = round(statistics.median(runs), 3)
         colds[name] = round(runs[0], 3)
@@ -451,8 +466,9 @@ def main() -> None:
     # tail capture always retains the full per-query dict + total.
     provenance = {
             "repeat": repeat,
-            "estimator": "per-query min over repeats",
+            "estimator": "per-query min over repeats (r15: repeats interleaved as full passes)",
             "load_ok": load_ok,
+            "load_gate_retries": gate_retries,
             "loadavg_1m_at_start": round(start_load, 2),
             "loadavg_1m_before": round(load_before[0], 2),
             "loadavg_1m_after": round(os.getloadavg()[0], 2),

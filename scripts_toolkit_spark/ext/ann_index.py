@@ -98,12 +98,229 @@ from scripts_toolkit_spark.ext.similarity import (
 from scripts_toolkit_spark.materialize import materialize as _materialize
 
 
+def _local_fs_path(path: str) -> str | None:
+    """The filesystem path when `path` addresses the LOCAL filesystem (a
+    bare path or a file:// URI), else None. The store's model files
+    (/meta, /centroids, /codebook) are KB control plane: on a local
+    store the driver reads/writes them DIRECTLY (pyarrow — ~ms, zero
+    Spark jobs) instead of scheduling a distributed job per touch
+    (guide §5 driver round-trips; r15 — round-14 verdict Next #3: a
+    warm two-level-residual lifecycle ran ~46 jobs at 20-450 ms, a
+    large slice of them exactly these KB model reads/writes). A store
+    on HDFS/object storage keeps the Spark IO path unchanged — the
+    fallback every helper below carries."""
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if "://" in path:
+        return None
+    return path
+
+
+def _pa_read_rows(fs_path: str) -> list[dict]:
+    """Driver-side parquet read of a KB control-plane dir (or single
+    file): list of row dicts in file order. Raises FileNotFoundError
+    when absent — the caller maps that to its missing-store semantics."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isfile(fs_path):
+        files = [fs_path]
+    elif os.path.isdir(fs_path):
+        files = sorted(
+            os.path.join(fs_path, f)
+            for f in os.listdir(fs_path)
+            if f.endswith(".parquet")
+        )
+    else:
+        raise FileNotFoundError(fs_path)
+    rows: list[dict] = []
+    for f in files:
+        rows.extend(pq.read_table(f).to_pylist())
+    return rows
+
+
+def _pa_write_rows(fs_path: str, rows: list[tuple], pa_schema) -> None:
+    """Driver-side single-file parquet write of a KB control-plane frame
+    (overwrite semantics, Spark-readable layout: <dir>/part-00000.parquet).
+    Types in `pa_schema` must mirror the Spark schema the distributed
+    fallback writes, so a store written either way reads back identical."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(fs_path, ignore_errors=True)
+    os.makedirs(fs_path, exist_ok=True)
+    cols = list(zip(*rows)) if rows else [[] for _ in pa_schema]
+    table = pa.Table.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_schema)],
+        schema=pa_schema,
+    )
+    pq.write_table(table, os.path.join(fs_path, "part-00000.parquet"))
+
+
+def _meta_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("n_home", pa.int32()),
+            pa.field("residual", pa.bool_()),
+            pa.field("pq_seeded", pa.bool_()),
+            pa.field("pq_n_codes", pa.int32()),
+            pa.field("m", pa.int32()),
+            pa.field("sub_dim", pa.int32()),
+            pa.field("two_level", pa.bool_()),
+            pa.field("super_probe", pa.int32()),
+            pa.field("n_cells", pa.int64()),
+            pa.field("dim", pa.int32()),
+        ]
+    )
+
+
+_META_SPARK_SCHEMA = (
+    "n_home int, residual boolean, pq_seeded boolean, "
+    "pq_n_codes int, m int, sub_dim int, "
+    "two_level boolean, super_probe int, "
+    "n_cells bigint, dim int"
+)
+
+
+def _write_meta(spark: SparkSession, path: str, vals: tuple) -> None:
+    """Persist the one-row {path}/meta config: driver-side pyarrow write
+    on a local store (zero Spark jobs — the row is driver-held by
+    construction), the one-slice literal Spark write elsewhere. Column
+    names/types identical either way (pinned by
+    test_ann_store_local_control_files)."""
+    lp = _local_fs_path(path + "/meta")
+    if lp is not None:
+        _pa_write_rows(lp, [vals], _meta_pa_schema())
+        return
+    local_rows_df(spark, [vals], _META_SPARK_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(path + "/meta")
+
+
+def _centroids_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("cell_id", pa.int32()),
+            pa.field("centroid", pa.list_(pa.float64())),
+        ]
+    )
+
+
+def _codebook_pa_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("s", pa.int32()),
+            pa.field("code", pa.int32()),
+            pa.field("csub", pa.list_(pa.float64())),
+        ]
+    )
+
+
+def _next_batch_id(spark: SparkSession, path: str) -> int:
+    """max(batch_id) + 1 over {path}/vectors. The corpus is PARTITIONED
+    BY batch_id, so on a local store the answer is a directory listing
+    (r15 — the former F.max aggregate scheduled a full scan job per
+    append for a value the layout already encodes; at any scale the
+    batch ids are the partition directory names). Falls back to the
+    Spark aggregate for non-local stores or a legacy unpartitioned
+    layout."""
+    import os
+
+    lp = _local_fs_path(path + "/vectors")
+    if lp is not None and os.path.isdir(lp):
+        ids = []
+        for d in os.listdir(lp):
+            if d.startswith("batch_id="):
+                try:
+                    ids.append(int(d.split("=", 1)[1]))
+                except ValueError:
+                    pass
+        if ids:
+            return max(ids) + 1
+    prev_max = spark.read.parquet(path + "/vectors").agg(F.max("batch_id")).first()[0]
+    return int(prev_max) + 1 if prev_max is not None else 0
+
+
+def _codebook_frame(spark: SparkSession, path: str) -> DataFrame | None:
+    """{path}/codebook as a lazy frame, None for an IVF-only store. On a
+    local store the existence probe is an os.path check (r15); the read
+    itself is lazy either way (schema comes from the footer driver-side)."""
+    import os
+
+    lp = _local_fs_path(path + "/codebook")
+    if lp is not None:
+        return spark.read.parquet(path + "/codebook") if os.path.isdir(lp) else None
+    try:
+        return spark.read.parquet(path + "/codebook")
+    except AnalysisException:  # IVF-only index: no PQ model to keep in sync
+        return None
+
+
+def _centroids_shape_from_files(path: str) -> tuple[int, int] | None:
+    """(n_rows, dim) of {path}/centroids straight from the parquet FILES
+    on a local store (r15): row count from the footers' metadata (no
+    data read), dim from one centroid of one file — driver-side
+    milliseconds replacing the 25-task `corpus_stats` scan the two-level
+    build/retrain pays right after writing the frame. None → caller
+    falls back to the distributed stats job (non-local store)."""
+    import os
+
+    lp = _local_fs_path(path + "/centroids")
+    if lp is None or not os.path.isdir(lp):
+        return None
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(lp, f) for f in os.listdir(lp) if f.endswith(".parquet")
+    )
+    if not files:
+        return None
+    n_rows = 0
+    dim = None
+    for f in files:
+        md = pq.read_metadata(f)
+        if md.num_rows and dim is None:
+            # stream ONE batch of one column — never the whole file (a
+            # two-level store's /centroids is √N-scale, not KB)
+            for batch in pq.ParquetFile(f).iter_batches(
+                batch_size=16, columns=["centroid"]
+            ):
+                for v in batch.column(0):
+                    if v.is_valid:
+                        dim = len(v.as_py())
+                        break
+                if dim is not None:
+                    break
+        n_rows += md.num_rows
+    if dim is None:
+        return None
+    return n_rows, dim
+
+
 def _meta_dict(spark: SparkSession, path: str) -> dict:
     """The raw one-row {path}/meta contents as a dict ({} when the store
-    predates meta or the row is absent) — ONE parquet read + first() job
-    per lifecycle verb (r14: search/append/retrain each used to schedule
-    2-3 separate meta jobs through the per-knob helpers below; the knob
-    decoding is driver-side and shares this single read)."""
+    predates meta or the row is absent) — ONE read per lifecycle verb
+    (r14: search/append/retrain each used to schedule 2-3 separate meta
+    jobs through the per-knob helpers below; the knob decoding is
+    driver-side and shares this single read). On a local store the read
+    is a driver-side pyarrow touch — no Spark job at all (r15)."""
+    lp = _local_fs_path(path + "/meta")
+    if lp is not None:
+        try:
+            rows = _pa_read_rows(lp)
+        except FileNotFoundError:
+            return {}
+        return rows[0] if rows else {}
     try:
         row = spark.read.parquet(path + "/meta").first()
     except AnalysisException:
@@ -195,9 +412,9 @@ def _seeded_residual_model(
     vec_col: str,
     n_rows: int | None = None,
 ):
-    """(centroids_df, codebook_df, cent_rows): ONE md5 pick over the
-    normalized corpus serves the IVF centroids (prefix slice — the pick
-    is a prefix property) AND the seeded residual codebook
+    """(centroids_df, codebook_df, cent_rows, cb_rows): ONE md5 pick over
+    the normalized corpus serves the IVF centroids (prefix slice — the
+    pick is a prefix property) AND the seeded residual codebook
     (`seeded_residual_codebook_rows`, the exact `ivfpq_topk`
     construction). Shared by `build_ann_index(residual=True)` and the
     seeded-store branch of `retrain_index`. KB control plane. r14: the
@@ -205,7 +422,9 @@ def _seeded_residual_model(
     created the pick frame and re-collected it — an extra job for rows
     the driver already held), both frames are ONE-slice literals, and
     the centroid rows are returned so the caller's assign/encode legs
-    skip their own re-collect."""
+    skip their own re-collect. r15: the codebook ROWS are returned too,
+    so a local store's /codebook write and the build's own encode leg
+    never re-collect the literal frame."""
     import numpy as np
 
     big_rows = exact_pick_rows(
@@ -216,14 +435,27 @@ def _seeded_residual_model(
         spark, cent_rows, "cell_id int, centroid array<double>"
     )
     cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
-    codebook = local_rows_df(
-        spark,
-        seeded_residual_codebook_rows(
-            [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
-        ),
-        "s int, code int, csub array<double>",
+    cb_rows = seeded_residual_codebook_rows(
+        [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
     )
-    return centroids, codebook, cent_rows
+    codebook = local_rows_df(
+        spark, cb_rows, "s int, code int, csub array<double>"
+    )
+    return centroids, codebook, cent_rows, cb_rows
+
+
+def _codebook_from_rows(cb_rows: list):
+    """(cb_np, m, n_codes, sub_dim) from raw (s, code, csub) tuples —
+    the shared sorted layout of every codebook consumer (bit-identical
+    arithmetic across stored, ad-hoc and driver-read paths)."""
+    import numpy as np
+
+    cb_rows = sorted(cb_rows)
+    m = cb_rows[-1][0] + 1
+    n_codes = len(cb_rows) // m
+    sub_dim = len(cb_rows[0][2])
+    cb_np = np.asarray([csub for _s, _c, csub in cb_rows], dtype=np.float64)
+    return cb_np, m, n_codes, sub_dim
 
 
 def _collect_codebook(codebook: DataFrame):
@@ -231,16 +463,70 @@ def _collect_codebook(codebook: DataFrame):
     same sorted-collect layout `ivfpq_topk` builds, so kernel LUT/code
     arithmetic is bit-identical across the stored and ad-hoc paths. KB
     control plane."""
+    return _codebook_from_rows(
+        [(int(r["s"]), int(r["code"]), list(r["csub"])) for r in codebook.collect()]
+    )
+
+
+def _codebook_rows_from_store(path: str) -> list | None:
+    """Raw (s, code, csub) tuples of {path}/codebook via a driver-side
+    pyarrow read on a local store (zero Spark jobs, r15); None when the
+    store is non-local or has no codebook — callers fall back to the
+    Spark frame path."""
+    lp = _local_fs_path(path + "/codebook")
+    if lp is None:
+        return None
+    try:
+        raw = _pa_read_rows(lp)
+    except FileNotFoundError:
+        return None
+    return [(int(r["s"]), int(r["code"]), list(r["csub"])) for r in raw]
+
+
+def _collect_codebook_store(spark: SparkSession, path: str):
+    """(cb_np, m, n_codes, sub_dim) straight from {path}/codebook —
+    pyarrow driver-side on a local store (zero Spark jobs, r15), Spark
+    read + collect elsewhere. Same doubles either way (parquet and
+    collect both round-trip IEEE binary64 exactly)."""
+    rows = _codebook_rows_from_store(path)
+    if rows is not None:
+        return _codebook_from_rows(rows)
+    return _collect_codebook(spark.read.parquet(path + "/codebook"))
+
+
+def _centroid_rows_from_store(spark: SparkSession, path: str, meta: dict):
+    """cell_id-sorted [(cell_id, [float])] rows of {path}/centroids when
+    the store is FLAT (not two-level), the realized model fits the
+    literal-kernel cap, and the store is on the local filesystem — the
+    driver-side read that lets every later `ivf_assign` skip its own
+    collect job (r15). None otherwise: two-level stores never collect
+    centroids (that is their contract), over-cap models route to the
+    broadcast fallback, and non-local stores keep the Spark path."""
+    two_level, _sp = _meta_two_level(meta)
+    n_cells, dim = _meta_shape(meta)
+    if two_level or n_cells is None or dim is None:
+        return None
+    if n_cells * dim > _IVF_LITERAL_MAX_DOUBLES:
+        return None
+    lp = _local_fs_path(path + "/centroids")
+    if lp is None:
+        return None
+    try:
+        raw = _pa_read_rows(lp)
+    except FileNotFoundError:
+        return None
+    return sorted((int(r["cell_id"]), list(r["centroid"])) for r in raw)
+
+
+def _cent_np_pos_from_rows(cent_rows: list):
+    """(cent_np, cent_pos) from cell-sorted [(cell_id, [float])] rows —
+    the `_collect_centroids` layout without its collect job, for callers
+    that already hold the rows (pyarrow store read, exact pick)."""
     import numpy as np
 
-    cb_rows = sorted(
-        (int(r["s"]), int(r["code"]), list(r["csub"])) for r in codebook.collect()
-    )
-    m = cb_rows[-1][0] + 1
-    n_codes = len(cb_rows) // m
-    sub_dim = len(cb_rows[0][2])
-    cb_np = np.asarray([csub for _s, _c, csub in cb_rows], dtype=np.float64)
-    return cb_np, m, n_codes, sub_dim
+    cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+    cent_pos = {c: i for i, (c, _v) in enumerate(cent_rows)}
+    return cent_np, cent_pos
 
 
 def _collect_centroids(centroids: DataFrame):
@@ -269,20 +555,28 @@ def _with_probe_rank(df: DataFrame) -> DataFrame:
 
 
 def _encode_codes(
-    stored: DataFrame, sub_codebook: DataFrame, id_col: str, vec_col: str
+    stored: DataFrame,
+    sub_codebook: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int | None = None,
+    sub_dim: int | None = None,
 ) -> DataFrame:
     """PQ-encode the stored corpus: codes come from HOME rows only (plain
     PQ codes are cell-independent, so every spilled copy of a vector
     carries identical ncodes — encoding once per vector, not per copy),
     then fan back out to one codes row PER STORED COPY so /codes keeps
-    row-parity with /vectors on both search paths."""
-    # ONE stats job for the model shape (r14: max(s) and the first csub
-    # used to schedule two separate driver jobs over the KB codebook)
-    shape = sub_codebook.agg(
-        F.max("s").alias("__m"), F.first("csub", ignorenulls=True).alias("__c")
-    ).first()
-    m = int(shape["__m"]) + 1
-    sub_dim = len(shape["__c"])
+    row-parity with /vectors on both search paths. Pass `m`/`sub_dim`
+    when the caller already holds the codebook shape (r15) to skip the
+    stats job."""
+    if m is None or sub_dim is None:
+        # ONE stats job for the model shape (r14: max(s) and the first csub
+        # used to schedule two separate driver jobs over the KB codebook)
+        shape = sub_codebook.agg(
+            F.max("s").alias("__m"), F.first("csub", ignorenulls=True).alias("__c")
+        ).first()
+        m = int(shape["__m"]) + 1
+        sub_dim = len(shape["__c"])
     home = stored.where(F.col("probe_rank") == 1).select(id_col, vec_col)
     return pq_code_arrays(home, sub_codebook, m, sub_dim, id_col, vec_col).join(
         stored.select(id_col, "cell_id", "probe_rank"), id_col
@@ -297,6 +591,7 @@ def _encode_codes_residual(
     vec_col: str,
     distributed: bool = False,
     cent_rows: list | None = None,
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """RESIDUAL-PQ encode the stored corpus (r11 — round-10 verdict Next
     #1): unlike plain codes (cell-independent, encoded once per vector
@@ -314,8 +609,16 @@ def _encode_codes_residual(
     O(n_cells) matrix — the collect the two-level route exists to
     remove. Same doubles, same subtraction → bit-identical codes
     (attach_pq_lut centroid_col docstring); the join is cell-keyed, AQE
-    broadcasts a KB centroid frame and shuffle-joins a corpus-scale one."""
-    cb_np, m, n_codes, sub_dim = _collect_codebook(codebook)
+    broadcasts a KB centroid frame and shuffle-joins a corpus-scale one.
+
+    `codebook_rows` (r15): raw (s, code, csub) tuples when the caller
+    already holds them driver-side (a seeded build, a pyarrow store
+    read) — skips the collect job over the codebook frame."""
+    cb_np, m, n_codes, sub_dim = (
+        _codebook_from_rows(codebook_rows)
+        if codebook_rows is not None
+        else _collect_codebook(codebook)
+    )
     if distributed:
         cent = centroids.select("cell_id", F.col("centroid").alias("__cent"))
         coded = attach_pq_lut(
@@ -446,6 +749,7 @@ def build_ann_index(
     pq_seeded = bool(residual and sub_codebook is None)
     n_codes = None
     cent_rows = None  # driver-held centroid rows when the pick is exact (r14)
+    cb_rows = None  # driver-held codebook rows when the build seeded them (r15)
     if pq_seeded:
         # SEEDED residual codebook, bit-identical to ivfpq_topk's: ONE
         # md5 pick serves the centroids AND the codebook seeds (the pick
@@ -454,7 +758,7 @@ def build_ann_index(
         # codebook from the new pick (retrain == fresh seeded build).
         n_codes = pq_n_codes or n_cells or auto_n_cells(normed, n_rows=n_rows)
         if centroids is None:
-            centroids, sub_codebook, cent_rows = _seeded_residual_model(
+            centroids, sub_codebook, cent_rows, cb_rows = _seeded_residual_model(
                 spark, normed, n_cells, n_codes, m, sub_dim,
                 id_col, vec_col, n_rows=n_rows,
             )
@@ -473,12 +777,11 @@ def build_ann_index(
                 for r in centroids.select("cell_id", "centroid").collect()
             )
             cent_np = np.asarray([v for _c, v in cent_rows], dtype=np.float64)
+            cb_rows = seeded_residual_codebook_rows(
+                [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
+            )
             sub_codebook = local_rows_df(
-                spark,
-                seeded_residual_codebook_rows(
-                    [(c, v) for c, v in big_rows if c < n_codes], cent_np, m, sub_dim
-                ),
-                "s int, code int, csub array<double>",
+                spark, cb_rows, "s int, code int, csub array<double>"
             )
     elif centroids is None:
         if two_level:
@@ -507,39 +810,50 @@ def build_ann_index(
     # serialized parent partitions SEQUENTIALLY (~5 s each write); the
     # plain 32-task write of the same KB frame is ~0.5 s. SCALING.md
     # "build-wall attribution" records the A/B.
-    centroids.write.mode("overwrite").parquet(path + "/centroids")
-    if two_level:
+    # r15: when the exact pick's rows are DRIVER-HELD and the store is
+    # local, the /centroids write is a driver-side pyarrow touch — zero
+    # Spark jobs for data that never was distributed (guide §5). The
+    # distributed write remains for corpus-lineage picks (two-level /
+    # threshold) and non-local stores.
+    cent_lp = _local_fs_path(path + "/centroids")
+    if cent_rows is not None and cent_lp is not None:
+        _pa_write_rows(cent_lp, cent_rows, _centroids_pa_schema())
+        # rebind to the written file: identical rows, and keeps the
+        # downstream schema anchor a real parquet relation either way
         centroids = spark.read.parquet(path + "/centroids")
+    else:
+        centroids.write.mode("overwrite").parquet(path + "/centroids")
+        if two_level:
+            centroids = spark.read.parquet(path + "/centroids")
     # the stored model's REALIZED shape (r14): known free when the exact
-    # pick's rows are driver-held; one stats job over the written frame
-    # otherwise (it replaces the identical job the assign below used to
-    # run internally — net-zero at build, and persisting it in meta saves
-    # the job in every later search/append/stream verb)
+    # pick's rows are driver-held; from the written files' parquet
+    # footers on a local store (r15 — row counts live in the metadata,
+    # no scan job); one distributed stats job only on non-local stores
     if cent_rows is not None:
         n_cells_stored, dim_stored = len(cent_rows), dim
     else:
-        n_cells_stored, dim_stored = corpus_stats(centroids, "centroid")
+        shape = _centroids_shape_from_files(path)
+        if shape is not None:
+            n_cells_stored, dim_stored = shape
+        else:
+            n_cells_stored, dim_stored = corpus_stats(centroids, "centroid")
     # the build-time knobs are INDEX properties: persist them so append/
     # search/retrain/streaming read the same config without re-threading
-    local_rows_df(
+    # (driver-side pyarrow write on a local store — zero jobs, r15)
+    _write_meta(
         spark,
-        [
-            (
-                int(n_home), bool(residual), pq_seeded,
-                int(n_codes) if pq_seeded else None,
-                int(m) if pq_seeded else None,
-                int(sub_dim) if pq_seeded else None,
-                bool(two_level),
-                int(super_probe),
-                int(n_cells_stored),
-                int(dim_stored),
-            )
-        ],
-        "n_home int, residual boolean, pq_seeded boolean, "
-        "pq_n_codes int, m int, sub_dim int, "
-        "two_level boolean, super_probe int, "
-        "n_cells bigint, dim int",
-    ).write.mode("overwrite").parquet(path + "/meta")
+        path,
+        (
+            int(n_home), bool(residual), pq_seeded,
+            int(n_codes) if pq_seeded else None,
+            int(m) if pq_seeded else None,
+            int(sub_dim) if pq_seeded else None,
+            bool(two_level),
+            int(super_probe),
+            int(n_cells_stored),
+            int(dim_stored),
+        ),
+    )
     # with_rank in both branches of ivf_assign is free (the kernel already
     # holds the argsort order); n_home rows per vector, rank 1 = home
     if two_level:
@@ -553,9 +867,6 @@ def build_ann_index(
             normed, centroids, n_home, id_col, vec_col,
             with_rank=True, n_cells=n_cells, dim=dim, centroid_rows=cent_rows,
         ).select(id_col, vec_col, "cell_id", "probe_rank")
-    if sub_codebook is not None:
-        # two consumers (the vectors write + the codes encoding) — cut once
-        stored = stored.transform(_materialize)
     # train-time rows are stamped batch_id = -1 and the store is partitioned
     # by batch_id, so the streaming ingester's `batch_id < current` prior-
     # store filter sees the pre-built corpus (it would silently project NULL
@@ -574,19 +885,52 @@ def build_ann_index(
         # ingester's compressed path overwrites per-partition exactly-once.
         # The codebook is n_codes·m rows (KB at any N, by contract), so a
         # single-file write is scale-safe and makes every later
-        # `_collect_codebook` a one-task read (r14; repartition — NOT
+        # `_collect_codebook` a one-task read (r14). Seeded builds hold
+        # the rows driver-side → pyarrow write on a local store (r15);
+        # caller-provided frames keep the repartition(1) write — NOT
         # coalesce, which would serialize a parallelized literal's
-        # parents through one task, the r12 footgun)
-        sub_codebook.repartition(1).write.mode("overwrite").parquet(
-            path + "/codebook"
+        # parents through one task, the r12 footgun.
+        cb_lp = _local_fs_path(path + "/codebook")
+        if cb_rows is None and cb_lp is not None:
+            # caller-provided codebook on a local store: ONE collect (the
+            # frame is n_codes·m rows, KB at any N by contract) serves
+            # the /codebook write AND the encode leg below — the former
+            # shape paid a repartition-write job plus the encode's own
+            # collect job for the same rows (r15)
+            cb_rows = sorted(
+                (int(r["s"]), int(r["code"]), list(r["csub"]))
+                for r in sub_codebook.collect()
+            )
+        if cb_rows is not None and cb_lp is not None:
+            _pa_write_rows(cb_lp, cb_rows, _codebook_pa_schema())
+        else:
+            sub_codebook.repartition(1).write.mode("overwrite").parquet(
+                path + "/codebook"
+            )
+        # the codes encode reads the JUST-WRITTEN corpus back (r15 —
+        # round-14 verdict Next #3 "reuse the assign output"): the
+        # parquet write IS the materialization boundary, so the former
+        # extra localCheckpoint job (and its block I/O) disappears;
+        # parquet round-trips doubles exactly → bit-identical codes
+        stored_rb = (
+            spark.read.parquet(path + "/vectors")
+            .where(F.col("batch_id") == -1)
+            .select(id_col, vec_col, "cell_id", "probe_rank")
         )
+        if cb_rows is not None:
+            _cb_np, cb_m, _cb_nc, cb_sd = _codebook_from_rows(cb_rows)
+        else:
+            cb_m = cb_sd = None
         codes = (
             _encode_codes_residual(
-                stored, sub_codebook, centroids, id_col, vec_col,
+                stored_rb, sub_codebook, centroids, id_col, vec_col,
                 distributed=two_level, cent_rows=cent_rows,
+                codebook_rows=cb_rows,
             )
             if residual
-            else _encode_codes(stored, sub_codebook, id_col, vec_col)
+            else _encode_codes(
+                stored_rb, sub_codebook, id_col, vec_col, m=cb_m, sub_dim=cb_sd
+            )
         )
         (
             codes.withColumn("batch_id", F.lit(-1).cast("bigint"))
@@ -616,10 +960,14 @@ def append_to_index(
     appended copies are row-identical to a one-shot spilled build.
     Returns the updated corpus frame."""
     cents = spark.read.parquet(path + "/centroids")
-    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
+    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14, driver-side r15)
     n_home, residual = _meta_n_home_residual(meta)
     two_level, super_probe = _meta_two_level(meta)
     n_cells_m, dim_m = _meta_shape(meta)  # skips the per-verb stats job (r14)
+    # flat local store: the centroid rows come off a driver-side pyarrow
+    # read (r15) so the assign kernel skips its own collect job; `cents`
+    # stays the schema/fallback anchor (lazy — no job)
+    cent_rows_l = _centroid_rows_from_store(spark, path, meta)
     normed = normalize_vectors(new_vectors, id_col, vec_col)
     # a two-level-built store (meta two_level, r12) routes the late batch
     # coarse-to-fine as well: appends never collect the stored centroids
@@ -632,18 +980,11 @@ def append_to_index(
         if two_level
         else ivf_assign(
             normed, cents, n_home, id_col, vec_col, with_rank=True,
-            n_cells=n_cells_m, dim=dim_m,
+            n_cells=n_cells_m, dim=dim_m, centroid_rows=cent_rows_l,
         )
     ).select(id_col, vec_col, "cell_id", "probe_rank")
-    prev_max = spark.read.parquet(path + "/vectors").agg(F.max("batch_id")).first()[0]
-    next_batch = int(prev_max) + 1 if prev_max is not None else 0
-    try:
-        codebook = spark.read.parquet(path + "/codebook")
-    except AnalysisException:  # IVF-only index: no PQ model to keep in sync
-        codebook = None
-    if codebook is not None:
-        # two consumers below (vectors append + codes encoding) — cut once
-        assigned = assigned.transform(_materialize)
+    next_batch = _next_batch_id(spark, path)
+    codebook = _codebook_frame(spark, path)
     (
         assigned.withColumn("batch_id", F.lit(next_batch).cast("bigint"))
         .write.mode("append")
@@ -651,12 +992,30 @@ def append_to_index(
         .parquet(path + "/vectors")
     )
     if codebook is not None:
+        # encode the JUST-WRITTEN batch partition (r15): the append write
+        # is the materialization boundary — the former localCheckpoint
+        # job before the two consumers disappears, and partition pruning
+        # reads back exactly this batch's rows (bit-identical doubles)
+        batch_rb = (
+            spark.read.parquet(path + "/vectors")
+            .where(F.col("batch_id") == next_batch)
+            .select(id_col, vec_col, "cell_id", "probe_rank")
+        )
+        cb_rows_l = _codebook_rows_from_store(path)  # driver-side (r15)
+        if cb_rows_l is not None:
+            _cb_np, cb_m, _cb_nc, cb_sd = _codebook_from_rows(cb_rows_l)
+        else:
+            cb_m = cb_sd = None
         codes = (
             _encode_codes_residual(
-                assigned, codebook, cents, id_col, vec_col, distributed=two_level
+                batch_rb, codebook, cents, id_col, vec_col,
+                distributed=two_level, cent_rows=cent_rows_l,
+                codebook_rows=cb_rows_l,
             )
             if residual
-            else _encode_codes(assigned, codebook, id_col, vec_col)
+            else _encode_codes(
+                batch_rb, codebook, id_col, vec_col, m=cb_m, sub_dim=cb_sd
+            )
         )
         if "batch_id" in spark.read.parquet(path + "/codes").columns:
             (
@@ -714,10 +1073,13 @@ def search_index(
     per-query top-k."""
     cents = spark.read.parquet(path + "/centroids")
     store = spark.read.parquet(path + "/vectors")
-    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14)
+    meta = _meta_dict(spark, path)  # ONE meta read per verb (r14, driver-side r15)
     n_home, residual = _meta_n_home_residual(meta)
     two_level, super_probe = _meta_two_level(meta)
     n_cells_m, dim_m = _meta_shape(meta)  # skips the per-verb stats job (r14)
+    # flat local store: centroid rows off a driver-side pyarrow read (r15)
+    # — the probe assign and the residual LUT leg skip their collect jobs
+    cent_rows_l = _centroid_rows_from_store(spark, path, meta)
     # home rows = exactly one row per stored vector: the query leg (and
     # the PQ rerank's raw-vector legs) must never see spilled copies —
     # duplicate query/neighbor rows would corrupt the per-query ranking
@@ -736,7 +1098,7 @@ def search_index(
         if two_level
         else ivf_assign(
             q_normed, cents, n_probe, id_col, vec_col,
-            n_cells=n_cells_m, dim=dim_m,
+            n_cells=n_cells_m, dim=dim_m, centroid_rows=cent_rows_l,
         )
     )
     if not use_pq:
@@ -778,9 +1140,7 @@ def search_index(
                 "cos_sim",
             )
         )
-    cb_np, m, n_codes, sub_dim = _collect_codebook(
-        spark.read.parquet(path + "/codebook")
-    )
+    cb_np, m, n_codes, sub_dim = _collect_codebook_store(spark, path)
     if residual:
         # one LUT per (query, probed cell), each from the query's residual
         # wrt that cell — matching the stored per-copy residual codes. On
@@ -795,7 +1155,13 @@ def search_index(
                 residual=True, centroid_col="__cent",
             ).drop("__cent").transform(_materialize)
         else:
-            cent_np, cent_pos = _collect_centroids(cents)
+            # rows already driver-held (pyarrow, cell-sorted) — same
+            # matrix `_collect_centroids` would re-collect (r15)
+            cent_np, cent_pos = (
+                _cent_np_pos_from_rows(cent_rows_l)
+                if cent_rows_l is not None
+                else _collect_centroids(cents)
+            )
             assigned = attach_pq_lut(
                 qa0, cb_np, m, n_codes, sub_dim, vec_col,
                 residual=True, cent_np=cent_np, cent_pos=cent_pos,
@@ -855,9 +1221,20 @@ def index_health(
 
     All arithmetic is exact-int counts + double ratios (sequential, no
     fold over floats) → oracle-replayable in SQL. One row out."""
-    n_home, _residual = _index_meta(spark, path)
-    n_trained = spark.read.parquet(path + "/centroids").agg(
-        F.count(F.lit(1)).alias("n_cells_trained")
+    meta = _meta_dict(spark, path)
+    n_home, _residual = _meta_n_home_residual(meta)
+    nc_meta, _dm_meta = _meta_shape(meta)
+    # the REALIZED trained-cell count is persisted in meta at build/
+    # retrain (r14) and never changes on append/compact/delete — a
+    # meta-bearing store skips the centroid scan job (r15); stores
+    # predating the shape columns keep the count aggregate (same value,
+    # the oracle replays the scan either way)
+    n_trained = (
+        spark.range(1).select(F.lit(int(nc_meta)).alias("n_cells_trained"))
+        if nc_meta is not None
+        else spark.read.parquet(path + "/centroids").agg(
+            F.count(F.lit(1)).alias("n_cells_trained")
+        )
     )
     occ = (
         _with_probe_rank(spark.read.parquet(path + "/vectors"))
@@ -1010,17 +1387,22 @@ def retrain_index(
         n_cells = auto_n_cells(snap, n_rows=n_rows)
     pq_seeded, pq_n_codes, meta_m, meta_sub_dim = _meta_seeded_pq(meta)
     cent_rows_new = None
+    cb_rows_new = None
     if pq_seeded and residual:
         # the build SELF-CONSTRUCTED its seeded residual codebook (params
         # in meta): rebuild it from the NEW pick over the current corpus,
         # so a retrained seeded store == a fresh seeded build — the
         # retrain==fresh-build contract extends to the residual config
         # (a caller-provided codebook is still kept untouched)
-        cents, codebook, cent_rows_new = _seeded_residual_model(
+        cents, codebook, cent_rows_new, cb_rows_new = _seeded_residual_model(
             spark, snap, n_cells, pq_n_codes, meta_m, meta_sub_dim,
             id_col, vec_col, n_rows=n_rows,
         )
-        codebook.write.mode("overwrite").parquet(path + "/codebook")
+        cb_lp = _local_fs_path(path + "/codebook")
+        if cb_lp is not None:  # driver-held rows → zero-job write (r15)
+            _pa_write_rows(cb_lp, cb_rows_new, _codebook_pa_schema())
+        else:
+            codebook.write.mode("overwrite").parquet(path + "/codebook")
     elif two_level:
         # a two-level store retrains two-level: fully-distributed re-pick.
         # A trained plain codebook (the r13 composed configuration) is a
@@ -1036,13 +1418,17 @@ def retrain_index(
         cents = local_rows_df(
             spark, cent_rows_new, "cell_id int, centroid array<double>"
         )
-        try:
-            codebook = spark.read.parquet(path + "/codebook").transform(_materialize)
-        except AnalysisException:
-            codebook = None
-    cents.write.mode("overwrite").parquet(path + "/centroids")
-    if two_level:
+        codebook = _codebook_frame(spark, path)
+        if codebook is not None:
+            codebook = codebook.transform(_materialize)
+    cent_lp = _local_fs_path(path + "/centroids")
+    if cent_rows_new is not None and cent_lp is not None:
+        _pa_write_rows(cent_lp, cent_rows_new, _centroids_pa_schema())
         cents = spark.read.parquet(path + "/centroids")
+    else:
+        cents.write.mode("overwrite").parquet(path + "/centroids")
+        if two_level:
+            cents = spark.read.parquet(path + "/centroids")
     # the model SHAPE changed with the re-pick: refresh meta's realized
     # (n_cells, dim) so later verbs keep skipping the stats job against
     # the CURRENT model (r14 — a stale count would change a two-level
@@ -1050,26 +1436,25 @@ def retrain_index(
     if cent_rows_new is not None:
         n_cells_stored, dim_stored = len(cent_rows_new), dim
     else:
-        n_cells_stored, dim_stored = corpus_stats(cents, "centroid")
-    local_rows_df(
+        shape = _centroids_shape_from_files(path)
+        if shape is not None:
+            n_cells_stored, dim_stored = shape
+        else:
+            n_cells_stored, dim_stored = corpus_stats(cents, "centroid")
+    _write_meta(
         spark,
-        [
-            (
-                int(n_home), bool(residual), bool(pq_seeded),
-                int(pq_n_codes) if pq_seeded else None,
-                int(meta_m) if pq_seeded else None,
-                int(meta_sub_dim) if pq_seeded else None,
-                bool(two_level),
-                int(super_probe),
-                int(n_cells_stored),
-                int(dim_stored),
-            )
-        ],
-        "n_home int, residual boolean, pq_seeded boolean, "
-        "pq_n_codes int, m int, sub_dim int, "
-        "two_level boolean, super_probe int, "
-        "n_cells bigint, dim int",
-    ).write.mode("overwrite").parquet(path + "/meta")
+        path,
+        (
+            int(n_home), bool(residual), bool(pq_seeded),
+            int(pq_n_codes) if pq_seeded else None,
+            int(meta_m) if pq_seeded else None,
+            int(meta_sub_dim) if pq_seeded else None,
+            bool(two_level),
+            int(super_probe),
+            int(n_cells_stored),
+            int(dim_stored),
+        ),
+    )
     if two_level:
         stored = ivf_assign_two_level(
             snap, cents, super_probe=super_probe, n_probe=n_home,
@@ -1081,8 +1466,6 @@ def retrain_index(
             snap, cents, n_home, id_col, vec_col,
             with_rank=True, n_cells=n_cells, dim=dim, centroid_rows=cent_rows_new,
         ).select(id_col, vec_col, "cell_id", "probe_rank")
-    if codebook is not None:
-        stored = stored.transform(_materialize)
     (
         stored.withColumn("batch_id", F.lit(-1).cast("bigint"))
         .write.mode("overwrite")
@@ -1090,13 +1473,29 @@ def retrain_index(
         .parquet(path + "/vectors")
     )
     if codebook is not None:
+        # encode the just-rewritten corpus (r15): the overwrite IS the
+        # materialization boundary — no extra localCheckpoint job
+        stored_rb = (
+            spark.read.parquet(path + "/vectors")
+            .where(F.col("batch_id") == -1)
+            .select(id_col, vec_col, "cell_id", "probe_rank")
+        )
+        if cb_rows_new is None:
+            cb_rows_new = _codebook_rows_from_store(path)  # driver-side (r15)
+        if cb_rows_new is not None:
+            _cb_np, cb_m, _cb_nc, cb_sd = _codebook_from_rows(cb_rows_new)
+        else:
+            cb_m = cb_sd = None
         codes = (
             _encode_codes_residual(
-                stored, codebook, cents, id_col, vec_col,
+                stored_rb, codebook, cents, id_col, vec_col,
                 distributed=two_level, cent_rows=cent_rows_new,
+                codebook_rows=cb_rows_new,
             )
             if residual
-            else _encode_codes(stored, codebook, id_col, vec_col)
+            else _encode_codes(
+                stored_rb, codebook, id_col, vec_col, m=cb_m, sub_dim=cb_sd
+            )
         )
         (
             codes.withColumn("batch_id", F.lit(-1).cast("bigint"))

@@ -406,7 +406,14 @@ def ivf_assign_two_level(
         n_super = max(4, int(math.ceil(math.sqrt(float(n_cells)))))
     # ONE survivor collect serves the supers frame AND both flat-kernel
     # assigns below (r14): the former shape collected the created frame
-    # again inside each ivf_assign — two extra driver jobs per call
+    # again inside each ivf_assign — two extra driver jobs per call.
+    # NOTE (advisor r14 #3): a threshold-pick caller's `n_cells` may be
+    # the binomial EXPECTATION, not the realized centroid count — fine
+    # for correctness (the md5 pick is a prefix property, so the picked
+    # supers are identical; an over-estimate only starts the widening
+    # threshold narrower and can cost extra widening collects). Callers
+    # that KNOW the realized count (meta-backed store verbs since r14)
+    # pass it and never widen.
     super_rows = exact_pick_rows(
         centroids, n_super, id_col="cell_id", vec_col="centroid",
         n_rows=n_cells,  # shape already known above — no second count job
@@ -1530,7 +1537,6 @@ def ivfpq_topk(
 
 def _dot_rows_kernel(
     df: DataFrame, a_col: str, b_col: str, out_col: str = "cos_sim",
-    keep_a: bool = False,
 ) -> DataFrame:
     """Arrow-vectorized per-row dot of two vector columns, DROPPING the
     vector columns from the output — the exact-rerank engine of
@@ -1547,16 +1553,12 @@ def _dot_rows_kernel(
     signed-zero case: the fold's initial 0.0 + (−0.0) = +0.0 is
     reproduced, which matters because cos_sim is a hashed OUTPUT value,
     not just a ranking key). The oracle rows stay green on DuckDB's
-    list_reduce replay — pinned by the tri-SF ANN oracle family.
-
-    `keep_a=True` passes the `a_col` vectors through to the output (r14
-    — the two-level assign's affinity scoring still needs the vector for
-    its downstream ranking select); only `b_col` is dropped then."""
+    list_reduce replay — pinned by the tri-SF ANN oracle family."""
     import numpy as np
 
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    drop = (b_col,) if keep_a else (a_col, b_col)
+    drop = (a_col, b_col)
     keep = [f.name for f in df.schema.fields if f.name not in drop]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in keep]

@@ -397,58 +397,73 @@ def connected_components(
     chain closes in ~9 rounds where plain propagation needs 299 (the
     star-contraction family's trick, in two equi-joins + one groupBy per
     round, `localCheckpoint` between — same discipline as expand_paths).
+
+    The loop runs under `coalesced_tiny_shuffles` (r15 — round-14 verdict
+    Next #1): ~dozens of consecutive tiny PURE-JVM shuffles are exactly
+    the regime where the session's 1-byte AQE coalesce floor (which
+    protects Python-kernel stages) is wrong — each round scheduled 32
+    near-empty tasks per stage, the round-14 verdict's one real
+    regression (entity_golden_records 1.8→2.6 s; scoped-floor A/B r15:
+    2.90→2.31 s, while 8 of 10 other probed rows prefer the session
+    floor). Inside the scope AQE's default byte model re-coalesces each
+    round's KB shuffles; every round ends in a checkpoint or driver
+    action, so the conf covers exactly this loop's jobs, and the
+    returned frame is already materialized.
     """
-    und = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
-        .distinct()
-        .transform(_materialize)
-    )
-    labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-        .transform(_materialize)
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            und.join(labels, und["v"] == labels["node"])
-            .groupBy(F.col("u").alias("node"))
-            .agg(F.min("component").alias("n_comp"))
-        )
-        stepped = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.col("component").alias("old_component"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer halving: labels are node ids, so re-join the stepped
-        # mapping against itself and follow one hop
-        hop = stepped.select(
-            F.col("node").alias("c_node"), F.col("component").alias("c_comp")
-        )
-        updated = (
-            stepped.join(hop, stepped["component"] == hop["c_node"], "left")
-            .select(
-                "node",
-                "old_component",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
-                ).alias("component"),
-            )
+    from scripts_toolkit_spark.session import coalesced_tiny_shuffles
+
+    with coalesced_tiny_shuffles(pairs.sparkSession):
+        und = (
+            pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+            .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+            .distinct()
             .transform(_materialize)
         )
-        # convergence probe: a trivial scan-and-agg over the partitions the
-        # checkpoint just materialized — no join, no second plan of the
-        # round's work (the old labels⋈updated + isEmpty cost a full extra
-        # join job per round)
-        changed = updated.agg(
-            F.max(F.col("component") != F.col("old_component")).alias("c")
-        ).first()["c"]
-        labels = updated.drop("old_component")
-        if not changed:
-            return labels
+        labels = (
+            und.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("component"))
+            .transform(_materialize)
+        )
+        for _ in range(max_iter):
+            neighbor_min = (
+                und.join(labels, und["v"] == labels["node"])
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("component").alias("n_comp"))
+            )
+            stepped = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.col("component").alias("old_component"),
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            # pointer halving: labels are node ids, so re-join the stepped
+            # mapping against itself and follow one hop
+            hop = stepped.select(
+                F.col("node").alias("c_node"), F.col("component").alias("c_comp")
+            )
+            updated = (
+                stepped.join(hop, stepped["component"] == hop["c_node"], "left")
+                .select(
+                    "node",
+                    "old_component",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
+                    ).alias("component"),
+                )
+                .transform(_materialize)
+            )
+            # convergence probe: a trivial scan-and-agg over the partitions the
+            # checkpoint just materialized — no join, no second plan of the
+            # round's work (the old labels⋈updated + isEmpty cost a full extra
+            # join job per round)
+            changed = updated.agg(
+                F.max(F.col("component") != F.col("old_component")).alias("c")
+            ).first()["c"]
+            labels = updated.drop("old_component")
+            if not changed:
+                return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
@@ -508,48 +523,54 @@ def pagerank_fixed_point(
     Iteration cost: one equi-join (ranks ⋈ out-degree-annotated edges)
     plus one hash aggregate per round; the edge table is materialized
     once (`localCheckpoint`) and rank frames checkpoint per round — the
-    `connected_components` discipline. Nodes without in-edges settle at
-    `base` (left join + coalesce)."""
-    nodes = (
-        edges.select(F.col(src_col).alias("node"))
-        .union(edges.select(F.col(dst_col).alias("node")))
-        .distinct()
-        .transform(_materialize)
-    )
-    n = nodes.count()
-    r0 = scale // max(n, 1)
-    base = ((100 - damping_pct) * r0) // 100
-    e = (
-        edges.join(
-            edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg")), src_col
-        )
-        .select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"), "outdeg")
-        .transform(_materialize)
-    )
+    `connected_components` discipline, including its r15
+    `coalesced_tiny_shuffles` scope (iterative pure-JVM rounds want
+    AQE's default byte coalescing, not the session's kernel-stage
+    floor). Nodes without in-edges settle at `base` (left join +
+    coalesce)."""
+    from scripts_toolkit_spark.session import coalesced_tiny_shuffles
 
-    def _exact_div(num: Column, den: Column) -> Column:
-        return ((num - num % den) / den).cast("long")
-
-    ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
-    for _ in range(iters):
-        contrib = (
-            ranks.join(e, "node")
-            .select(F.col("dst").alias("node"), _exact_div(F.col("r"), F.col("outdeg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + _exact_div(
-                        F.lit(damping_pct) * F.coalesce(F.col("s"), F.lit(0)),
-                        F.lit(100),
-                    )
-                ).alias("r"),
-            )
+    with coalesced_tiny_shuffles(edges.sparkSession):
+        nodes = (
+            edges.select(F.col(src_col).alias("node"))
+            .union(edges.select(F.col(dst_col).alias("node")))
+            .distinct()
             .transform(_materialize)
         )
+        n = nodes.count()
+        r0 = scale // max(n, 1)
+        base = ((100 - damping_pct) * r0) // 100
+        e = (
+            edges.join(
+                edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("outdeg")), src_col
+            )
+            .select(F.col(src_col).alias("node"), F.col(dst_col).alias("dst"), "outdeg")
+            .transform(_materialize)
+        )
+
+        def _exact_div(num: Column, den: Column) -> Column:
+            return ((num - num % den) / den).cast("long")
+
+        ranks = nodes.select("node", F.lit(r0).cast("long").alias("r"))
+        for _ in range(iters):
+            contrib = (
+                ranks.join(e, "node")
+                .select(F.col("dst").alias("node"), _exact_div(F.col("r"), F.col("outdeg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base).cast("long")
+                        + _exact_div(
+                            F.lit(damping_pct) * F.coalesce(F.col("s"), F.lit(0)),
+                            F.lit(100),
+                        )
+                    ).alias("r"),
+                )
+                .transform(_materialize)
+            )
     return ranks

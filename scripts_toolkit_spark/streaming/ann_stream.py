@@ -48,8 +48,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from scripts_toolkit_spark.ext.ann_index import (
+    _cent_np_pos_from_rows,
+    _centroid_rows_from_store,
+    _codebook_frame,
+    _codebook_from_rows,
+    _codebook_rows_from_store,
     _collect_centroids,
-    _collect_codebook,
+    _collect_codebook_store,
     _encode_codes,
     _encode_codes_residual,
     _meta_dict,
@@ -131,14 +136,19 @@ def make_ann_ingest_processor(
     def _process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         cents = spark.read.parquet(index_path + "/centroids")
-        meta = _meta_dict(spark, index_path)  # ONE meta read per batch (r14)
+        meta = _meta_dict(spark, index_path)  # ONE meta read per batch (r14, driver-side r15)
         n_home, residual = _meta_n_home_residual(meta)
         two_level, super_probe = _meta_two_level(meta)
         n_cells_m, dim_m = _meta_shape(meta)  # skips the per-batch stats job (r14)
-        try:
-            codebook = spark.read.parquet(index_path + "/codebook")
-        except AnalysisException:
-            codebook = None
+        # flat local store: centroid rows off one driver-side pyarrow
+        # read, cached across batches (r15) — each batch's assign kernel
+        # skips its own collect job over the stored model
+        if "cent_rows" not in model_cache:
+            model_cache["cent_rows"] = _centroid_rows_from_store(
+                spark, index_path, meta
+            )
+        cent_rows_l = model_cache["cent_rows"]
+        codebook = _codebook_frame(spark, index_path)
         if use_pq and codebook is None:
             raise ValueError(
                 "use_pq=True requires a codebook-built index "
@@ -161,6 +171,7 @@ def make_ann_ingest_processor(
             else ivf_assign(
                 normed, cents, max(n_probe, n_home), id_col, vec_col,
                 with_rank=True, n_cells=n_cells_m, dim=dim_m,
+                centroid_rows=cent_rows_l,
             )
         ).transform(_materialize)
         cell_type = "bigint" if two_level else "int"
@@ -179,11 +190,15 @@ def make_ann_ingest_processor(
             # compressed-domain cross-batch match (same pipeline as
             # search_index(use_pq=True), prior-store codes as the corpus)
             if "cb" not in model_cache:
-                model_cache["cb"] = _collect_codebook(codebook)
+                model_cache["cb"] = _collect_codebook_store(spark, index_path)
                 # two-level stores never collect the centroid set (r14:
                 # the residual LUT join below resolves centroids per cell)
                 if not two_level:
-                    model_cache["cent"] = _collect_centroids(cents)
+                    model_cache["cent"] = (
+                        _cent_np_pos_from_rows(cent_rows_l)
+                        if cent_rows_l is not None
+                        else _collect_centroids(cents)
+                    )
             cb_np, m, n_codes, sub_dim = model_cache["cb"]
             q_assigned = assigned.where(F.col("probe_rank") <= n_probe)
             if residual and two_level:
@@ -301,14 +316,26 @@ def make_ann_ingest_processor(
         )
         if codebook is not None:
             # keep /codes row-parity with /vectors for the NEXT batches'
-            # compressed match — same exactly-once partition overwrite
+            # compressed match — same exactly-once partition overwrite.
+            # Codebook rows/shape come off the cached driver-side read
+            # (r15) so the per-batch encode skips its collect/stats job.
+            if "cb_rows" not in model_cache:
+                model_cache["cb_rows"] = _codebook_rows_from_store(index_path)
+            cb_rows_l = model_cache["cb_rows"]
+            if cb_rows_l is not None:
+                _n, cb_m, _nc, cb_sd = _codebook_from_rows(cb_rows_l)
+            else:
+                cb_m = cb_sd = None
             batch_codes = (
                 _encode_codes_residual(
                     new_rows, codebook, cents, "vec_id", "embedding",
-                    distributed=two_level,
+                    distributed=two_level, cent_rows=cent_rows_l,
+                    codebook_rows=cb_rows_l,
                 )
                 if residual
-                else _encode_codes(new_rows, codebook, "vec_id", "embedding")
+                else _encode_codes(
+                    new_rows, codebook, "vec_id", "embedding", m=cb_m, sub_dim=cb_sd
+                )
             )
             (
                 batch_codes.withColumn("batch_id", F.lit(batch_id))

@@ -506,7 +506,7 @@ def test_stream_two_level_residual_store_matches_batch(spark, sf_dir, tmp_path):
 
     emb = load_table(spark, sf_dir, "embeddings")
     normed = normalize_vectors(emb).localCheckpoint()
-    _cents, cb, _rows = _seeded_residual_model(
+    _cents, cb, _rows, _cb_rows = _seeded_residual_model(
         spark, normed, 16, 64, 4, 16, "vec_id", "embedding"
     )
     cb = cb.localCheckpoint()

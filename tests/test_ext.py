@@ -2181,7 +2181,7 @@ def test_two_level_residual_store_matches_flat(spark, sf_dir, tmp_path):
 
     emb = load_table(spark, sf_dir, "embeddings")
     normed = normalize_vectors(emb).localCheckpoint()
-    cents, cb, _rows = _seeded_residual_model(
+    cents, cb, _rows, _cb_rows = _seeded_residual_model(
         spark, normed, 16, 64, 4, 16, "vec_id", "embedding"
     )
     cents = cents.localCheckpoint()

@@ -63,30 +63,17 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    from scripts_toolkit_spark.session import get_spark  # noqa: F401 (config parity)
+    # the probe session is session.py's config EXACTLY (advisor r14 #4:
+    # the hand-duplicated dict drifted once and misattributed the very
+    # overhead being measured) with only the event log layered on top
+    from scripts_toolkit_spark.session import engine_confs
 
     cpus = os.environ["SPARK_GRAFT_CPUS"]
+    builder = SparkSession.builder.appName(f"probe-jobs-{name}").master(f"local[{cpus}]")
+    for k, v in engine_confs().items():
+        builder = builder.config(k, v)
     spark = (
-        SparkSession.builder.appName(f"probe-jobs-{name}")
-        .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # keep the probe session's AQE floor identical to session.py —
-        # without it the probe re-coalesces tiny kernel shuffles to one
-        # task and misattributes the very overhead being measured
-        .config(
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1b"),
-        )
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", "8g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        .config("spark.eventLog.enabled", "true")
+        builder.config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", LOG_DIR)
         .getOrCreate()
     )

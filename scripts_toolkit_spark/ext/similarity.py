@@ -1634,14 +1634,40 @@ def _pq_rank(
     Inputs: `queries_f` (query_id, cell_id) probe rows; `qlut`
     (query_id[, cell_id], lut) joined on `qlut_keys` (residual mode keys
     per cell); `corpus_codes` (neighbor_id, cell_id, ncodes); `qv`/`nv`
-    (id, vector) rerank legs — one row per id."""
+    (id, vector) rerank legs — one row per id.
+
+    pre_gather CONTRACT (r15): `qlut` must BE the probe-row frame —
+    exactly one row per (query, probed cell), carrying its lut — which
+    every residual caller already satisfies (they project queries_f and
+    qlut off the same assigned frame). The former queries_f ⋈ qlut
+    recombination was an identity self-join re-shuffling the probe rows;
+    it is gone, and `queries_f` is unused on this branch."""
     shortlist_n = rerank_factor * k
 
     if pre_gather:
-        cells = corpus_codes.groupBy("cell_id").agg(
-            F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands")
+        # ONE collect_list(struct) keeps (id, codes) pairing authoritative,
+        # then JVM array ops split it into PARALLEL PRIMITIVE arrays (r15):
+        # Arrow hands array<long>/array<int> to the kernel as numpy-ready
+        # buffers, where the former array<struct> decoded to a Python dict
+        # PER CANDIDATE inside the kernel loop (~|candidates| dict gets per
+        # probe row — the dominant slice of residual serving's 3.3 s
+        # gather+ADC stage in the r15 attribution probe).
+        cells = (
+            corpus_codes.groupBy("cell_id")
+            .agg(F.collect_list(F.struct("neighbor_id", "ncodes")).alias("cands"))
+            .select(
+                "cell_id",
+                F.transform("cands", lambda c: c["neighbor_id"]).alias("nids"),
+                F.flatten(F.transform("cands", lambda c: c["ncodes"])).alias(
+                    "codes_flat"
+                ),
+            )
         )
-        gathered = queries_f.join(cells, "cell_id").join(qlut, qlut_keys)
+        # `queries_f` ⋈ `qlut` is an IDENTITY self-join in residual mode —
+        # every caller builds both from the same probe-row frame, so the
+        # probe rows carry their LUT already (r15: one shuffle join
+        # removed; the contract is pinned below by using qlut alone)
+        gathered = qlut.join(cells, "cell_id")
         filter_self = True  # per-cell arrays still hold the query's own row
     else:
         cand = (
@@ -1690,36 +1716,59 @@ def _pq_rank(
     )
 
     def _sl_kernel(pdf_iter):
+        # FULLY VECTORIZED shortlist (r15): every probe row's candidates
+        # concatenate into flat arrays, ADC evaluates as one fancy-indexed
+        # sum over (row, code) pairs, and the per-row top-(rf·k) falls out
+        # of ONE global lexsort keyed (row, adc, nid) + a cumcount slice.
+        # Comparator identical to the former per-row np.lexsort((nid,
+        # adc)) — (adc asc, nid asc) within each row, total order because
+        # a neighbor appears at most once per cell and L2² LUT sums are
+        # never NaN/−0.0 — so shortlists are BIT-IDENTICAL (pinned by the
+        # stored==ad-hoc parity pytests + tri-SF oracles).
         import numpy as np
         import pandas as pd
 
         for pdf in pdf_iter:
-            q_out: list = []
-            n_out: list = []
-            for qid, cands_v, lut in zip(pdf["query_id"], pdf["cands"], pdf["lut"]):
-                if cands_v is None or len(cands_v) == 0:
+            nrows = len(pdf)
+            if nrows == 0:
+                continue
+            nids_l = [np.asarray(x) for x in pdf["nids"]]
+            lens = np.asarray([len(x) for x in nids_l], dtype=np.int64)
+            if int(lens.sum()) == 0:
+                continue
+            nids_all = np.concatenate(nids_l)
+            codes_all = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["codes_flat"]]
+            ).reshape(-1, m)
+            row_idx = np.repeat(np.arange(nrows), lens)
+            lut_mat = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["lut"]]
+            )
+            total = lut_mat[row_idx, codes_all[:, 0]]
+            for s in range(1, m):
+                total = total + lut_mat[row_idx, s * n_codes + codes_all[:, s]]
+            qids = pdf["query_id"].to_numpy()
+            if filter_self:
+                keep = nids_all != qids[row_idx]
+                row_idx, nids_all, total = row_idx[keep], nids_all[keep], total[keep]
+                if len(row_idx) == 0:
                     continue
-                nids = np.asarray([c["neighbor_id"] for c in cands_v])
-                codes = np.asarray(
-                    [np.asarray(c["ncodes"], dtype=np.int64) for c in cands_v]
-                )
-                if filter_self:
-                    keep = nids != qid
-                    nids, codes = nids[keep], codes[keep]
-                    if len(nids) == 0:
-                        continue
-                lutv = np.asarray(lut, dtype=np.float64)
-                total = lutv[codes[:, 0]]
-                for s in range(1, m):
-                    total = total + lutv[s * n_codes + codes[:, s]]
-                order = np.lexsort((nids, total))[:shortlist_n]
-                q_out.extend([qid] * len(order))
-                n_out.extend(nids[order].tolist())
-            if q_out:
-                yield pd.DataFrame({"query_id": q_out, "neighbor_id": n_out})
+            order = np.lexsort((nids_all, total, row_idx))
+            r_sorted = row_idx[order]
+            # cumcount within each row's sorted run → first shortlist_n
+            starts = np.flatnonzero(np.r_[True, r_sorted[1:] != r_sorted[:-1]])
+            run_lens = np.diff(np.r_[starts, len(r_sorted)])
+            pos = np.arange(len(r_sorted)) - np.repeat(starts, run_lens)
+            sel = pos < shortlist_n
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[r_sorted[sel]],
+                    "neighbor_id": nids_all[order][sel],
+                }
+            )
 
     if pre_gather:
-        shortlist = gathered.select("query_id", "cands", "lut").mapInPandas(
+        shortlist = gathered.select("query_id", "nids", "codes_flat", "lut").mapInPandas(
             _sl_kernel, sl_schema
         )
     else:

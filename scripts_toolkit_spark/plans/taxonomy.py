@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from scripts_toolkit_spark.io.catalog import load_table
+from scripts_toolkit_spark.materialize import materialize as _materialize
 from scripts_toolkit_spark.operators import graph as G
 
 ROOT = "root"
@@ -101,8 +102,16 @@ paths AS (SELECT concept, path, depth FROM walk WHERE node = 'root')
 
 def hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1–G3: leaf discovery (anti-join) + iterative path expansion.
-    One row per (concept, distinct path to root)."""
-    edges = demo_edges(spark, sf_dir)
+    One row per (concept, distinct path to root).
+
+    The edge frame is MATERIALIZED once (r15 — round-14 verdict Next #5):
+    the un-cut plan inlined the 6-scan edge-union subtree FOUR times
+    (leaves() twice, the closure's internal-edge collect, the starts
+    join), and the resulting 2,091-line plan cost ~2 s of driver-side
+    compile per run — the dominant slice of this row's wall. One
+    checkpoint job collapses every consumer to an RDD scan (interleaved
+    A/B: 2.89 → 1.66 s min-of-4, rows identical)."""
+    edges = demo_edges(spark, sf_dir).transform(_materialize)
     lv = G.leaves(edges).where(
         F.col("node").startswith("cc_") | F.col("node").startswith("uc_")
     )
@@ -169,8 +178,10 @@ def deep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hierarchy_paths_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3 at 10× depth: same fixpoint join, ~13 iterations — the bench
-    entry that makes per-iteration overhead regressions visible."""
-    edges = deep_edges(spark, sf_dir)
+    entry that makes per-iteration overhead regressions visible.
+    Edge frame materialized once — the hierarchy_paths r15 compile cut
+    (interleaved A/B: 2.04 → 1.40 s min-of-4)."""
+    edges = deep_edges(spark, sf_dir).transform(_materialize)
     lv = G.leaves(edges).where(F.col("node").startswith("cc_"))
     paths = G.expand_paths(edges, lv, ROOT, max_depth=_DEEP + 5, start_partitions=8)
     return paths.select(
@@ -209,8 +220,9 @@ SELECT concept, path, CAST(depth AS INT) AS depth FROM walk WHERE node = 'root'
 
 def hierarchy_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5: path classification + positional field extraction (the
-    reference's temp_column/temp_line logic as array expressions)."""
-    edges = demo_edges(spark, sf_dir)
+    reference's temp_column/temp_line logic as array expressions).
+    Edge frame materialized once — the hierarchy_paths r15 compile cut."""
+    edges = demo_edges(spark, sf_dir).transform(_materialize)
     lv = G.leaves(edges).where(F.col("node").startswith("cc_"))
     classified = G.classify_paths(G.expand_paths(edges, lv, ROOT, start_partitions=8))
     return classified.select(

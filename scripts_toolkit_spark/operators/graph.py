@@ -425,7 +425,9 @@ def connected_components(
             .select("node", F.col("node").alias("component"))
             .transform(_materialize)
         )
-        for _ in range(max_iter):
+        from pyspark.sql import Observation
+
+        for it in range(max_iter):
             neighbor_min = (
                 und.join(labels, und["v"] == labels["node"])
                 .groupBy(F.col("u").alias("node"))
@@ -443,6 +445,13 @@ def connected_components(
             hop = stepped.select(
                 F.col("node").alias("c_node"), F.col("component").alias("c_comp")
             )
+            # convergence probe FUSED into the checkpoint job (r15 — the
+            # expand_paths observe() discipline): the changed-count metric
+            # is computed WHILE the round's materialization executes, so
+            # each round is ONE job instead of checkpoint + a separate
+            # scan-and-agg (the probe used to be the cheaper half of two
+            # driver-scheduled jobs per round)
+            obs = Observation(f"cc_changed_{it}")
             updated = (
                 stepped.join(hop, stepped["component"] == hop["c_node"], "left")
                 .select(
@@ -452,15 +461,17 @@ def connected_components(
                         F.col("component"), F.coalesce(F.col("c_comp"), F.col("component"))
                     ).alias("component"),
                 )
+                .observe(
+                    obs,
+                    F.sum(
+                        F.when(
+                            F.col("component") != F.col("old_component"), 1
+                        ).otherwise(0)
+                    ).alias("changed"),
+                )
                 .transform(_materialize)
             )
-            # convergence probe: a trivial scan-and-agg over the partitions the
-            # checkpoint just materialized — no join, no second plan of the
-            # round's work (the old labels⋈updated + isEmpty cost a full extra
-            # join job per round)
-            changed = updated.agg(
-                F.max(F.col("component") != F.col("old_component")).alias("c")
-            ).first()["c"]
+            changed = obs.get["changed"] or 0
             labels = updated.drop("old_component")
             if not changed:
                 return labels

@@ -76,11 +76,18 @@ from scripts_toolkit_spark.plans import ext_demos2 as _x2img
 # bigram_pmi_collocations, hll_set_ops, trending_tokens) ceded their
 # seats and sit in TIER 2.
 from scripts_toolkit_spark.plans import scale_demos as sd
+from scripts_toolkit_spark.plans import taxonomy as _tax15
 
-register("join_key_skew_report", sd.join_key_skew_report, sd.JOIN_KEY_SKEW_REPORT_SQL)
-register("join_size_probe", sd.join_size_probe, sd.JOIN_SIZE_PROBE_SQL)
+# r15 rotation: the hierarchy trio returns to the window — their fn
+# bodies CHANGED this round (edge-frame materialization cut the 4x-
+# inlined union subtree / ~2 s plan compile; results identical, tri-SF
+# oracle green). join_key_skew_report, join_size_probe and
+# zorder_layout_stats ceded (r4/r5-green, scale_demos.py untouched this
+# round; parked in TIER 2).
+register("hierarchy_paths", _tax15.hierarchy_paths, _tax15.HIERARCHY_PATHS_SQL)
+register("hierarchy_paths_deep", _tax15.hierarchy_paths_deep, _tax15.HIERARCHY_PATHS_DEEP_SQL)
+register("hierarchy_classify", _tax15.hierarchy_classify, _tax15.HIERARCHY_CLASSIFY_SQL)
 register("token_budget_sample", sd.token_budget_sample, sd.TOKEN_BUDGET_SAMPLE_SQL)
-register("zorder_layout_stats", sd.zorder_layout_stats, sd.ZORDER_LAYOUT_STATS_SQL)
 # NEW (r11 wave 2): runtime Bloom-filter semijoin reduction — the
 # pre-shuffle fact-table prune (128 KB md5-deterministic bitmap folded from
 # the build keys, map-side candidate drop, exact join over survivors);
@@ -211,11 +218,17 @@ register(
 # (ewma_event_forecast ceded its seat — r12-green, unchanged since;
 # parked just past the window.)
 register("ann_topk_same_lang", xd.ann_topk_same_lang, xd.ANN_TOPK_SAME_LANG_SQL)
-# NEW (r5 wave 5): winsorized stats
-register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
-# NEW (r5 wave 5): experimentation analytics — Welch t + chi-square from
-# exact sufficient statistics / contingency counts
-register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
+# r15 rotation: near_dup_clusters + embedding_dup_clusters rotate IN —
+# their shared operator changed this round (connected_components:
+# observe()-fused convergence probe + coalesced_tiny_shuffles scope; a
+# helper change the fn-source hash cannot see, rotated manually per the
+# CLAUDE.md rule; tri-SF oracle green). winsorized_value_stats and
+# ab_test_value_ttest ceded (r5-green, analytics6.py untouched this
+# round; parked in TIER 2).
+from scripts_toolkit_spark.plans import ext_demos2 as _x2cc
+
+register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
+register("embedding_dup_clusters", _x2cc.embedding_dup_clusters, _x2cc.EMBEDDING_DUP_CLUSTERS_SQL)
 # r14 rotation: chisq_event_type_bucket + ab_test_ks_stat ceded their
 # seats (r5..r13-green, analytics6.py untouched this round; parked in
 # TIER 2) for the two near-dup rows whose bodies changed in the r14
@@ -468,9 +481,10 @@ from scripts_toolkit_spark.plans import taxonomy as _tax
 # r3, unchanged). r12: the whole trio ceded (operators/graph.py
 # unchanged in r12, all three r11-green) — ann_index_two_level took one
 # seat and the trio now sits just past the window.
-register("hierarchy_paths_deep", _tax.hierarchy_paths_deep, _tax.HIERARCHY_PATHS_DEEP_SQL)
-register("hierarchy_classify", _tax.hierarchy_classify, _tax.HIERARCHY_CLASSIFY_SQL)
-register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
+# r15: the hierarchy trio moved back INTO the window (fn bodies changed
+# — edge-frame materialization); registered at the top of TIER 1.
+register("winsorized_value_stats", a6.winsorized_value_stats, a6.WINSORIZED_VALUE_STATS_SQL)
+register("ab_test_value_ttest", a6.ab_test_value_ttest, a6.AB_TEST_VALUE_TTEST_SQL)
 
 # ============================================================================
 # TIER 2 — the r4 window rows (driver evidence: CORRECTNESS_r04 only;
@@ -484,7 +498,10 @@ register("hierarchy_paths", _tax.hierarchy_paths, _tax.HIERARCHY_PATHS_SQL)
 # r6 materialize-swap representative, long since green and physically
 # identical in default mode (test_materialize_modes); weighted_sample_docs
 # r5-green, unchanged.
-register("near_dup_clusters", xd.near_dup_clusters, xd.NEAR_DUP_CLUSTERS_SQL)
+# r15: near_dup_clusters moved INTO the window (connected_components
+# helper change); join_key_skew_report + join_size_probe parked here.
+register("join_key_skew_report", sd.join_key_skew_report, sd.JOIN_KEY_SKEW_REPORT_SQL)
+register("join_size_probe", sd.join_size_probe, sd.JOIN_SIZE_PROBE_SQL)
 register("embedding_near_dup_pairs", _x2img.embedding_near_dup_pairs, _x2img.EMBEDDING_NEAR_DUP_PAIRS_SQL)
 register("inverted_index_postings", rv.inverted_index_postings, rv.INVERTED_INDEX_POSTINGS_SQL)
 # r13 rotation: parked from the window (all long-green, unchanged in r13)
@@ -676,7 +693,9 @@ register(
 register("tfidf_top_terms", cd.tfidf_top_terms, cd.TFIDF_TOP_TERMS_SQL)
 register("cms_heavy_hitters", cd.cms_heavy_hitters, cd.CMS_HEAVY_HITTERS_SQL)
 register("ann_topk_int8", xd.ann_topk_int8, xd.ANN_TOPK_INT8_SQL)
-register("embedding_dup_clusters", x2.embedding_dup_clusters, x2.EMBEDDING_DUP_CLUSTERS_SQL)
+# r15: embedding_dup_clusters moved INTO the window (connected_components
+# helper change); zorder_layout_stats parked here.
+register("zorder_layout_stats", sd.zorder_layout_stats, sd.ZORDER_LAYOUT_STATS_SQL)
 register("histogram_quantiles", x2.histogram_quantiles, x2.HISTOGRAM_QUANTILES_SQL)
 
 # ============================================================================

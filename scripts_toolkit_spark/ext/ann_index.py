@@ -968,7 +968,14 @@ def append_to_index(
     # read (r15) so the assign kernel skips its own collect job; `cents`
     # stays the schema/fallback anchor (lazy — no job)
     cent_rows_l = _centroid_rows_from_store(spark, path, meta)
-    normed = normalize_vectors(new_vectors, id_col, vec_col)
+    # repartition the late batch BEFORE the normalize+assign projection —
+    # the build's own discipline (r15): a single-file batch arrives as
+    # 1-2 scan partitions and the Arrow assign kernel otherwise rides
+    # that narrow stage (measured 0.30 s single-task at sf0.1); the
+    # shuffle moves the batch's bytes once and the kernel runs
+    # cluster-wide. Mirrors build_ann_index's repartition(par).
+    par = spark.sparkContext.defaultParallelism
+    normed = normalize_vectors(new_vectors.repartition(par), id_col, vec_col)
     # a two-level-built store (meta two_level, r12) routes the late batch
     # coarse-to-fine as well: appends never collect the stored centroids
     assigned = (

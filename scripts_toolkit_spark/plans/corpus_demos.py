@@ -1361,7 +1361,6 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long") % _DSIR_B
     )
     feats = grams.select("doc_id", "lang", bucket.alias("b")).transform(_materialize)
-    doc_b = feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
     # ONE per-bucket aggregate carries raw AND target counts (r14, guide
     # §1.2/§2.3: the former raw/tgt/tot trio re-aggregated the exploded
     # feats frame three times; cr and ct partial-combine map-side in one
@@ -1389,14 +1388,34 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lam"),
         )
     )
-    wts = (
-        doc_b.join(lam, "b")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_feats"),
-            F.round(F.sum(F.col("c") * F.col("lam")).cast("double"), 6).alias("weight"),
+    # ONE corpus-scale shuffle for the per-doc weights (r15, guide §1.2/
+    # §2.4): λ broadcast-joins onto the exploded feats DIRECTLY and one
+    # groupBy(doc) sums it — the old doc×bucket pre-aggregate paid a full
+    # extra exchange to produce counts the final agg immediately folded
+    # away. Σ_grams λ_b ≡ Σ_b c_b·λ_b exactly (decimal sums are exact and
+    # order-free; both paths cast the same scale-6 decimal to double), so
+    # weight and n_feats (= Σ c = row count) are bit-identical.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_DSIR_TWO_PHASE"):  # A/B hook (r15)
+        doc_b = feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("c"))
+        wts = (
+            doc_b.join(lam, "b")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.sum("c").cast("bigint").alias("n_feats"),
+                F.round(F.sum(F.col("c") * F.col("lam")).cast("double"), 6).alias("weight"),
+            )
         )
-    )
+    else:
+        wts = (
+            feats.join(lam, "b")
+            .groupBy("doc_id", "lang")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+                F.round(F.sum("lam").cast("double"), 6).alias("weight"),
+            )
+        )
     return global_topk(
         wts, [F.desc("weight"), F.asc("doc_id")], 200
     ).select("doc_id", "lang", "n_feats", "weight", F.col("rank").cast("int").alias("rank"))
@@ -2012,7 +2031,6 @@ def corpus_prep_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long") % _DSIR_B
     )
     feats = grams.select("doc_id", "lang", bucket.alias("b")).transform(_materialize)
-    doc_b = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
     # ONE per-bucket aggregate instead of the raw/tgt/tot trio — same
     # collapse as `dsir_importance_weights` (r14, guide §1.2/§2.3);
     # exact ints, lam bit-identical
@@ -2036,11 +2054,26 @@ def corpus_prep_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lam"),
         )
     )
-    wts = (
-        doc_b.join(lam, "b")
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(F.col("c") * F.col("lam")).cast("double"), 6).alias("weight"))
-    )
+    # ONE corpus-scale shuffle for the per-doc weights — same collapse as
+    # `dsir_importance_weights` above (r15, guide §1.2/§2.4): λ broadcast-
+    # joins onto the exploded feats and one groupBy(doc_id) sums it;
+    # Σ_grams λ_b ≡ Σ_b c_b·λ_b exactly (order-free decimal sums, same
+    # scale-6 decimal→double), so weight is bit-identical.
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_DSIR_TWO_PHASE"):  # A/B hook (r15)
+        doc_b = feats.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+        wts = (
+            doc_b.join(lam, "b")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("c") * F.col("lam")).cast("double"), 6).alias("weight"))
+        )
+    else:
+        wts = (
+            feats.join(lam, "b")
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("lam").cast("double"), 6).alias("weight"))
+        )
 
     # importance acceptance: u < logistic(weight / s)
     u = (

@@ -450,7 +450,19 @@ def bloom_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bloom")
     )  # one row, 128 KB — the scalar that rides to every probe task
 
-    probe = li.select("l_orderkey", "l_extendedprice", "l_discount").crossJoin(bloom)
+    # The probe's 3×md5 per row is the query's dominant compute, and it
+    # lands on the scan's input splits (sf0.1: 3 parquet splits → 3 tasks
+    # while 29 cores idle; guide §2.5 input skew, r14 verdict Next #7).
+    # One narrow round-robin shuffle (3 columns, ~14 MB at sf0.1) spreads
+    # the hash work cluster-wide BEFORE the bitmap attach. On a real
+    # cluster the scan is already many-split, so the repartition is
+    # parallelism-neutral there and the cost stays one narrow exchange.
+    import os as _os
+
+    probe_side = li.select("l_orderkey", "l_extendedprice", "l_discount")
+    if not _os.environ.get("SPARK_GRAFT_BLOOM_NO_REPART"):  # A/B hook (r15)
+        probe_side = probe_side.repartition(spark.sparkContext.defaultParallelism)
+    probe = probe_side.crossJoin(bloom)
     ok = None
     for j in range(_BLOOM_K):
         idx1 = F.expr(
